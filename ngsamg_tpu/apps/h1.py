@@ -1,0 +1,122 @@
+"""H1 (scalar / vector diffusion) AMG energy.
+
+TPU-native re-creation of the reference's H1 component
+(/root/reference/src/h1/h1_energy.hpp, h1.hpp:45-138, h1_impl.hpp:384-431):
+
+* mesh edge data: edge weight = |trace(a_ij)| (H1EData, h1.hpp:66-74)
+* mesh vertex data: L2 weight = trace(a_ii) + sum_j trace(a_ij)
+  (H1VData; the signed row sum isolates the zero-order term,
+  h1_impl.hpp:384-431 `BuildAlgMesh_ALG_scal`)
+* transport Q == identity (h1_energy.hpp:123)
+* replacement-matrix block for edge (i,j) with weight w:
+  [[w, -w], [-w, w]] (x) I_bs (h1_energy.hpp:236-273 `CalcRMBlock`)
+
+For vector-valued H1 ("multidim"/compound, exports h1_2d/h1_3d) the graph is
+identical and all blocks are w * I_bs; coarsening decisions are made on the
+scalar weights exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..mesh.topo import AlgebraicMesh
+from ..sparse.host import to_bsr
+from .base import Energy
+
+
+class H1Energy(Energy):
+    def __init__(self, bs: int = 1):
+        self.bs = bs
+        self.dpv = bs
+
+    # -- finest-level mesh ------------------------------------------------
+    def build_finest_mesh(self, A, coords=None) -> AlgebraicMesh:
+        bs = self.bs
+        if bs == 1:
+            T = A.tocsr().copy()
+        else:
+            B = to_bsr(A, bs)
+            tr = np.einsum("nii->n", B.data)
+            nv = B.shape[0] // bs
+            T = sp.csr_matrix((tr, B.indices, B.indptr), shape=(nv, nv))
+        # vertex weight: signed row sum incl. diagonal == L2 (mass) part
+        vwt = np.asarray(T.sum(axis=1)).ravel()
+        vwt = np.maximum(vwt, 0.0)
+        diag = T.diagonal().copy()
+        T.setdiag(0.0)
+        T.eliminate_zeros()
+        # edge list + weight |trace(a_ij)| straight from the upper triangle
+        U = sp.triu(T, k=1).tocoo()
+        mesh = AlgebraicMesh(
+            nv=T.shape[0],
+            edges=np.stack([U.row, U.col], axis=1).astype(np.int64),
+        )
+        ewt = np.abs(U.data)
+        mesh.vertex_data["l2wt"] = vwt
+        mesh.vertex_data["diag"] = diag
+        mesh.edge_data["wt"] = ewt
+        if coords is not None:
+            mesh.vertex_data["pos"] = np.asarray(coords, dtype=np.float64)
+        return mesh
+
+    # -- strength of connection ------------------------------------------
+    def soc(self, mesh: AlgebraicMesh) -> np.ndarray:
+        """Harmonic-mean normalized edge strength.
+
+        s_e = w_e * (1/d_i + 1/d_j) with d = replacement-matrix diagonal
+        (sum of incident edge weights + L2 weight), following the harmonic
+        SOC of the reference agglomerators (agglomerator_utils.hpp,
+        mis_agg ecw options).
+        """
+        w = mesh.edge_data["wt"]
+        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        d = mesh.vertex_data["l2wt"].copy()
+        np.add.at(d, i, w)
+        np.add.at(d, j, w)
+        d = np.maximum(d, 1e-300)
+        return w * 0.5 * (1.0 / d[i] + 1.0 / d[j])
+
+    # -- transport --------------------------------------------------------
+    def transport(self, pos_from, pos_to) -> np.ndarray:
+        m = len(pos_from) if pos_from is not None else len(pos_to)
+        return np.broadcast_to(np.eye(self.dpv), (m, self.dpv, self.dpv)).copy()
+
+    # -- replacement (aux) matrix ----------------------------------------
+    def replacement_matrix(self, mesh: AlgebraicMesh) -> sp.spmatrix:
+        nv, bs = mesh.nv, self.bs
+        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        w = mesh.edge_data["wt"]
+        d = mesh.vertex_data["l2wt"].copy()
+        np.add.at(d, i, w)
+        np.add.at(d, j, w)
+        rows = np.concatenate([i, j, np.arange(nv)])
+        cols = np.concatenate([j, i, np.arange(nv)])
+        vals = np.concatenate([-w, -w, d])
+        Ahat = sp.coo_matrix((vals, (rows, cols)), shape=(nv, nv)).tocsr()
+        if bs == 1:
+            return Ahat
+        return sp.kron(Ahat, sp.eye(bs), format="bsr")
+
+    # -- coarse data mapping ----------------------------------------------
+    def map_data(self, mesh, v2agg, n_agg, coarse_edges, e2ce):
+        cmesh = AlgebraicMesh(nv=n_agg, edges=coarse_edges)
+        # edge weights: sum fine cross-edge weights per coarse edge
+        wt = np.zeros(len(coarse_edges))
+        m = e2ce >= 0
+        np.add.at(wt, e2ce[m], mesh.edge_data["wt"][m])
+        cmesh.edge_data["wt"] = wt
+        # vertex weights: sum of members
+        l2 = np.zeros(n_agg)
+        act = v2agg >= 0
+        np.add.at(l2, v2agg[act], mesh.vertex_data["l2wt"][act])
+        cmesh.vertex_data["l2wt"] = l2
+        pos = mesh.vertex_data.get("pos")
+        if pos is not None:
+            cpos = np.zeros((n_agg, pos.shape[1]))
+            cnt = np.zeros(n_agg)
+            np.add.at(cpos, v2agg[act], pos[act])
+            np.add.at(cnt, v2agg[act], 1.0)
+            cmesh.vertex_data["pos"] = cpos / np.maximum(cnt, 1.0)[:, None]
+        return cmesh

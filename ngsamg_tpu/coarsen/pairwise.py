@@ -1,0 +1,198 @@
+"""Successive pairwise-agglomeration coarsening (SPW), data-parallel form.
+
+The reference's default coarsener `SPWAgglomerator`
+(/root/reference/src/base/coarsening/spw_agg.hpp:15-165, spw_agg_impl.hpp:
+1440-1831) runs `numRounds` rounds of greedy pairwise matching, each round on
+the intermediate local coarse mesh, producing aggregates of size ~2^rounds.
+Its greedy sequential loop does not map to TPU/SPMD, so this module recasts
+each round as *handshake matching* (local-max / mutual-proposal matching):
+
+  repeat:
+    every unmatched vertex proposes to its strongest eligible neighbor;
+    mutual proposals become matched pairs;
+  until no new matches form.
+
+This is the classic parallel half-approximation to greedy matching; every
+step is a vectorized row-wise argmax over the strength graph, i.e. exactly
+the shape of computation that later moves into device kernels. Round-0
+special cases follow the reference (spw_agg_impl.hpp round 0): Dirichlet
+drop, L2-dominant vertex drop, isolated-vertex handling; the final
+orphan-adoption pass mirrors the reference's `allrobust`/adoption round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..sparse.host import csr_rowwise_argmax, csr_rowwise_max
+
+
+def handshake_match(S: sp.csr_matrix, theta: float, can_match: np.ndarray):
+    """One round of mutual-proposal matching on strength graph ``S``.
+
+    ``S`` is a symmetric scalar CSR of edge strengths (>= 0).
+    ``can_match`` masks vertices allowed to participate.
+    Returns ``partner`` (n,) int64: matched partner index, or -1 if unmatched.
+    """
+    n = S.shape[0]
+    indptr, indices, vals = S.indptr, S.indices, S.data
+    rowmax = csr_rowwise_max(indptr, vals)
+    # Symmetric tie-break jitter: on structured grids all strengths tie and
+    # deterministic argmax yields zero mutual proposals (every vertex points
+    # "up" its row). A tiny multiplicative hash of the unordered vertex pair
+    # breaks ties identically on both sides of each edge without affecting
+    # real strength ordering.
+    rows0 = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    lo = np.minimum(rows0, indices)
+    hi = np.maximum(rows0, indices)
+    h = (lo * np.int64(2654435761) + hi * np.int64(40503)) & np.int64(
+        0xFFFFFFFF
+    )
+    vals = vals * (1.0 + 1e-9 * (h.astype(np.float64) / 2**32))
+    # eligibility by strength threshold (relative to both endpoints' rows,
+    # cf. the reference's strength filters in agglomerator_utils.hpp)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    thresh = theta * np.minimum(rowmax[rows], rowmax[indices])
+    strong = vals >= np.maximum(thresh, 1e-300)
+
+    partner = np.full(n, -1, dtype=np.int64)
+    avail = can_match.copy()
+    for _ in range(8):  # handshake iterations; converges fast in practice
+        valid = strong & avail[rows] & avail[indices]
+        best, _bv = csr_rowwise_argmax(indptr, indices, vals, valid=valid)
+        best[~avail] = -1
+        # mutual proposals
+        cand = np.flatnonzero(best >= 0)
+        mutual = cand[best[best[cand]] == cand]
+        new = mutual[mutual < best[mutual]]  # each pair once
+        if len(new) == 0:
+            break
+        a, b = new, best[new]
+        partner[a] = b
+        partner[b] = a
+        avail[a] = False
+        avail[b] = False
+    return partner
+
+
+def aggregates_from_partner(partner: np.ndarray, active: np.ndarray):
+    """Pairs + singletons -> aggregate index array (contiguous 0..n_agg-1).
+
+    Inactive (dropped) vertices get -1.
+    """
+    n = len(partner)
+    v2agg = np.full(n, -1, dtype=np.int64)
+    # aggregate representative: min(v, partner) for pairs, v for singletons
+    rep = np.where(partner >= 0, np.minimum(np.arange(n), partner), np.arange(n))
+    rep[~active] = -1
+    act = np.flatnonzero(active)
+    uniq, inv = np.unique(rep[act], return_inverse=True)
+    v2agg[act] = inv
+    return v2agg, len(uniq)
+
+
+def coarse_strength_graph(S: sp.csr_matrix, v2agg: np.ndarray, n_agg: int):
+    """Galerkin-collapse the strength graph onto aggregates (sum weights)."""
+    n = S.shape[0]
+    act = v2agg >= 0
+    rows = np.flatnonzero(act)
+    C = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, v2agg[rows])), shape=(n, n_agg)
+    ).tocsr()
+    Sc = (C.T @ S @ C).tocsr()
+    Sc.setdiag(0.0)
+    Sc.eliminate_zeros()
+    return Sc
+
+
+def spw_aggregate(
+    S: sp.csr_matrix,
+    *,
+    rounds: int = 2,
+    theta: float = 0.08,
+    adopt_orphans: bool = True,
+    active: np.ndarray | None = None,
+    max_agg: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Multi-round successive pairwise aggregation.
+
+    Parameters mirror SPWConfig (spw_agg.hpp:15-60): ``rounds`` = numRounds,
+    ``theta`` the strength threshold. ``active`` masks vertices that take part
+    (Dirichlet/dropped vertices excluded). Returns (v2agg, n_agg) with
+    v2agg[v] = -1 for inactive vertices.
+    """
+    n = S.shape[0]
+    if active is None:
+        active = np.ones(n, dtype=bool)
+
+    # composed map fine vertex -> current coarse vertex
+    v2c = np.where(active, 0, -1).astype(np.int64)
+    act_idx = np.flatnonzero(active)
+    v2c[act_idx] = np.arange(len(act_idx))
+    n_cur = len(act_idx)
+    S_cur = S[act_idx][:, act_idx].tocsr()
+
+    for _ in range(rounds):
+        partner = handshake_match(
+            S_cur, theta, can_match=np.ones(n_cur, dtype=bool)
+        )
+        c2agg, n_agg = aggregates_from_partner(
+            partner, np.ones(n_cur, dtype=bool)
+        )
+        if n_agg >= n_cur:  # no progress
+            break
+        # compose
+        mask = v2c >= 0
+        v2c[mask] = c2agg[v2c[mask]]
+        n_cur = n_agg
+        S_cur = coarse_strength_graph(S_cur, c2agg, n_agg)
+
+    if adopt_orphans:
+        v2c, n_cur = _adopt_orphans(S_cur, v2c, n_cur)
+    return v2c, n_cur
+
+
+def _adopt_orphans(S_c, v2c, n_c):
+    """Merge singleton coarse vertices into their strongest neighbor agg.
+
+    The reference runs a final adoption round for orphans
+    (spw_agg_impl.hpp, final round with `allrobust` pick). Here: coarse
+    vertices representing a single fine vertex join their strongest coarse
+    neighbor (if any), then indices are re-compacted.
+    """
+    sizes = np.bincount(v2c[v2c >= 0], minlength=n_c)
+    orphan = sizes == 1
+    if not orphan.any():
+        return v2c, n_c
+    best, bv = csr_rowwise_argmax(S_c.indptr, S_c.indices, S_c.data)
+    # redirect orphans with a neighbor; avoid chains: only adopt into
+    # non-orphan aggregates
+    tgt = np.arange(n_c)
+    ok = orphan & (best >= 0) & ~orphan[np.clip(best, 0, n_c - 1)]
+    tgt[ok] = best[ok]
+    uniq, inv = np.unique(tgt, return_inverse=True)
+    remap = inv  # old coarse index -> new compacted index
+    out = v2c.copy()
+    m = out >= 0
+    out[m] = remap[out[m]]
+    return out, len(uniq)
+
+
+def plate_test_aggregate(coords: np.ndarray, active=None, nz: int = 0):
+    """Debug coarsener: aggregate along the last coordinate axis.
+
+    TPU-native stand-in for `PlateTestAgglomerator`
+    (src/base/coarsening/plate_test_agg.hpp:14-30): all vertices sharing the
+    same (x, y) column form one aggregate.
+    """
+    n = len(coords)
+    if active is None:
+        active = np.ones(n, dtype=bool)
+    key = np.round(coords[:, :-1] * 1e8).astype(np.int64)
+    keys = key[:, 0] if key.shape[1] == 1 else key[:, 0] * (2**31) + key[:, 1]
+    v2agg = np.full(n, -1, dtype=np.int64)
+    act = np.flatnonzero(active)
+    uniq, inv = np.unique(keys[act], return_inverse=True)
+    v2agg[act] = inv
+    return v2agg, len(uniq)

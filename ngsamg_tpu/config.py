@@ -1,0 +1,275 @@
+"""Typed, layered configuration for the TPU-native AMG framework.
+
+Mirrors the reference's option system (NgsAMG `BaseAMGPC::Options`,
+/root/reference/src/base/precond/amg_pc.hpp:30-111 and
+`BaseAMGFactory::Options`, src/base/factory/base_factory.hpp:88-207) as plain
+dataclasses, including the per-level override idiom `SpecOpt<T>`
+(src/base/utils/SpecOpt.hpp:16-80): an option has a default value plus an
+optional per-level array; `get(level)` returns ``spec[level]`` when the level
+is inside the array and the default otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass, field
+from typing import Generic, Sequence, TypeVar, Union
+
+T = TypeVar("T")
+
+
+class SpecOpt(Generic[T]):
+    """Default value + optional per-level overrides.
+
+    Semantics match SpecOpt::GetOpt (SpecOpt.hpp:64):
+    ``GetOpt(level) = spec[level] if level < len(spec) else default``.
+    """
+
+    __slots__ = ("default", "spec")
+
+    def __init__(self, default: T, spec: Sequence[T] = ()):  # noqa: D107
+        self.default = default
+        self.spec = tuple(spec)
+
+    def get(self, level: int) -> T:
+        if 0 <= level < len(self.spec):
+            return self.spec[level]
+        return self.default
+
+    def __repr__(self) -> str:
+        if self.spec:
+            return f"SpecOpt({self.default!r}, spec={list(self.spec)!r})"
+        return f"SpecOpt({self.default!r})"
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, SpecOpt):
+            return self.default == other.default and self.spec == other.spec
+        return NotImplemented
+
+
+SpecLike = Union[T, SpecOpt]
+
+
+def as_spec(v: SpecLike) -> SpecOpt:
+    """Accept either a bare value (default only) or a SpecOpt."""
+    return v if isinstance(v, SpecOpt) else SpecOpt(v)
+
+
+class CycleType(str, enum.Enum):
+    """Multigrid cycle (amg_pc.hpp:44 `mg_cycle`: V/W/BS)."""
+
+    V = "V"
+    W = "W"
+    BS = "BS"
+
+
+class CoarseSolveType(str, enum.Enum):
+    """Coarsest-level treatment (amg_pc.hpp:46-52 `clev`/`cinv_type`)."""
+
+    INV = "inv"  # dense (pseudo-)inverse applied on device
+    SMOOTH = "smooth"  # just smooth on the coarsest level
+    NONE = "none"
+
+
+class SmootherType(str, enum.Enum):
+    """Per-level smoother choice (amg_pc.hpp:56-66 `sm_type`).
+
+    The reference's sequential Gauss-Seidel ("gs") maps to multicolor block
+    Gauss-Seidel on TPU; "jacobi" maps to damped block-Jacobi; additional
+    TPU-native options: l1-Jacobi and Chebyshev (polynomial) smoothing.
+    """
+
+    GS = "gs"  # multicolor block Gauss-Seidel
+    JACOBI = "jacobi"  # damped block Jacobi
+    L1_JACOBI = "l1_jacobi"  # l1-scaled Jacobi (provably convergent)
+    CHEBYSHEV = "chebyshev"  # Chebyshev polynomial smoother
+    HIPTMAIR = "hiptmair"  # two-space smoother (Stokes)
+
+
+class CoarsenType(str, enum.Enum):
+    """Coarsening algorithm (vertex_factory_impl.hpp:61 `crs_alg`)."""
+
+    SPW = "spw"  # successive pairwise matching (default)
+    MIS = "mis"  # maximal-independent-set aggregation
+    PLATE = "plate"  # debug: aggregate along z (plate_test_agg.hpp:14)
+
+
+class ProlType(str, enum.Enum):
+    """Prolongation type (vertex_factory.hpp:69 `prol_type`)."""
+
+    PIECEWISE = "piecewise"
+    SMOOTHED = "smoothed"  # Jacobi-smoothed with bounded fan-out (default)
+
+
+class EnergyType(str, enum.Enum):
+    """Where the algebraic-mesh energy comes from (amg_pc.hpp:78 `energy`)."""
+
+    TRIV = "triv"  # unit weights
+    ALG = "alg"  # extracted from the assembled matrix (default)
+    ELMAT = "elmat"  # accumulated from element matrices
+
+
+@dataclass
+class CoarsenOptions:
+    """Options controlling coarsening speed/quality.
+
+    Aggressive-coarsening factors follow base_factory.hpp:100-110
+    (`aaf`, `first_aaf`, `aaf_scale`); SPW knobs follow spw_agg.hpp:15-60.
+    """
+
+    algo: SpecLike = CoarsenType.SPW
+    # number of pairwise-matching rounds per coarsening step => agg size ~2^r
+    spw_rounds: SpecLike = 2
+    # strength-of-connection threshold: edges weaker than theta * max-per-row
+    # are never matched (cf. MIS `ecw` options mis_agg.hpp:15-60)
+    theta: SpecLike = 0.08
+    # robust (generalized-EVP) strength of connection for block energies
+    robust: SpecLike = False
+    # orphan adoption: unmatched vertices join their strongest matched
+    # neighbor's aggregate (SPW final round, spw_agg_impl.hpp:1790+)
+    adopt_orphans: SpecLike = True
+    # drop vertices whose diagonal dominates all couplings (L2-dominant drop,
+    # spw_agg round 0)
+    l2_drop_tol: float = 0.0
+
+    def __post_init__(self):
+        self.algo = as_spec(self.algo)
+        self.spw_rounds = as_spec(self.spw_rounds)
+        self.theta = as_spec(self.theta)
+        self.robust = as_spec(self.robust)
+        self.adopt_orphans = as_spec(self.adopt_orphans)
+
+
+@dataclass
+class ProlOptions:
+    """Prolongation options (vertex_factory.hpp:60-99 sp_* knobs)."""
+
+    type: SpecLike = ProlType.SMOOTHED
+    # damping in units of 1/rho(Dhat^-1 Ahat); 4/3 = classical SA optimum
+    omega: SpecLike = 4.0 / 3.0  # sp_omega
+    max_per_row: SpecLike = 4  # sp_max_per_row: fan-out bound (ELL width)
+    min_frac: SpecLike = 0.04  # sp_min_frac: drop-tolerance for entries
+
+    def __post_init__(self):
+        for f in ("type", "omega", "max_per_row", "min_frac"):
+            setattr(self, f, as_spec(getattr(self, f)))
+
+
+@dataclass
+class SmootherOptions:
+    type: SpecLike = SmootherType.GS
+    steps: SpecLike = 1  # number of pre/post sweeps (amg_pc.hpp:67 sm_steps)
+    symmetric: SpecLike = True  # forward pre-sweep + backward post-sweep
+    omega: SpecLike = 1.0  # damping for jacobi-type smoothers
+    cheby_order: SpecLike = 3
+    # fraction of lambda_max where the chebyshev window starts
+    cheby_lower: SpecLike = 0.30
+
+    def __post_init__(self):
+        for f in (
+            "type",
+            "steps",
+            "symmetric",
+            "omega",
+            "cheby_order",
+            "cheby_lower",
+        ):
+            setattr(self, f, as_spec(getattr(self, f)))
+
+
+@dataclass
+class LevelControl:
+    """Level-loop stopping control (base_factory.hpp:96-123)."""
+
+    max_levels: int = 20  # max_n_levels
+    max_coarse_size: int = 500  # max_meas: stop once <= this many vertices
+    # reject a coarse step whose coarsening ratio exceeds this
+    # (base_factory.cpp TryCoarseStep rd_crs_thresh analog)
+    min_coarsen_ratio: float = 0.95
+
+
+@dataclass
+class AMGOptions:
+    """Top-level options for :class:`ngsamg_tpu.precond.AMGPreconditioner`."""
+
+    cycle: CycleType = CycleType.V
+    coarse_solve: CoarseSolveType = CoarseSolveType.INV
+    coarsen: CoarsenOptions = field(default_factory=CoarsenOptions)
+    prol: ProlOptions = field(default_factory=ProlOptions)
+    smoother: SmootherOptions = field(default_factory=SmootherOptions)
+    levels: LevelControl = field(default_factory=LevelControl)
+    energy: EnergyType = EnergyType.ALG
+    # device compute dtype for the solve phase; setup runs f64 on host
+    dtype: str = "float32"
+    # log level (amg_pc.hpp:94-104 LOG_LEVEL_PC)
+    log_level: int = 0
+    # run the spectral self-test after setup (ngs_amg_do_test analog)
+    do_test: bool = False
+
+    def replace(self, **kw) -> "AMGOptions":
+        return dataclasses.replace(self, **kw)
+
+
+def options_from_flags(flags: dict) -> AMGOptions:
+    """Build AMGOptions from a flat string-keyed dict.
+
+    Mirrors the reference flag prefix convention (`ngs_amg_*`,
+    amg_pc.cpp Options::SetFromFlags) including the ``*_spec`` per-level
+    suffix: ``{"sm_type": "gs", "sm_type_spec": ["jacobi"]}`` gives Jacobi on
+    level 0 and GS elsewhere (cf. examples/elasticity/beam.py:51-57).
+    """
+    opts = AMGOptions()
+    prefix = "ngs_amg_"
+    flat = {}
+    for k, v in flags.items():
+        k = k.removeprefix(prefix)
+        flat[k] = v
+
+    def spec(key, cast):
+        """Resolve key [+ key_spec] into a SpecOpt."""
+        if key not in flat and key + "_spec" not in flat:
+            return None
+        default = flat.get(key)
+        speclist = flat.get(key + "_spec", ())
+        return SpecOpt(
+            cast(default) if default is not None else None,
+            tuple(cast(s) for s in speclist),
+        )
+
+    mapping = [
+        ("sm_type", SmootherType, opts.smoother, "type"),
+        ("sm_steps", int, opts.smoother, "steps"),
+        ("sm_symm", bool, opts.smoother, "symmetric"),
+        ("crs_alg", CoarsenType, opts.coarsen, "algo"),
+        ("spw_rounds", int, opts.coarsen, "spw_rounds"),
+        ("theta", float, opts.coarsen, "theta"),
+        ("prol_type", ProlType, opts.prol, "type"),
+        ("sp_omega", float, opts.prol, "omega"),
+        ("sp_max_per_row", int, opts.prol, "max_per_row"),
+        ("sp_min_frac", float, opts.prol, "min_frac"),
+    ]
+    for key, cast, obj, attr in mapping:
+        so = spec(key, cast)
+        if so is not None:
+            if so.default is None:
+                so = SpecOpt(getattr(type(obj)(), attr), so.spec)
+            setattr(obj, attr, so)
+
+    if "mg_cycle" in flat:
+        opts.cycle = CycleType(flat["mg_cycle"].upper())
+    if "clev" in flat:
+        opts.coarse_solve = CoarseSolveType(flat["clev"])
+    if "max_levels" in flat:
+        opts.levels.max_levels = int(flat["max_levels"])
+    if "max_coarse_size" in flat:
+        opts.levels.max_coarse_size = int(flat["max_coarse_size"])
+    if "energy" in flat:
+        opts.energy = EnergyType(flat["energy"])
+    if "log_level" in flat:
+        opts.log_level = int(flat["log_level"])
+    if "do_test" in flat:
+        opts.do_test = bool(flat["do_test"])
+    if "dtype" in flat:
+        opts.dtype = str(flat["dtype"])
+    return opts

@@ -1,0 +1,170 @@
+"""AMG factory: the setup-phase level loop (host side).
+
+TPU-native re-creation of `BaseAMGFactory::SetUpLevels` / `RSU` / `DoStep`
+(/root/reference/src/base/factory/base_factory.hpp:16-250,
+base_factory.cpp:219-720) specialized to vertex-wise coarsening
+(`VertexAMGFactory`, vertex_factory_impl.hpp): per level —
+
+  1. strength graph from mesh energy data,
+  2. coarse map via pairwise agglomeration (SPW) / MIS / plate,
+  3. accept/reject by coarsening ratio (TryCoarseStep rd_crs_thresh logic),
+  4. prolongation (piecewise or smoothed, + embedding at the finest level),
+  5. Galerkin RAP -> next level matrix, mesh data mapped through the
+     aggregation (`AgglomerateCoarseMap::BuildMappedMesh`).
+
+Output is a list of :class:`SetupLevel` capsules (the reference's
+`AMGLevel`/`LevelCapsule`) consumed by the device compiler in
+:mod:`ngsamg_tpu.precond.amg`. The logger mirrors `BaseAMGFactory::Logger`
+(base_factory.hpp:209-243): per-level vertex counts, nnz, operator/vertex
+complexity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..apps.base import Energy
+from ..coarsen import pairwise
+from ..config import AMGOptions, CoarsenType, ProlType
+from ..mesh.topo import AlgebraicMesh, map_edges
+from ..transfer.galerkin import rap
+from ..transfer.prolongation import piecewise_prol, smoothed_prol
+
+
+@dataclass
+class SetupLevel:
+    """Host-side capsule for one level (cf. `AMGLevel`, base_factory.hpp)."""
+
+    index: int
+    A: sp.csr_matrix  # scalar CSR; block structure given by row_bs
+    row_bs: int  # matrix block size (FEM dofs/vertex at this level)
+    mesh: AlgebraicMesh
+    P: sp.bsr_matrix | None = None  # prolongation next-coarser -> this level
+    v2agg: np.ndarray | None = None
+
+
+@dataclass
+class FactoryLog:
+    """Per-level setup statistics (`Logger`, base_factory.cpp:67-199)."""
+
+    nvs: list = field(default_factory=list)
+    nnzs: list = field(default_factory=list)
+
+    @property
+    def operator_complexity(self) -> float:
+        return float(sum(self.nnzs) / max(self.nnzs[0], 1)) if self.nnzs else 0.0
+
+    @property
+    def vertex_complexity(self) -> float:
+        return float(sum(self.nvs) / max(self.nvs[0], 1)) if self.nvs else 0.0
+
+    def summary(self) -> str:
+        lines = ["level     nv         nnz"]
+        for i, (nv, nnz) in enumerate(zip(self.nvs, self.nnzs)):
+            lines.append(f"{i:5d} {nv:10d} {nnz:11d}")
+        lines.append(
+            f"operator complexity {self.operator_complexity:.3f}, "
+            f"vertex complexity {self.vertex_complexity:.3f}"
+        )
+        return "\n".join(lines)
+
+
+def build_coarse_map(
+    energy: Energy, mesh: AlgebraicMesh, opts: AMGOptions, level: int
+):
+    """Dispatch the coarsening algorithm (`BuildCoarseMap`,
+    vertex_factory_impl.hpp:503-530)."""
+    c = opts.coarsen
+    algo = CoarsenType(c.algo.get(level))
+    if algo == CoarsenType.PLATE:
+        pos = energy.vertex_positions(mesh)
+        return pairwise.plate_test_aggregate(pos)
+    soc = energy.soc(mesh)
+    S = mesh.edge_graph(weights=soc)
+    if algo == CoarsenType.MIS:
+        from ..coarsen.mis import mis_aggregate
+
+        return mis_aggregate(
+            S, theta=float(c.theta.get(level))
+        )
+    return pairwise.spw_aggregate(
+        S,
+        rounds=int(c.spw_rounds.get(level)),
+        theta=float(c.theta.get(level)),
+        adopt_orphans=bool(c.adopt_orphans.get(level)),
+    )
+
+
+def build_prolongation(
+    energy: Energy,
+    mesh_f: AlgebraicMesh,
+    mesh_c: AlgebraicMesh,
+    v2agg: np.ndarray,
+    opts: AMGOptions,
+    level: int,
+) -> sp.bsr_matrix:
+    """Piecewise or smoothed prolongation in the AMG (dpv) space."""
+    P_pw = piecewise_prol(energy, mesh_f, mesh_c, v2agg)
+    ptype = ProlType(opts.prol.type.get(level))
+    if ptype == ProlType.PIECEWISE:
+        return P_pw
+    return smoothed_prol(
+        energy,
+        mesh_f,
+        mesh_c,
+        v2agg,
+        P_pw,
+        omega=float(opts.prol.omega.get(level)),
+        max_per_row=int(opts.prol.max_per_row.get(level)),
+        min_frac=float(opts.prol.min_frac.get(level)),
+    )
+
+
+def setup_levels(
+    A: sp.spmatrix,
+    energy: Energy,
+    opts: AMGOptions,
+    coords: np.ndarray | None = None,
+) -> tuple[list[SetupLevel], FactoryLog]:
+    """Run the level loop; returns host levels (finest first) + log."""
+    A = A.tocsr().astype(np.float64)
+    lc = opts.levels
+    log = FactoryLog()
+
+    mesh = energy.build_finest_mesh(A, coords)
+    row_bs = A.shape[0] // mesh.nv
+    levels = [SetupLevel(index=0, A=A, row_bs=row_bs, mesh=mesh)]
+    log.nvs.append(mesh.nv)
+    log.nnzs.append(A.nnz)
+
+    lvl = 0
+    while (
+        lvl + 1 < lc.max_levels
+        and levels[-1].mesh.nv > lc.max_coarse_size
+    ):
+        cur = levels[-1]
+        v2agg, n_agg = build_coarse_map(energy, cur.mesh, opts, lvl)
+        if n_agg >= lc.min_coarsen_ratio * cur.mesh.nv or n_agg == 0:
+            break  # coarsening stuck (TryCoarseStep rejection)
+        coarse_edges, e2ce = map_edges(cur.mesh, v2agg, n_agg)
+        mesh_c = energy.map_data(cur.mesh, v2agg, n_agg, coarse_edges, e2ce)
+
+        P = build_prolongation(energy, cur.mesh, mesh_c, v2agg, opts, lvl)
+        E = energy.embedding_matrix(cur.mesh) if lvl == 0 else None
+        if E is not None:
+            P = (E @ P).tobsr(blocksize=(cur.row_bs, energy.dpv))
+
+        Ac = rap(cur.A, P)
+        cur.P = P
+        cur.v2agg = v2agg
+        levels.append(
+            SetupLevel(index=lvl + 1, A=Ac, row_bs=energy.dpv, mesh=mesh_c)
+        )
+        log.nvs.append(mesh_c.nv)
+        log.nnzs.append(Ac.nnz)
+        lvl += 1
+
+    return levels, log

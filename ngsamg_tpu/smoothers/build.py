@@ -1,0 +1,137 @@
+"""Host-side smoother construction (the reference's `BuildSmoother`).
+
+Re-creates the per-level smoother selection and assembly of
+`BaseAMGPC::BuildSmoother` (/root/reference/src/base/precond/amg_pc.cpp:1033+)
+for the TPU smoother set: extracts (pseudo-)inverted diagonal blocks, colors
+the graph for multicolor GS, l1-modifies diagonals for provable convergence
+(cf. `CalcModDiag`, hybrid_smoother.hpp:43), and estimates the
+D^-1 A spectral radius for Chebyshev windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from ..config import SmootherOptions, SmootherType
+from ..sparse.host import block_diagonal_fast, block_norm_graph
+from .coloring import jones_plassmann_coloring
+from .core import ChebyshevSmoother, GSSmoother, JacobiSmoother, Smoother
+
+
+def plan_row_order(A: sp.spmatrix, bs: int, opts: SmootherOptions, level: int):
+    """Color-sorted row permutation for GS levels (None for others).
+
+    Returns (perm, color_bounds): ``perm`` is a block-row permutation such
+    that rows sorted by color are contiguous; ``color_bounds`` the (ncol+1,)
+    offsets of each color in the permuted ordering.
+    """
+    kind = SmootherType(opts.type.get(level))
+    if kind != SmootherType.GS:
+        return None, None
+    W, _ = block_norm_graph(A, bs)
+    colors = jones_plassmann_coloring(W)
+    perm = np.argsort(colors, kind="stable")
+    counts = np.bincount(colors)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    return perm, tuple(int(b) for b in bounds)
+
+
+def _pinv_blocks(D: np.ndarray) -> np.ndarray:
+    """Batched pseudo-inverse of small (bs, bs) diagonal blocks.
+
+    The reference optionally uses pseudo-inverse diagonals in GSS3
+    (gssmoother.hpp:18-143) and `CalcPseudoInverseNew`
+    (utils_denseLA.hpp:267+) for near-singular elasticity blocks.
+    """
+    bs = D.shape[-1]
+    if bs == 1:
+        d = D[:, 0, 0]
+        out = np.where(np.abs(d) > 1e-300, 1.0 / np.where(d == 0, 1, d), 0.0)
+        return out.reshape(-1, 1, 1)
+    return np.linalg.pinv(D, rcond=1e-12)
+
+
+def _l1_modify(A: sp.spmatrix, bs: int, D: np.ndarray) -> np.ndarray:
+    """D + (sum of off-diagonal block norms) * I per row — l1 smoothing."""
+    W, _d = block_norm_graph(A, bs)
+    offsum = np.asarray(W.sum(axis=1)).ravel()
+    Dm = D.copy()
+    idx = np.arange(bs)
+    Dm[:, idx, idx] += offsum[:, None]
+    return Dm
+
+
+def _lam_max_estimate(A: sp.spmatrix, bs: int, Dinv: np.ndarray, iters=12):
+    """Power-iteration estimate of lambda_max(D^-1 A) on the host."""
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n)
+    lam = 2.0
+    Ac = A.tocsr()
+    for _ in range(iters):
+        y = Ac @ x
+        y = np.einsum("nij,nj->ni", Dinv, y.reshape(-1, bs)).ravel()
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            break
+        lam = nrm
+        x = y / nrm
+    return float(lam) * 1.05  # safety margin
+
+
+def build_smoother(
+    A: sp.spmatrix,
+    bs: int,
+    opts: SmootherOptions,
+    level: int,
+    nrows_pad: int,
+    dtype,
+    color_bounds: tuple | None = None,
+) -> Smoother:
+    """Build the device smoother for one (already color-permuted) level."""
+    nv = A.shape[0] // bs
+    D = block_diagonal_fast(A, bs)
+    kind = SmootherType(opts.type.get(level))
+    steps = int(opts.steps.get(level))
+
+    def pad_blocks(B):
+        out = np.zeros((nrows_pad, bs, bs))
+        out[:nv] = B
+        return jnp.asarray(out, dtype=dtype)
+
+    if kind == SmootherType.JACOBI:
+        Dinv = _pinv_blocks(D)
+        return JacobiSmoother(
+            Dinv=pad_blocks(Dinv),
+            omega=float(opts.omega.get(level)) * 0.5,
+            steps=max(steps, 1),
+        )
+    if kind == SmootherType.L1_JACOBI:
+        Dinv = _pinv_blocks(_l1_modify(A, bs, D))
+        return JacobiSmoother(
+            Dinv=pad_blocks(Dinv),
+            omega=float(opts.omega.get(level)),
+            steps=max(steps, 1),
+        )
+    if kind == SmootherType.CHEBYSHEV:
+        Dinv = _pinv_blocks(D)
+        lam_max = _lam_max_estimate(A, bs, Dinv)
+        lam_min = float(opts.cheby_lower.get(level)) * lam_max
+        return ChebyshevSmoother(
+            Dinv=pad_blocks(Dinv),
+            lam_max=jnp.asarray(lam_max, dtype=dtype),
+            lam_min=jnp.asarray(lam_min, dtype=dtype),
+            order=int(opts.cheby_order.get(level)),
+        )
+    if kind == SmootherType.GS:
+        if color_bounds is None:
+            raise ValueError("GS smoother requires a color-permuted level")
+        Dinv = _pinv_blocks(D)
+        return GSSmoother(
+            Dinv=pad_blocks(Dinv),
+            color_bounds=color_bounds,
+            steps=max(steps, 1),
+        )
+    raise ValueError(f"unsupported smoother type {kind}")

@@ -1,0 +1,187 @@
+"""Preconditioned conjugate gradients + simple iteration drivers (device).
+
+TPU-native counterpart of the reference's solver layer
+(/root/reference/src/base/solve/LinearSolver.hpp:10-87) and of the CG its
+tests drive through NGSolve krylovspace (tests/h1/amg_utils.py:357).
+
+The Krylov loop runs on device as *chunks* of `lax.fori_loop` iterations
+(static trip count — data-dependent `while_loop` is avoided because remote
+TPU backends may not support it); once the residual drops below tolerance the
+state freezes (masked updates), and the host driver checks the residual
+scalar between chunks and stops early. One host<->device round trip per
+chunk, all FLOPs on chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.bell import BlockELL, spmv
+from .cycle import AMGOperator, amg_apply
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array  # int32
+    relres: jax.Array  # final ||r|| / ||b||
+
+
+def default_chunk() -> int:
+    """Iterations per device dispatch.
+
+    The axon remote-TPU platform deadlocks on gathers inside fori_loop
+    bodies, so there each dispatch runs exactly one (loop-free) iteration;
+    other backends batch iterations to amortize dispatch latency.
+    """
+    if "axon" in str(jax.config.jax_platforms or ""):
+        return 1
+    return 16
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+
+
+def _pcg_init(b: jax.Array):
+    """Trivial PCG start state (no preconditioner application needed).
+
+    The M-apply happens at the *top* of each iteration body, so the AMG
+    cycle is traced/compiled exactly once (inside `_pcg_chunk`).
+    """
+    x = jnp.zeros_like(b)
+    p = jnp.zeros_like(b)
+    rz = jnp.zeros((), b.dtype)
+    rn = _dot(b, b)
+    return (x, b, p, rz, rn, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _pcg_chunk(
+    op: AMGOperator,
+    A: BlockELL,
+    state,
+    tol_abs2: jax.Array,
+    chunk: int = 16,
+):
+    """Run up to `chunk` PCG iterations; converged state is frozen."""
+    eps = jnp.finfo(state[0].dtype).tiny
+
+    def body(_i, s):
+        x, r, p, rz_prev, rn, k = s
+        active = rn > tol_abs2
+        z = amg_apply(op, r)
+        rz = _dot(r, z)
+        first = k == 0
+        beta = jnp.where(
+            first, 0.0, rz / jnp.where(rz_prev == 0, eps, rz_prev)
+        )
+        p_new = z + beta * p
+        q = spmv(A, p_new)
+        pq = _dot(p_new, q)
+        ok = active & (pq > 0) & (jnp.abs(rz) > 0)
+        alpha = jnp.where(ok, rz / jnp.where(pq == 0, eps, pq), 0.0)
+        x = x + alpha * p_new
+        r = jnp.where(ok, r - alpha * q, r)
+        p = jnp.where(ok, p_new, p)
+        rz_prev = jnp.where(ok, rz, rz_prev)
+        rn = jnp.where(ok, _dot(r, r), rn)
+        k = k + ok.astype(jnp.int32)
+        return (x, r, p, rz_prev, rn, k)
+
+    if chunk == 1:
+        return body(0, state)
+    return jax.lax.fori_loop(0, chunk, body, state)
+
+
+def pcg(
+    op: AMGOperator,
+    A: BlockELL,
+    b: jax.Array,
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    chunk: int | None = None,
+) -> SolveResult:
+    """PCG with the AMG cycle as preconditioner. Zero initial guess.
+
+    Host-driven chunk loop: early exit once converged (the between-chunk
+    device->host read is a single scalar).
+    """
+    if chunk is None:
+        chunk = default_chunk()
+    bnorm2 = float(_dot(b, b))
+    if bnorm2 == 0.0:
+        z = jnp.zeros_like(b)
+        return SolveResult(z, jnp.int32(0), jnp.asarray(0.0, b.dtype))
+    tol_abs2 = jnp.asarray(tol * tol * bnorm2, b.dtype)
+    state = _pcg_init(b)
+    done = 0
+    # always run full-size chunks (single compilation); converged state is
+    # frozen so overshooting maxiter by a partial chunk is harmless
+    while done < maxiter:
+        state = _pcg_chunk(op, A, state, tol_abs2, chunk=chunk)
+        done += chunk
+        rn = float(state[4])
+        if not np.isfinite(rn) or rn <= float(tol_abs2):
+            break
+    x, r, _p, _rz, rn, k = state
+    relres = jnp.sqrt(jnp.maximum(rn, 0.0) / bnorm2)
+    return SolveResult(x=x, iterations=k, relres=relres)
+
+
+def amg_iteration(
+    op: AMGOperator,
+    A: BlockELL,
+    b: jax.Array,
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    chunk: int | None = None,
+) -> SolveResult:
+    """Stationary AMG iteration x <- x + M^-1 (b - A x).
+
+    The reference's `AMGAsLinearSolver` / `LinearSolver` simple-iteration
+    driver (LinearSolver.hpp:73-87).
+    """
+    if chunk is None:
+        chunk = default_chunk()
+    bnorm2 = float(_dot(b, b))
+    if bnorm2 == 0.0:
+        z = jnp.zeros_like(b)
+        return SolveResult(z, jnp.int32(0), jnp.asarray(0.0, b.dtype))
+    tol_abs2 = jnp.asarray(tol * tol * bnorm2, b.dtype)
+    x = jnp.zeros_like(b)
+    state = (x, b, jnp.asarray(float(bnorm2), b.dtype), jnp.int32(0))
+    done = 0
+    while done < maxiter:
+        state = _si_chunk(op, A, state, tol_abs2, chunk=chunk)
+        done += chunk
+        rn = float(state[2])
+        if not np.isfinite(rn) or rn <= float(tol_abs2):
+            break
+    x, r, rn, k = state
+    relres = jnp.sqrt(jnp.maximum(rn, 0.0) / bnorm2)
+    return SolveResult(x=x, iterations=k, relres=relres)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _si_chunk(op, A, state, tol_abs2, chunk: int = 16):
+    def body(_i, s):
+        x, r, rn, k = s
+        active = rn > tol_abs2
+        x_new = x + amg_apply(op, r)
+        r_new = r - spmv(A, x_new - x)
+        x = jnp.where(active, x_new, x)
+        r = jnp.where(active, r_new, r)
+        rn = jnp.where(active, _dot(r, r), rn)
+        k = k + active.astype(jnp.int32)
+        return (x, r, rn, k)
+
+    if chunk == 1:
+        return body(0, state)
+    return jax.lax.fori_loop(0, chunk, body, state)

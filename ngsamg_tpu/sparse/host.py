@@ -1,0 +1,145 @@
+"""Host-side (numpy/scipy) sparse utilities used during AMG *setup*.
+
+The reference implements block-sparse transpose/matmul/RAP natively
+(/root/reference/src/base/linalg/utils_sparseMM.hpp:61-108). In the TPU-native
+design the *setup* phase runs on the host with dynamic shapes (scipy's C
+kernels do symbolic+numeric sparse products), and only the resulting
+static-shape level hierarchy is shipped to the device. The device-side formats
+live in :mod:`ngsamg_tpu.sparse.bell`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def to_bsr(A: sp.spmatrix, bs: int) -> sp.bsr_matrix:
+    """View a scalar CSR as BSR with square block size ``bs``."""
+    if isinstance(A, sp.bsr_matrix) and A.blocksize == (bs, bs):
+        return A
+    return sp.bsr_matrix(A, blocksize=(bs, bs))
+
+
+def block_norm_graph(A: sp.spmatrix, bs: int):
+    """Condense a block matrix into its scalar connectivity graph.
+
+    Returns (W, diag): ``W`` is a scalar CSR over *vertices* (block rows) whose
+    entries are the Frobenius norms of off-diagonal blocks; ``diag`` holds the
+    Frobenius norms of the diagonal blocks. For ``bs == 1`` this is just
+    |off-diag| / |diag|. This is the graph the coarsening operates on
+    (the reference's matrix-graph -> BlockTM conversion,
+    src/base/precond/amg_pc_vertex_impl.hpp:941-1090).
+    """
+    if bs == 1:
+        C = A.tocsr().copy()
+        d = np.abs(C.diagonal())
+        C.setdiag(0.0)
+        C.eliminate_zeros()
+        C.data = np.abs(C.data)
+        return C, d
+    B = to_bsr(A, bs)
+    nv = B.shape[0] // bs
+    norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
+    W = sp.csr_matrix((norms, B.indices, B.indptr), shape=(nv, nv))
+    d = W.diagonal().copy()
+    W.setdiag(0.0)
+    W.eliminate_zeros()
+    return W, d
+
+
+def block_diagonal(A: sp.spmatrix, bs: int) -> np.ndarray:
+    """Extract the (nv, bs, bs) diagonal blocks of a block matrix."""
+    if bs == 1:
+        return A.diagonal().reshape(-1, 1, 1)
+    B = to_bsr(A, bs)
+    nv = B.shape[0] // bs
+    out = np.zeros((nv, bs, bs), dtype=B.dtype)
+    for v in range(nv):
+        lo, hi = B.indptr[v], B.indptr[v + 1]
+        js = B.indices[lo:hi]
+        k = np.searchsorted(js, v)
+        if k < hi - lo and js[k] == v:
+            out[v] = B.data[lo + k]
+    return out
+
+
+def block_diagonal_fast(A: sp.spmatrix, bs: int) -> np.ndarray:
+    """Vectorized variant of :func:`block_diagonal`."""
+    if bs == 1:
+        return A.diagonal().reshape(-1, 1, 1)
+    B = to_bsr(A, bs)
+    nv = B.shape[0] // bs
+    rows = np.repeat(np.arange(nv), np.diff(B.indptr))
+    isdiag = B.indices == rows
+    out = np.zeros((nv, bs, bs), dtype=B.dtype)
+    out[rows[isdiag]] = B.data[isdiag]
+    return out
+
+
+def csr_rowwise_max(indptr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Per-row maximum of CSR values (0 for empty rows)."""
+    n = len(indptr) - 1
+    out = np.zeros(n, dtype=vals.dtype)
+    nonempty = np.flatnonzero(np.diff(indptr) > 0)
+    if len(nonempty):
+        out[nonempty] = np.maximum.reduceat(vals, indptr[nonempty])
+    return out
+
+
+def csr_rowwise_argmax(indptr, indices, vals, valid=None):
+    """Per-row argmax over CSR entries, restricted to ``valid`` entries.
+
+    Returns (best_col, best_val) per row; rows with no valid entry get
+    best_col = -1, best_val = -inf.
+    """
+    n = len(indptr) - 1
+    v = vals.astype(np.float64, copy=True)
+    if valid is not None:
+        v[~valid] = -np.inf
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    best_col = np.full(n, -1, dtype=np.int64)
+    best_val = np.full(n, -np.inf)
+    order = np.lexsort((v, rows))  # within each row, ascending value
+    if len(order):
+        last = np.zeros(n, dtype=bool)
+        # last entry of each row in sorted order is its argmax
+        idx_last = indptr[1:] - 1  # position in `order` of each row's max
+        nonempty = np.diff(indptr) > 0
+        sel = order[idx_last[nonempty]]
+        best_col[nonempty] = indices[sel]
+        best_val[nonempty] = v[sel]
+    # rows whose max is -inf have no valid entry
+    none = ~np.isfinite(best_val)
+    best_col[none] = -1
+    return best_col, best_val
+
+
+def pad_to_ell(A: sp.spmatrix, bs_r: int, bs_c: int, width: int | None = None):
+    """Convert a (possibly rectangular-block) sparse matrix to padded ELL.
+
+    Returns ``(data, cols)`` with ``data: (n, K, bs_r, bs_c)`` float64 and
+    ``cols: (n, K) int32``; padded slots have column 0 and an all-zero block.
+    ``n`` is the number of block rows. ``width`` forces the ELL width K.
+    """
+    if bs_r == bs_c == 1:
+        C = A.tocsr()
+        data3 = C.data.reshape(-1, 1, 1)
+        indptr, indices = C.indptr, C.indices
+        n = C.shape[0]
+    else:
+        B = sp.bsr_matrix(A, blocksize=(bs_r, bs_c))
+        data3 = B.data
+        indptr, indices = B.indptr, B.indices
+        n = B.shape[0] // bs_r
+    deg = np.diff(indptr)
+    K = int(deg.max()) if width is None else int(width)
+    if deg.max() > K:
+        raise ValueError(f"ELL width {K} < max row degree {deg.max()}")
+    data = np.zeros((n, K, bs_r, bs_c), dtype=np.float64)
+    cols = np.zeros((n, K), dtype=np.int32)
+    rows = np.repeat(np.arange(n), deg)
+    slot = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+    data[rows, slot] = data3
+    cols[rows, slot] = indices
+    return data, cols

@@ -1,0 +1,322 @@
+"""Self-contained FEM problem generators for tests and benchmarks.
+
+The reference drives its tests through real Netgen meshes + NGSolve assembly
+(/root/reference/tests/h1/amg_utils.py:8-33, gen_square/gen_cube) and its
+jump-coefficient tests through multi-material geometries (amg_utils.py:35-55).
+This framework is standalone, so the equivalent problem classes are produced
+here with vectorized numpy P1 finite-element assembly on structured simplicial
+meshes of the unit square/cube:
+
+* :func:`poisson_2d` / :func:`poisson_3d` — scalar diffusion, optionally with
+  per-element (jumping) coefficients and Dirichlet boundaries.
+* :func:`elasticity_2d` / :func:`elasticity_3d` — linear elasticity on beam
+  domains (the reference's beam examples, examples/elasticity/beam.py),
+  interleaved per-vertex displacement DOFs (block size = dim).
+
+All return host scipy CSR/BSR matrices + vertex coordinates + free-DOF masks;
+these feed the strict-algebraic-mode front-end
+(:class:`ngsamg_tpu.precond.AMGPreconditioner`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+
+@dataclass
+class Problem:
+    """An assembled test problem (strict-algebraic-mode inputs)."""
+
+    A: sp.csr_matrix  # system matrix, Dirichlet-eliminated (SPD)
+    b: np.ndarray  # right-hand side
+    coords: np.ndarray  # (nv, dim) vertex coordinates of the FREE vertices
+    dim: int  # spatial dimension
+    block_size: int  # DOFs per vertex (1 scalar, dim elasticity)
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# meshes
+# ---------------------------------------------------------------------------
+
+
+def _grid_2d(nx: int, ny: int, lx: float = 1.0, ly: float = 1.0):
+    """Structured triangulation of [0,lx]x[0,ly]: (nx+1)(ny+1) verts."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    i, j = i.ravel(), j.ravel()
+    v00, v10 = vid(i, j), vid(i + 1, j)
+    v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+    # two triangles per square
+    tris = np.concatenate(
+        [
+            np.stack([v00, v10, v11], axis=1),
+            np.stack([v00, v11, v01], axis=1),
+        ],
+        axis=0,
+    )
+    return verts, tris
+
+
+# Kuhn split of the unit cube into 6 tets (all share main diagonal 0-7)
+_KUHN_TETS = np.array(
+    [
+        [0, 1, 3, 7],
+        [0, 1, 5, 7],
+        [0, 2, 3, 7],
+        [0, 2, 6, 7],
+        [0, 4, 5, 7],
+        [0, 4, 6, 7],
+    ]
+)
+
+
+def _grid_3d(nx: int, ny: int, nz: int, lx=1.0, ly=1.0, lz=1.0):
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    zs = np.linspace(0.0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    i, j, k = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    i, j, k = i.ravel(), j.ravel(), k.ravel()
+    corners = np.stack(
+        [
+            vid(i, j, k),
+            vid(i + 1, j, k),
+            vid(i, j + 1, k),
+            vid(i + 1, j + 1, k),
+            vid(i, j, k + 1),
+            vid(i + 1, j, k + 1),
+            vid(i, j + 1, k + 1),
+            vid(i + 1, j + 1, k + 1),
+        ],
+        axis=1,
+    )  # (ncell, 8)
+    tets = corners[:, _KUHN_TETS].reshape(-1, 4)
+    return verts, tets
+
+
+# ---------------------------------------------------------------------------
+# P1 scalar diffusion assembly (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _p1_stiffness(verts, elems, coeff):
+    """Element-wise P1 stiffness: K_e = coeff_e * vol_e * G G^T.
+
+    G rows are the constant gradients of the barycentric basis functions.
+    """
+    dim = verts.shape[1]
+    ne, nl = elems.shape  # nl = dim+1
+    X = verts[elems]  # (ne, nl, dim)
+    D = X[:, 1:, :] - X[:, :1, :]  # (ne, dim, dim) edge matrix
+    detD = np.linalg.det(D)
+    vol = np.abs(detD) / (2.0 if dim == 2 else 6.0)
+    Dinv = np.linalg.inv(D)  # (ne, dim, dim)
+    # gradients: g_i (i=1..dim) = rows of Dinv^T; g_0 = -sum g_i
+    G = np.empty((ne, nl, dim))
+    G[:, 1:, :] = np.transpose(Dinv, (0, 2, 1))
+    G[:, 0, :] = -G[:, 1:, :].sum(axis=1)
+    Ke = np.einsum("eid,ejd->eij", G, G) * (coeff * vol)[:, None, None]
+    return Ke, vol
+
+
+def _assemble(nv, elems, Ke, block: int = 1):
+    """Scatter element matrices into a global scipy CSR (scalar DOFs)."""
+    nl = elems.shape[1]
+    rows = np.repeat(elems, nl, axis=1).ravel()
+    cols = np.tile(elems, (1, nl)).ravel()
+    A = sp.coo_matrix((Ke.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def _eliminate_dirichlet(A, b, coords, fixed_mask, block_size=1):
+    """Remove fixed-vertex DOFs symmetrically (keep only free rows/cols)."""
+    free_v = ~fixed_mask
+    if block_size == 1:
+        free = free_v
+    else:
+        free = np.repeat(free_v, block_size)
+    A = A[free][:, free].tocsr()
+    return A, b[free], coords[free_v]
+
+
+def poisson_2d(n: int = 32, jump: bool = False, f=1.0) -> Problem:
+    """P1 Poisson on the unit square, Dirichlet on the whole boundary.
+
+    ``jump=True`` uses a checkerboard-with-inclusions coefficient field (1 vs
+    1e4) emulating the reference's jump tests (tests/h1/jump/*,
+    amg_utils.py:35-55 gen_sq_with_sqs).
+    """
+    verts, tris = _grid_2d(n, n)
+    centers = verts[tris].mean(axis=1)
+    if jump:
+        coeff = np.where(_in_inclusions_2d(centers), 1e4, 1.0)
+    else:
+        coeff = np.ones(len(tris))
+    Ke, vol = _p1_stiffness(verts, tris, coeff)
+    A = _assemble(len(verts), tris, Ke)
+    # rhs: f * vol/3 per vertex of each element
+    b = np.zeros(len(verts))
+    np.add.at(b, tris.ravel(), np.repeat(f * vol / 3.0, 3))
+    x, y = verts[:, 0], verts[:, 1]
+    fixed = (x == 0) | (x == 1) | (y == 0) | (y == 1)
+    A, b, coords = _eliminate_dirichlet(A, b, verts, fixed)
+    return Problem(A=A, b=b, coords=coords, dim=2, block_size=1)
+
+
+def _in_inclusions_2d(p):
+    """High-coefficient inclusion pattern (scaled to the unit square)."""
+    x, y = p[:, 0], p[:, 1]
+    boxes = [
+        (0.20, 0.70, 0.30, 0.80),
+        (0.70, 0.70, 0.80, 0.80),
+        (0.42, 0.42, 0.58, 0.58),
+        (0.10, 0.20, 0.90, 0.30),
+        (0.60, 0.45, 0.70, 0.55),
+    ]
+    m = np.zeros(len(p), dtype=bool)
+    for x0, y0, x1, y1 in boxes:
+        m |= (x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)
+    return m
+
+
+def poisson_3d(n: int = 16, jump: bool = False, f=1.0) -> Problem:
+    """P1 Poisson on the unit cube (Kuhn tets), Dirichlet boundary."""
+    verts, tets = _grid_3d(n, n, n)
+    centers = verts[tets].mean(axis=1)
+    if jump:
+        m = (
+            (centers[:, 0] > 0.3)
+            & (centers[:, 0] < 0.7)
+            & (centers[:, 1] > 0.3)
+            & (centers[:, 1] < 0.7)
+        )
+        coeff = np.where(m, 1e4, 1.0)
+    else:
+        coeff = np.ones(len(tets))
+    Ke, vol = _p1_stiffness(verts, tets, coeff)
+    A = _assemble(len(verts), tets, Ke)
+    b = np.zeros(len(verts))
+    np.add.at(b, tets.ravel(), np.repeat(f * vol / 4.0, 4))
+    x, y, z = verts.T
+    fixed = (x == 0) | (x == 1) | (y == 0) | (y == 1) | (z == 0) | (z == 1)
+    A, b, coords = _eliminate_dirichlet(A, b, verts, fixed)
+    return Problem(A=A, b=b, coords=coords, dim=3, block_size=1)
+
+
+# ---------------------------------------------------------------------------
+# linear elasticity (P1, vector-valued)
+# ---------------------------------------------------------------------------
+
+
+def _elasticity_elem(verts, elems, E, nu, plane_stress=True):
+    """Element stiffness for linear elasticity with P1 displacements.
+
+    Small-strain isotropic: a(u,v) = int 2 mu eps(u):eps(v) + lam div u div v.
+    """
+    dim = verts.shape[1]
+    ne, nl = elems.shape
+    X = verts[elems]
+    D = X[:, 1:, :] - X[:, :1, :]
+    detD = np.linalg.det(D)
+    vol = np.abs(detD) / (2.0 if dim == 2 else 6.0)
+    Dinv = np.linalg.inv(D)
+    G = np.empty((ne, nl, dim))
+    G[:, 1:, :] = np.transpose(Dinv, (0, 2, 1))
+    G[:, 0, :] = -G[:, 1:, :].sum(axis=1)
+
+    mu = E / (2 * (1 + nu))
+    if dim == 2 and plane_stress:
+        lam = E * nu / (1 - nu * nu)
+    else:
+        lam = E * nu / ((1 + nu) * (1 - 2 * nu))
+
+    # Ke[e, i*dim+a, j*dim+b] =
+    #   vol * ( mu*(G_ib G_ja? ...) ) — use standard formula:
+    #   mu * (delta_ab * G_i.G_j + G_jb*G_ia... )
+    GiGj = np.einsum("eid,ejd->eij", G, G)  # (ne, nl, nl)
+    Ke = (
+        mu * np.einsum("eij,ab->eiajb", GiGj, np.eye(dim))
+        + mu * np.einsum("eib,eja->eiajb", G, G)
+        + lam * np.einsum("eia,ejb->eiajb", G, G)
+    )
+    Ke *= vol[:, None, None, None, None]
+    return Ke.reshape(ne, nl * dim, nl * dim), vol
+
+
+def _beam(dim, n, length):
+    """Beam domain [0,length] x [0,1]^(dim-1), clamped at x=0."""
+    if dim == 2:
+        verts, elems = _grid_2d(length * n, n, lx=float(length))
+    else:
+        verts, elems = _grid_3d(length * n, n, n, lx=float(length))
+    fixed = verts[:, 0] == 0.0
+    return verts, elems, fixed
+
+
+def _elasticity(dim, n, length, E, nu, load) -> Problem:
+    verts, elems, fixed = _beam(dim, n, length)
+    Ke, vol = _elasticity_elem(verts, elems, E, nu)
+    nl = elems.shape[1]
+    # vector DOF indices: vertex v -> [v*dim, ..., v*dim+dim-1]
+    dof = (elems[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(
+        len(elems), nl * dim
+    )
+    nv = len(verts)
+    rows = np.repeat(dof, nl * dim, axis=1).ravel()
+    cols = np.tile(dof, (1, nl * dim)).ravel()
+    A = sp.coo_matrix(
+        (Ke.ravel(), (rows, cols)), shape=(nv * dim, nv * dim)
+    ).tocsr()
+    A.sum_duplicates()
+    # downward volume load
+    b = np.zeros(nv * dim)
+    w = np.repeat(load * vol / nl, nl)
+    np.add.at(b, (elems.ravel() * dim + (dim - 1)), -w)
+    A, b, coords = _eliminate_dirichlet(A, b, verts, fixed, block_size=dim)
+    return Problem(A=A, b=b, coords=coords, dim=dim, block_size=dim)
+
+
+def vector_poisson(base: Problem, bs: int) -> Problem:
+    """Multidim / vector-valued H1: block a_ij = a_scalar_ij * I_bs.
+
+    Emulates the reference's multidim-FESpace vector H1 tests
+    (tests/h1/simple/test_vec.py): identical graph per component.
+    """
+    # kron in block layout: each scalar entry becomes a bs x bs identity block
+    A = sp.kron(base.A, sp.eye(bs), format="csr")
+    b = np.repeat(base.b, bs)
+    return Problem(
+        A=A, b=b, coords=base.coords, dim=base.dim, block_size=bs
+    )
+
+
+def elasticity_2d(n: int = 8, length: int = 10, E=1e3, nu=0.3, load=1.0):
+    """2D plane-stress cantilever beam (cf. tests/elasticity mdim 2D)."""
+    return _elasticity(2, n, length, E, nu, load)
+
+
+def elasticity_3d(n: int = 4, length: int = 10, E=1e3, nu=0.3, load=1.0):
+    """3D cantilever beam 10x1x1 (tests/elasticity/mdim/simple/test_3d_lo.py)."""
+    return _elasticity(3, n, length, E, nu, load)

@@ -1,0 +1,267 @@
+"""Unit tests for the framework layers below the preconditioner.
+
+Covers the component inventory of SURVEY.md section 2: sparse formats +
+SpMV, host graph utilities, algebraic mesh mapping, coarsening, prolongation
+(kernel preservation), Galerkin RAP, smoothers, config system.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ngsamg_tpu import AMGOptions, SpecOpt, options_from_flags
+from ngsamg_tpu.apps.h1 import H1Energy
+from ngsamg_tpu.coarsen import pairwise
+from ngsamg_tpu.coarsen.mis import mis_aggregate
+from ngsamg_tpu.config import SmootherType
+from ngsamg_tpu.mesh.topo import AlgebraicMesh, map_edges
+from ngsamg_tpu.smoothers.coloring import jones_plassmann_coloring
+from ngsamg_tpu.sparse import bell
+from ngsamg_tpu.sparse.host import (
+    block_diagonal_fast,
+    block_norm_graph,
+    csr_rowwise_argmax,
+    csr_rowwise_max,
+    pad_to_ell,
+)
+from ngsamg_tpu.transfer.galerkin import rap
+from ngsamg_tpu.transfer.prolongation import piecewise_prol, smoothed_prol
+from ngsamg_tpu.utils import fem
+
+
+def _rand_spd(n, seed=0, density=0.1):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=density, random_state=rng)
+    A = A + A.T + n * sp.eye(n)
+    return A.tocsr()
+
+
+# ---------------------------------------------------------------------------
+# sparse
+# ---------------------------------------------------------------------------
+
+
+def test_bell_spmv_matches_scipy():
+    A = _rand_spd(200)
+    Ad = bell.from_scipy(A, 1, 1)
+    x = np.random.default_rng(1).standard_normal(200)
+    xd = bell.block_vec(x, 1, Ad.nrows_pad, Ad.data.dtype)
+    y = bell.flat_vec(bell.spmv(Ad, xd), Ad.nrows)
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-5)
+
+
+def test_bell_block_spmv():
+    p = fem.elasticity_2d(3, length=4)
+    Ad = bell.from_scipy(p.A, 2, 2)
+    x = np.random.default_rng(2).standard_normal(p.n)
+    xd = bell.block_vec(x, 2, Ad.nrows_pad, Ad.data.dtype)
+    y = bell.flat_vec(bell.spmv(Ad, xd), Ad.nrows)
+    np.testing.assert_allclose(np.asarray(y), p.A @ x, rtol=2e-4, atol=1e-4)
+
+
+def test_pad_to_ell_roundtrip():
+    A = _rand_spd(50)
+    data, cols = pad_to_ell(A, 1, 1)
+    dense = np.zeros((50, 50))
+    for i in range(50):
+        for k in range(data.shape[1]):
+            dense[i, cols[i, k]] += data[i, k, 0, 0]
+    np.testing.assert_allclose(dense, A.toarray(), atol=1e-12)
+
+
+def test_rowwise_helpers():
+    A = sp.csr_matrix(np.array([[0, 2.0, 1.0], [0, 0, 0], [5.0, 0, 3.0]]))
+    mx = csr_rowwise_max(A.indptr, A.data)
+    np.testing.assert_allclose(mx, [2.0, 0.0, 5.0])
+    col, val = csr_rowwise_argmax(A.indptr, A.indices, A.data)
+    assert col[0] == 1 and col[2] == 0 and col[1] == -1
+
+
+def test_block_norm_graph():
+    p = fem.elasticity_2d(2, length=3)
+    W, d = block_norm_graph(p.A, 2)
+    assert W.shape[0] == p.n // 2
+    assert (W.data >= 0).all() and (d > 0).all()
+    D = block_diagonal_fast(p.A, 2)
+    np.testing.assert_allclose(
+        D[0], p.A[:2, :2].toarray(), atol=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# mesh + coarsening
+# ---------------------------------------------------------------------------
+
+
+def _grid_mesh(n):
+    p = fem.poisson_2d(n)
+    return H1Energy(1).build_finest_mesh(p.A), p
+
+
+def test_mesh_from_matrix():
+    mesh, p = _grid_mesh(10)
+    assert mesh.nv == p.n
+    assert (mesh.edges[:, 0] < mesh.edges[:, 1]).all()
+    assert (mesh.edge_data["wt"] > 0).all()
+
+
+def test_map_edges():
+    mesh = AlgebraicMesh(
+        nv=4, edges=np.array([[0, 1], [1, 2], [2, 3], [0, 2]])
+    )
+    v2agg = np.array([0, 0, 1, 1])
+    ce, e2ce = map_edges(mesh, v2agg, 2)
+    assert len(ce) == 1 and tuple(ce[0]) == (0, 1)
+    assert e2ce[0] == -1 and e2ce[2] == -1
+    assert e2ce[1] == 0 and e2ce[3] == 0
+
+
+def test_spw_aggregate_ratio():
+    mesh, _ = _grid_mesh(24)
+    en = H1Energy(1)
+    S = mesh.edge_graph(weights=en.soc(mesh))
+    v2agg, n_agg = pairwise.spw_aggregate(S, rounds=2, theta=0.05)
+    assert (v2agg >= 0).all()
+    ratio = mesh.nv / n_agg
+    assert 2.5 < ratio < 6.0  # ~4 for 2 pairwise rounds
+
+
+def test_mis_aggregate():
+    mesh, _ = _grid_mesh(24)
+    en = H1Energy(1)
+    S = mesh.edge_graph(weights=en.soc(mesh))
+    v2agg, n_agg = mis_aggregate(S, theta=0.05)
+    assert (v2agg >= 0).all()
+    assert n_agg < mesh.nv / 2
+
+
+def test_plate_aggregate():
+    coords = np.stack(
+        np.meshgrid(np.arange(4.0), np.arange(5.0), indexing="ij"), axis=-1
+    ).reshape(-1, 2)
+    v2agg, n_agg = pairwise.plate_test_aggregate(coords)
+    assert n_agg == 4  # one aggregate per x-column
+
+
+def test_coloring_valid():
+    mesh, p = _grid_mesh(16)
+    W, _ = block_norm_graph(p.A, 1)
+    colors = jones_plassmann_coloring(W)
+    C = W.tocoo()
+    assert (colors[C.row] != colors[C.col]).all()
+
+
+# ---------------------------------------------------------------------------
+# transfer
+# ---------------------------------------------------------------------------
+
+
+def test_piecewise_prol_preserves_constants():
+    mesh, p = _grid_mesh(16)
+    en = H1Energy(1)
+    S = mesh.edge_graph(weights=en.soc(mesh))
+    v2agg, n_agg = pairwise.spw_aggregate(S)
+    ce, e2ce = map_edges(mesh, v2agg, n_agg)
+    mesh_c = en.map_data(mesh, v2agg, n_agg, ce, e2ce)
+    P = piecewise_prol(en, mesh, mesh_c, v2agg)
+    ones = np.ones(n_agg)
+    np.testing.assert_allclose(P @ ones, np.ones(mesh.nv), atol=1e-12)
+
+
+def test_smoothed_prol_preserves_constants_after_truncation():
+    mesh, p = _grid_mesh(24)
+    en = H1Energy(1)
+    # zero L2 weights: pure-Laplacian energy, so the energy kernel is the
+    # constants and the prolongation must reproduce them exactly (near
+    # Dirichlet boundaries the nonzero vertex weight correctly breaks this)
+    mesh.vertex_data["l2wt"][:] = 0.0
+    S = mesh.edge_graph(weights=en.soc(mesh))
+    v2agg, n_agg = pairwise.spw_aggregate(S)
+    ce, e2ce = map_edges(mesh, v2agg, n_agg)
+    mesh_c = en.map_data(mesh, v2agg, n_agg, ce, e2ce)
+    Ppw = piecewise_prol(en, mesh, mesh_c, v2agg)
+    P = smoothed_prol(
+        en, mesh, mesh_c, v2agg, Ppw, max_per_row=3, min_frac=0.05
+    )
+    deg = np.diff(P.tobsr(blocksize=(1, 1)).indptr)
+    assert deg.max() <= 3
+    np.testing.assert_allclose(
+        P @ np.ones(n_agg), np.ones(mesh.nv), atol=1e-10
+    )
+
+
+def test_rap_matches_dense():
+    A = _rand_spd(40)
+    P = sp.random(40, 12, density=0.3, random_state=0).tocsr()
+    Ac = rap(A, P)
+    np.testing.assert_allclose(
+        Ac.toarray(), P.T.toarray() @ A.toarray() @ P.toarray(), atol=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# smoothers reduce error
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kind", [SmootherType.GS, SmootherType.JACOBI, SmootherType.L1_JACOBI,
+             SmootherType.CHEBYSHEV]
+)
+def test_smoother_reduces_energy_error(kind):
+    import jax.numpy as jnp
+
+    from ngsamg_tpu.smoothers.build import build_smoother, plan_row_order
+    from ngsamg_tpu.smoothers.core import smooth, smooth_back
+    from ngsamg_tpu.config import SmootherOptions
+
+    p = fem.poisson_2d(16)
+    opts = SmootherOptions(type=kind)
+    A = p.A
+    perm, cb = plan_row_order(A, 1, opts, 0)
+    if perm is not None:
+        A = A[perm][:, perm].tocsr()
+    Ad = bell.from_scipy(A, 1, 1)
+    sm = build_smoother(A, 1, opts, 0, Ad.nrows_pad, jnp.float32,
+                        color_bounds=cb)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(p.n)
+    b = A @ xex
+    bd = bell.block_vec(b, 1, Ad.nrows_pad, jnp.float32)
+    x = smooth(sm, Ad, None, bd)
+    for _ in range(5):
+        x = smooth_back(sm, Ad, x, bd)
+        x = smooth(sm, Ad, x, bd)
+    err0 = np.linalg.norm(xex)
+    err = np.linalg.norm(np.asarray(bell.flat_vec(x, Ad.nrows)) - xex)
+    assert err < 0.9 * err0
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+
+def test_specopt_semantics():
+    so = SpecOpt("gs", ["jacobi", "chebyshev"])
+    assert so.get(0) == "jacobi"
+    assert so.get(1) == "chebyshev"
+    assert so.get(2) == "gs"
+    assert so.get(99) == "gs"
+
+
+def test_options_from_flags():
+    opts = options_from_flags(
+        {
+            "ngs_amg_sm_type": "gs",
+            "ngs_amg_sm_type_spec": ["jacobi"],
+            "ngs_amg_mg_cycle": "W",
+            "ngs_amg_max_coarse_size": 100,
+            "ngs_amg_theta": 0.1,
+        }
+    )
+    assert opts.smoother.type.get(0) == SmootherType.JACOBI
+    assert opts.smoother.type.get(1) == SmootherType.GS
+    assert opts.cycle.value == "W"
+    assert opts.levels.max_coarse_size == 100
+    assert opts.coarsen.theta.get(3) == 0.1
