@@ -1,0 +1,82 @@
+"""Benchmark: 3D Poisson AMG setup + PCG solve on one TPU chip.
+
+Mirrors the reference's own throughput metric — "(scal) dofs / (sec * np)"
+printed by its test harness (/root/reference/tests/h1/amg_utils.py:350-360)
+— on the BASELINE.json north-star configuration (3D Poisson, AMG-PCG to
+1e-8). Prints ONE JSON line:
+
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The reference publishes no numbers (BASELINE.md): `vs_baseline` is computed
+against an assumed NgsAMG CPU figure of 2.0e6 DoF/s per core for the
+combined setup+solve pipeline (typical for one modern core running an
+MPI-parallel smoothed-aggregation AMG at this scale), i.e.
+vs_baseline = (our setup+solve DoF/s) / 2.0e6.
+
+Env knobs: NGSAMG_BENCH_N (grid n, default 80 -> ~493k DoF),
+NGSAMG_BENCH_TOL (default 1e-8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_DOFS_PER_S = 2.0e6  # assumed NgsAMG-on-1-core setup+solve throughput
+
+
+def main():
+    from ngsamg_tpu.utils.jaxcfg import enable_persistent_cache
+
+    enable_persistent_cache()
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.utils import fem
+
+    n = int(os.environ.get("NGSAMG_BENCH_N", "80"))
+    tol = float(os.environ.get("NGSAMG_BENCH_TOL", "1e-8"))
+
+    t0 = time.perf_counter()
+    prob = fem.poisson_3d(n)
+    t_asm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pc = AMGPreconditioner(prob.A, options=AMGOptions()).setup()
+    t_setup = time.perf_counter() - t0
+
+    # warm-up: trigger all compiles on a throwaway solve, then measure
+    pc.solve(prob.b, tol=1e-2, maxiter=40)
+    t0 = time.perf_counter()
+    x, info = pc.solve(prob.b, tol=tol)
+    t_solve = time.perf_counter() - t0
+
+    r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
+    dofs_per_s = prob.n / (t_setup + t_solve)
+    result = {
+        "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",
+        "value": round(dofs_per_s, 1),
+        "unit": "DoF/s/chip",
+        "vs_baseline": round(dofs_per_s / BASELINE_DOFS_PER_S, 3),
+        "extra": {
+            "n_dof": prob.n,
+            "iterations": int(info.iterations),
+            "relres": float(r),
+            "converged": bool(info.converged and r < 10 * tol),
+            "levels": pc.num_levels,
+            "operator_complexity": round(pc.operator_complexity, 3),
+            "setup_s": round(t_setup, 3),
+            "solve_s": round(t_solve, 3),
+            "solve_dofs_per_s": round(prob.n / t_solve, 1),
+            "assembly_s": round(t_asm, 3),
+            "tol": tol,
+        },
+    }
+    print(json.dumps(result))
+    return 0 if result["extra"]["converged"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,8 +119,12 @@ class CoarsenOptions:
     """
 
     algo: SpecLike = CoarsenType.SPW
-    # number of pairwise-matching rounds per coarsening step => agg size ~2^r
-    spw_rounds: SpecLike = 2
+    # number of pairwise-matching rounds per coarsening step => agg size
+    # ~2^r; default: aggressive on the finest level (the reference's
+    # `first_aaf` idiom, base_factory.hpp:100-110), moderate above
+    spw_rounds: SpecLike = field(
+        default_factory=lambda: SpecOpt(2, (3,))
+    )
     # strength-of-connection threshold: edges weaker than theta * max-per-row
     # are never matched (cf. MIS `ecw` options mis_agg.hpp:15-60)
     theta: SpecLike = 0.08
@@ -202,6 +206,9 @@ class AMGOptions:
     energy: EnergyType = EnergyType.ALG
     # device compute dtype for the solve phase; setup runs f64 on host
     dtype: str = "float32"
+    # number of row shards the hierarchy should be divisible into
+    # (multi-chip: pads every level to a multiple of 8*shards rows)
+    shards: int = 1
     # log level (amg_pc.hpp:94-104 LOG_LEVEL_PC)
     log_level: int = 0
     # run the spectral self-test after setup (ngs_amg_do_test analog)

@@ -1,0 +1,127 @@
+"""Multi-chip sharding of the AMG hierarchy (jax.sharding / GSPMD).
+
+TPU-native replacement for the reference's MPI layer (SURVEY.md 2.1): the
+domain decomposition of `ParallelDofs`/EQC row ownership becomes *row
+sharding* of each level's block-ELL arrays over a 1-D device mesh; the
+DCC/halo exchanges of `HybridMatrix`/`DCCMap`
+(/root/reference/src/base/linalg/hybrid_matrix.hpp:28-144, dcc_map.hpp:20-134)
+become XLA collectives inserted by GSPMD from sharding annotations; the
+processor *contraction* on coarse levels (`GridContractMap`,
+grid_contract.cpp:20) becomes the REPLICATION of levels smaller than
+``replicate_below`` — coarse work is cheap and duplicating it removes all
+communication, exactly the effect NgsAMG gets by shrinking its communicator.
+
+Levels whose padded row count divides the mesh size are sharded row-wise;
+vectors inherit the row sharding through the jitted solve (gathers of x
+trigger all-gathers over ICI). An explicit ppermute-based halo-exchange
+SpMV for bandwidth-bound scaling lives in :mod:`ngsamg_tpu.parallel.halo`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solve.cycle import AMGOperator, DeviceLevel
+from ..smoothers.core import ChebyshevSmoother, GSSmoother, JacobiSmoother
+from ..sparse.bell import BlockELL
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _put(x, sharding):
+    return jax.device_put(x, sharding)
+
+
+def _shard_bell(A: BlockELL, mesh: Mesh, axis: str, shard: bool) -> BlockELL:
+    n = mesh.devices.size
+    row = (
+        NamedSharding(mesh, P(axis, None, None, None))
+        if shard
+        else NamedSharding(mesh, P())
+    )
+    rowc = (
+        NamedSharding(mesh, P(axis, None))
+        if shard
+        else NamedSharding(mesh, P())
+    )
+    return BlockELL(
+        data=_put(A.data, row),
+        cols=_put(A.cols, rowc),
+        nrows=A.nrows,
+        ncols=A.ncols,
+        nrows_pad=A.nrows_pad,
+    )
+
+
+def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
+    if sm is None:
+        return None
+    rows3 = (
+        NamedSharding(mesh, P(axis, None, None))
+        if shard
+        else NamedSharding(mesh, P())
+    )
+    repl = NamedSharding(mesh, P())
+    if isinstance(sm, JacobiSmoother):
+        return JacobiSmoother(
+            Dinv=_put(sm.Dinv, rows3), omega=sm.omega, steps=sm.steps
+        )
+    if isinstance(sm, ChebyshevSmoother):
+        return ChebyshevSmoother(
+            Dinv=_put(sm.Dinv, rows3),
+            lam_max=_put(sm.lam_max, repl),
+            lam_min=_put(sm.lam_min, repl),
+            order=sm.order,
+        )
+    if isinstance(sm, GSSmoother):
+        # color slices do not align with row shards; keep GS levels
+        # replicated (use l1-Jacobi/Chebyshev for sharded levels instead)
+        return GSSmoother(
+            Dinv=_put(sm.Dinv, repl),
+            color_bounds=sm.color_bounds,
+            steps=sm.steps,
+        )
+    raise TypeError(type(sm))
+
+
+def shard_operator(
+    op: AMGOperator,
+    A0: BlockELL,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    replicate_below: int = 4096,
+) -> tuple[AMGOperator, BlockELL]:
+    """Place the hierarchy on a device mesh: fine levels row-sharded,
+    coarse levels replicated (the contraction analog)."""
+    n = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+
+    def shardable(ell: BlockELL) -> bool:
+        return ell.nrows_pad % n == 0 and ell.nrows >= replicate_below
+
+    new_levels = []
+    for lev in op.levels:
+        sa = shardable(lev.A) and not isinstance(lev.smoother, GSSmoother)
+        A_s = _shard_bell(lev.A, mesh, axis, sa)
+        sm_s = _shard_smoother(lev.smoother, mesh, axis, sa)
+        P_s = R_s = None
+        if lev.P is not None:
+            # P rows live on this (fine) level; R rows on the coarse level
+            P_s = _shard_bell(lev.P, mesh, axis, sa)
+            R_s = _shard_bell(lev.R, mesh, axis, False)
+        new_levels.append(DeviceLevel(A=A_s, smoother=sm_s, P=P_s, R=R_s))
+    cinv = None if op.coarse_inv is None else _put(op.coarse_inv, repl)
+    op_s = AMGOperator(
+        levels=tuple(new_levels), coarse_inv=cinv, cycle=op.cycle
+    )
+    A0_s = new_levels[0].A
+    return op_s, A0_s

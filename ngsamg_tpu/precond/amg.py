@@ -90,6 +90,9 @@ class AMGPreconditioner:
                 raise ValueError(f"unknown energy '{energy}'")
         self.energy = energy
         self.dtype = jnp.dtype(self.options.dtype)
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            # explicit f64 request must not silently truncate to f32
+            jax.config.update("jax_enable_x64", True)
         self._is_setup = False
 
     # ------------------------------------------------------------------
@@ -116,6 +119,10 @@ class AMGPreconditioner:
             lmin, lmax = self.test()
             print(f"eigenvalue bounds of M^-1 A: [{lmin:.4g}, {lmax:.4g}]")
         return self
+
+    @property
+    def _row_align(self) -> int:
+        return ROW_ALIGN * max(int(self.options.shards), 1)
 
     def _compile_device(self):
         opts = self.options
@@ -153,7 +160,7 @@ class AMGPreconditioner:
                 A = A[scal_perms[i]][:, scal_perms[i]].tocsr()
             A_ell = bell.from_scipy(
                 A, lev.row_bs, lev.row_bs, dtype=self.dtype,
-                row_align=ROW_ALIGN,
+                row_align=self._row_align,
             )
             is_coarsest = i == nlev - 1
             need_smoother = (not is_coarsest) or (
@@ -177,14 +184,14 @@ class AMGPreconditioner:
                     P = P[:, scal_perms[i + 1]]
                 P = P.tobsr(blocksize=(lev.row_bs, dpv))
                 P_ell = bell.from_scipy(
-                    P, lev.row_bs, dpv, dtype=self.dtype, row_align=ROW_ALIGN
+                    P, lev.row_bs, dpv, dtype=self.dtype, row_align=self._row_align
                 )
                 R_ell = bell.from_scipy(
                     P.T.tobsr(blocksize=(dpv, lev.row_bs)),
                     dpv,
                     lev.row_bs,
                     dtype=self.dtype,
-                    row_align=ROW_ALIGN,
+                    row_align=self._row_align,
                 )
             dev_levels.append(
                 DeviceLevel(A=A_ell, smoother=sm, P=P_ell, R=R_ell)
