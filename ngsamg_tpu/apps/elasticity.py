@@ -86,18 +86,28 @@ class ElasticityEnergy(Energy):
 
     # -- finest-level mesh -------------------------------------------------
     def build_finest_mesh(self, A, coords=None) -> AlgebraicMesh:
+        """Topology + edge matrices from the assembled matrix.
+
+        Edge matrix = |t^T (-A_ij) t| * (t (x) t) embedded in the DPV space
+        (rank-1 tangential stiffness; the reference's `CalcEdgeWeights`,
+        elasticity_pc_impl.hpp:226-260), plus the scalar weight used by the
+        approximate SOC. Coarse levels accumulate transported full matrices.
+        """
         if coords is None:
             raise ValueError("elasticity needs vertex coordinates")
-        dim = self.dim
+        dim, dpv = self.dim, self.dpv
         B = to_bsr(A, dim)
         nv = B.shape[0] // dim
         if len(coords) != nv:
             raise ValueError(
                 f"coords rows {len(coords)} != vertices {nv}"
             )
+        pos = np.asarray(coords, dtype=np.float64)
         # scalar connectivity: Frobenius norms of displacement blocks
         norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
-        W = sp.csr_matrix((norms, B.indices, B.indptr), shape=(nv, nv))
+        W = sp.csr_matrix(
+            (norms, B.indices.copy(), B.indptr.copy()), shape=(nv, nv)
+        )
         diag = W.diagonal().copy()
         W.setdiag(0.0)
         W.eliminate_zeros()
@@ -106,6 +116,27 @@ class ElasticityEnergy(Energy):
             nv=nv,
             edges=np.stack([U.row, U.col], axis=1).astype(np.int64),
         )
+        # off-diagonal displacement blocks for the edges (vectorized lookup)
+        rows_all = np.repeat(np.arange(nv), np.diff(B.indptr))
+        upper = rows_all < B.indices
+        blk_i, blk_j = rows_all[upper], B.indices[upper]
+        blocks = B.data[upper].astype(np.float64)
+        # the triu COO above and this BSR walk enumerate the same edges;
+        # align by (i, j) sort order
+        order_u = np.lexsort((mesh.edges[:, 1], mesh.edges[:, 0]))
+        order_b = np.lexsort((blk_j, blk_i))
+        inv = np.empty_like(order_u)
+        inv[order_u] = np.arange(len(order_u))
+        blocks = blocks[order_b][inv]  # aligned with mesh.edges
+        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        t = pos[j] - pos[i]
+        t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-300)
+        fac = np.abs(np.einsum("ei,eij,ej->e", t, -blocks, t))
+        emat = np.zeros((mesh.ne, dpv, dpv))
+        emat[:, :dim, :dim] = fac[:, None, None] * np.einsum(
+            "ei,ej->eij", t, t
+        )
+        mesh.edge_data["mat"] = emat
         mesh.edge_data["wt"] = U.data.copy()
         # vertex weight: excess of diagonal over incident couplings — the
         # Dirichlet/L2 part (same construction as H1; near the clamped
@@ -138,15 +169,7 @@ class ElasticityEnergy(Energy):
         nv, dpv = mesh.nv, self.dpv
         pos = mesh.vertex_data["pos"]
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
-        w = mesh.edge_data["wt"]
-        mid = 0.5 * (pos[i] + pos[j])
-        Qim = self.transport(pos[i], mid)
-        Qjm = self.transport(pos[j], mid)
-        wQi = w[:, None, None] * Qim
-        Bii = np.einsum("eki,ekj->eij", Qim, wQi)
-        Bjj = np.einsum("eki,ekj->eij", Qjm, w[:, None, None] * Qjm)
-        Bij = -np.einsum("eki,ekj->eij", Qim, w[:, None, None] * Qjm)
-        Bji = np.transpose(Bij, (0, 2, 1))
+        Bii, Bij, Bji, Bjj = self._edge_rm_blocks(mesh)
 
         ne = mesh.ne
         rows = np.concatenate([i, j, i, j, np.arange(nv)])
@@ -172,21 +195,138 @@ class ElasticityEnergy(Energy):
             shape=(nv * dpv, nv * dpv),
         )
 
+    def _edge_rm_blocks(self, mesh: AlgebraicMesh):
+        """Replacement-matrix blocks of every edge (CalcRMBlockImpl):
+
+        [ Qim^T E Qim   -Qim^T E Qjm ]
+        [ -Qjm^T E Qim   Qjm^T E Qjm ]   with E the edge matrix at the
+        midpoint frame and Qim/Qjm the half transports.
+        """
+        pos = mesh.vertex_data["pos"]
+        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        E = mesh.edge_data["mat"]
+        mid = 0.5 * (pos[i] + pos[j])
+        Qim = self.transport(pos[i], mid)
+        Qjm = self.transport(pos[j], mid)
+        EQi = np.einsum("ekl,eli->eki", E, Qim)
+        EQj = np.einsum("ekl,eli->eki", E, Qjm)
+        Bii = np.einsum("eki,ekj->eij", Qim, EQi)
+        Bjj = np.einsum("eki,ekj->eij", Qjm, EQj)
+        Bij = -np.einsum("eki,ekj->eij", Qim, EQj)
+        Bji = np.transpose(Bij, (0, 2, 1))
+        return Bii, Bij, Bji, Bjj
+
+    def aux_diagonal(self, mesh: AlgebraicMesh) -> np.ndarray:
+        """(nv, dpv, dpv) diagonal of the replacement matrix."""
+        nv, dpv = mesh.nv, self.dpv
+        Bii, _Bij, _Bji, Bjj = self._edge_rm_blocks(mesh)
+        D = np.zeros((nv, dpv, dpv))
+        np.add.at(D, mesh.edges[:, 0], Bii)
+        np.add.at(D, mesh.edges[:, 1], Bjj)
+        idx = np.arange(self.dim)
+        D[:, idx, idx] += mesh.vertex_data["l2wt"][:, None]
+        return D
+
+    def soc_robust(self, mesh: AlgebraicMesh, reduction="max") -> np.ndarray:
+        """Robust strength via batched generalized EVPs.
+
+        Re-creates `CalcRobustPairSOC` + `PrepRobSOC`
+        (agglomerator_utils.hpp:764-885): per edge, E = edge matrix (at the
+        midpoint frame), C = harmonic mean d_i (d_i + d_j)^+ d_j of the
+        transported aux diagonals; strength = the extreme eigenvalue of the
+        pencil (E, C) restricted to range(C). All edges solve as one batched
+        eigendecomposition (numpy LAPACK; the MXU-batched device variant
+        lives in ngsamg_tpu.ops.batched_la).
+
+        Deviation: the default reduction is "max" — the finest-level edge
+        matrices are rank-1 tangential projections, for which the
+        reference's min-eigenvalue is identically zero unless its
+        neighbor-boost accumulation is active; the max eigenvalue measures
+        the tangential-stiffness-to-diagonal ratio and reduces to the
+        scalar SOC for H1. Pass reduction="min" for the strict behavior.
+        """
+        pos = mesh.vertex_data["pos"]
+        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        E = mesh.edge_data["mat"]
+        D = self.aux_diagonal(mesh)
+        mid = 0.5 * (pos[i] + pos[j])
+        Qmi = self.transport(mid, pos[i])  # coeff at m -> coeff at i
+        Qmj = self.transport(mid, pos[j])
+        di = np.einsum("eki,ekl,elj->eij", Qmi, D[i], Qmi)
+        dj = np.einsum("eki,ekl,elj->eij", Qmj, D[j], Qmj)
+        dsum_inv = np.linalg.pinv(di + dj, rcond=1e-12, hermitian=True)
+        C = np.einsum("eik,ekl,elj->eij", di, dsum_inv, dj)
+        C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
+        return _pencil_extreme_eig(E, C, reduction=reduction)
+
     # -- coarse data mapping ----------------------------------------------
     def map_data(self, mesh, v2agg, n_agg, coarse_edges, e2ce):
+        """Coarse mesh with Q-transported summed edge matrices.
+
+        Coarse edge matrix = sum over mapped fine edges of
+        Q(m_f -> m_c)^T E_f Q(m_f -> m_c) — the transported energy
+        accumulation of the reference's elasticity map_data.
+        """
         cmesh = AlgebraicMesh(nv=n_agg, edges=coarse_edges)
-        wt = np.zeros(len(coarse_edges))
-        m = e2ce >= 0
-        np.add.at(wt, e2ce[m], mesh.edge_data["wt"][m])
-        cmesh.edge_data["wt"] = wt
-        l2 = np.zeros(n_agg)
         act = v2agg >= 0
-        np.add.at(l2, v2agg[act], mesh.vertex_data["l2wt"][act])
-        cmesh.vertex_data["l2wt"] = l2
+        # coarse positions first (needed for transports)
         pos = mesh.vertex_data["pos"]
         cpos = np.zeros((n_agg, pos.shape[1]))
         cnt = np.zeros(n_agg)
         np.add.at(cpos, v2agg[act], pos[act])
         np.add.at(cnt, v2agg[act], 1.0)
-        cmesh.vertex_data["pos"] = cpos / np.maximum(cnt, 1.0)[:, None]
+        cpos /= np.maximum(cnt, 1.0)[:, None]
+        cmesh.vertex_data["pos"] = cpos
+
+        m = e2ce >= 0
+        wt = np.zeros(len(coarse_edges))
+        np.add.at(wt, e2ce[m], mesh.edge_data["wt"][m])
+        cmesh.edge_data["wt"] = wt
+
+        dpv = self.dpv
+        Ec = np.zeros((len(coarse_edges), dpv, dpv))
+        if m.any():
+            fi, fj = mesh.edges[m, 0], mesh.edges[m, 1]
+            mid_f = 0.5 * (pos[fi] + pos[fj])
+            ce = e2ce[m]
+            mid_c = 0.5 * (cpos[coarse_edges[ce, 0]] + cpos[coarse_edges[ce, 1]])
+            Q = self.transport(mid_c, mid_f)  # coeff at m_c -> coeff at m_f
+            Ef = mesh.edge_data["mat"][m]
+            Et = np.einsum("eki,ekl,elj->eij", Q, Ef, Q)
+            np.add.at(Ec, ce, Et)
+        cmesh.edge_data["mat"] = Ec
+
+        l2 = np.zeros(n_agg)
+        np.add.at(l2, v2agg[act], mesh.vertex_data["l2wt"][act])
+        cmesh.vertex_data["l2wt"] = l2
         return cmesh
+
+
+def _pencil_extreme_eig(E, C, reduction="min", tol=1e-10):
+    """Batched extreme eigenvalue of pencil (E, C) restricted to range(C).
+
+    Vectorized version of `CalcRobustPairSOC`: eigendecompose C, scale the
+    above-threshold eigvecs by 1/sqrt(lam), form W^T E W, and take the
+    min (or max) eigenvalue; null directions of C get a +/-inf sentinel on
+    the diagonal so they never win.
+    """
+    lam, V = np.linalg.eigh(C)
+    lam_max = np.maximum(lam[:, -1:], 1e-300)
+    ok = lam > tol * lam_max
+    isq = np.where(ok, 1.0 / np.sqrt(np.where(ok, lam, 1.0)), 0.0)
+    W = V * isq[:, None, :]
+    M = np.einsum("eki,ekl,elj->eij", W, E, W)
+    big = 1e30 if reduction == "min" else -1e30
+    n = E.shape[-1]
+    idx = np.arange(n)
+    M = M.copy()
+    M[:, idx, idx] += np.where(ok, 0.0, big)
+    ev = np.linalg.eigvalsh(M)
+    if reduction == "min":
+        out = ev[:, 0]
+    else:
+        out = ev[:, -1]
+    # edges whose C is entirely null carry no information
+    allnull = ~ok.any(axis=1)
+    out = np.where(allnull, 0.0, out)
+    return np.maximum(out, 0.0)

@@ -82,7 +82,8 @@ def build_coarse_map(
     if algo == CoarsenType.PLATE:
         pos = energy.vertex_positions(mesh)
         return pairwise.plate_test_aggregate(pos)
-    soc = energy.soc(mesh)
+    robust = bool(c.robust.get(level)) and hasattr(energy, "soc_robust")
+    soc = energy.soc_robust(mesh) if robust else energy.soc(mesh)
     S = mesh.edge_graph(weights=soc)
     if algo == CoarsenType.MIS:
         from ..coarsen.mis import mis_aggregate

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..solve.cycle import AMGOperator, DeviceLevel
 from ..smoothers.core import ChebyshevSmoother, GSSmoother, JacobiSmoother
 from ..sparse.bell import BlockELL
+from ..sparse.formats import DenseMatrix, DiaMatrix, SupernodeELL
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
@@ -41,7 +42,6 @@ def _put(x, sharding):
 
 
 def _shard_bell(A: BlockELL, mesh: Mesh, axis: str, shard: bool) -> BlockELL:
-    n = mesh.devices.size
     row = (
         NamedSharding(mesh, P(axis, None, None, None))
         if shard
@@ -59,6 +59,37 @@ def _shard_bell(A: BlockELL, mesh: Mesh, axis: str, shard: bool) -> BlockELL:
         ncols=A.ncols,
         nrows_pad=A.nrows_pad,
     )
+
+
+def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
+    """Place any level operator format on the mesh (rows sharded or repl)."""
+    repl = NamedSharding(mesh, P())
+    if isinstance(A, BlockELL):
+        return _shard_bell(A, mesh, axis, shard)
+    if isinstance(A, SupernodeELL):
+        return SupernodeELL(
+            inner=_shard_bell(A.inner, mesh, axis, shard),
+            nrows=A.nrows,
+            nrows_pad=A.nrows_pad,
+            tile_r=A.tile_r,
+            tile_c=A.tile_c,
+        )
+    if isinstance(A, DiaMatrix):
+        sh = NamedSharding(mesh, P(None, axis)) if shard else repl
+        return DiaMatrix(
+            data=_put(A.data, sh),
+            offsets=A.offsets,
+            nrows=A.nrows,
+            nrows_pad=A.nrows_pad,
+        )
+    if isinstance(A, DenseMatrix):
+        return DenseMatrix(
+            data=_put(A.data, repl),
+            nrows=A.nrows,
+            nrows_pad=A.nrows_pad,
+            bs=A.bs,
+        )
+    raise TypeError(type(A))
 
 
 def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
@@ -105,19 +136,21 @@ def shard_operator(
     n = mesh.devices.size
     repl = NamedSharding(mesh, P())
 
-    def shardable(ell: BlockELL) -> bool:
-        return ell.nrows_pad % n == 0 and ell.nrows >= replicate_below
+    def shardable(fmt) -> bool:
+        if isinstance(fmt, DenseMatrix):
+            return False
+        return fmt.nrows_pad % n == 0 and fmt.nrows >= replicate_below
 
     new_levels = []
     for lev in op.levels:
         sa = shardable(lev.A) and not isinstance(lev.smoother, GSSmoother)
-        A_s = _shard_bell(lev.A, mesh, axis, sa)
+        A_s = _shard_mat(lev.A, mesh, axis, sa)
         sm_s = _shard_smoother(lev.smoother, mesh, axis, sa)
         P_s = R_s = None
         if lev.P is not None:
             # P rows live on this (fine) level; R rows on the coarse level
-            P_s = _shard_bell(lev.P, mesh, axis, sa)
-            R_s = _shard_bell(lev.R, mesh, axis, False)
+            P_s = _shard_mat(lev.P, mesh, axis, sa)
+            R_s = _shard_mat(lev.R, mesh, axis, False)
         new_levels.append(DeviceLevel(A=A_s, smoother=sm_s, P=P_s, R=R_s))
     cinv = None if op.coarse_inv is None else _put(op.coarse_inv, repl)
     op_s = AMGOperator(

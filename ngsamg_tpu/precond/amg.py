@@ -34,9 +34,21 @@ from ..factory.levels import FactoryLog, SetupLevel, setup_levels
 from ..smoothers.build import build_smoother, plan_row_order
 from ..solve.cycle import AMGOperator, DeviceLevel, amg_apply
 from ..solve.pcg import SolveResult, pcg
-from ..sparse import bell
+from ..sparse import bell, formats
 
 ROW_ALIGN = 8
+
+
+def _block_pad(fmt, bs: int) -> int:
+    """Padded block-row count of a level operator (smoother sizing)."""
+    return fmt.nrows_pad
+
+
+def _scalar_pad(fmt, bs: int) -> int:
+    """Padded scalar length of a level's vectors."""
+    if isinstance(fmt, (formats.DiaMatrix, formats.SupernodeELL)):
+        return fmt.nrows_pad  # scalar units (bs == 1 formats)
+    return fmt.nrows_pad * bs
 
 
 @dataclass
@@ -152,29 +164,45 @@ class AMGPreconditioner:
             None if self._perm0 is None else np.argsort(self._perm0)
         )
 
-        # 2) build device levels in the permuted ordering
-        dev_levels = []
+        # 2) pick a TPU format per level and build the operators + smoothers
+        # in the (possibly color-permuted) ordering. GS levels must stay in
+        # block-ELL (the colored sweep slices its data/cols directly);
+        # everything else goes through the format chooser (DIA for
+        # stencil-like levels, supernoded ELL for unstructured scalar
+        # levels, dense MXU matvec for small coarse levels).
+        A_fmts, A_perm, sms = [], [], []
         for i, lev in enumerate(self.setup_levels_):
             A = lev.A
             if scal_perms[i] is not None:
                 A = A[scal_perms[i]][:, scal_perms[i]].tocsr()
-            A_ell = bell.from_scipy(
-                A, lev.row_bs, lev.row_bs, dtype=self.dtype,
-                row_align=self._row_align,
-            )
+            A_perm.append(A)
+            if bounds[i] is not None:  # GS level
+                A_fmt = bell.from_scipy(
+                    A, lev.row_bs, lev.row_bs, dtype=self.dtype,
+                    row_align=self._row_align, stage=True,
+                )
+            else:
+                A_fmt = formats.choose_format(
+                    A, lev.row_bs, self.dtype, self._row_align, stage=True
+                )
+            A_fmts.append(A_fmt)
             is_coarsest = i == nlev - 1
             need_smoother = (not is_coarsest) or (
                 opts.coarse_solve != CoarseSolveType.INV
             )
-            sm = (
+            sms.append(
                 build_smoother(
-                    A, lev.row_bs, opts.smoother, i, A_ell.nrows_pad,
-                    self.dtype, color_bounds=bounds[i],
+                    A, lev.row_bs, opts.smoother, i,
+                    _block_pad(A_fmt, lev.row_bs), self.dtype,
+                    color_bounds=bounds[i],
                 )
                 if need_smoother
                 else None
             )
-            P_ell = R_ell = None
+
+        dev_levels = []
+        for i, lev in enumerate(self.setup_levels_):
+            P_fmt = R_fmt = None
             if lev.P is not None:
                 dpv = self.energy.dpv
                 P = lev.P.tocsr()
@@ -182,30 +210,52 @@ class AMGPreconditioner:
                     P = P[scal_perms[i]]
                 if scal_perms[i + 1] is not None:
                     P = P[:, scal_perms[i + 1]]
-                P = P.tobsr(blocksize=(lev.row_bs, dpv))
-                P_ell = bell.from_scipy(
-                    P, lev.row_bs, dpv, dtype=self.dtype, row_align=self._row_align
+                nf_pad = _scalar_pad(A_fmts[i], lev.row_bs)
+                nc_pad = _scalar_pad(
+                    A_fmts[i + 1], self.setup_levels_[i + 1].row_bs
                 )
-                R_ell = bell.from_scipy(
-                    P.T.tobsr(blocksize=(dpv, lev.row_bs)),
-                    dpv,
-                    lev.row_bs,
-                    dtype=self.dtype,
-                    row_align=self._row_align,
-                )
+                if lev.row_bs == 1 and dpv == 1:
+                    # scalar transfers: supernode (wide gathers + MXU tiles)
+                    P_fmt = formats.supernode_from_scipy(
+                        P, self.dtype, tile=8, nr_pad=nf_pad,
+                        nc_pad=nc_pad, stage=True,
+                    )
+                    R_fmt = formats.supernode_from_scipy(
+                        P.T.tocsr(), self.dtype, tile=8, nr_pad=nc_pad,
+                        nc_pad=nf_pad, stage=True,
+                    )
+                else:
+                    Pb = P.tobsr(blocksize=(lev.row_bs, dpv))
+                    P_fmt = bell.from_scipy(
+                        Pb, lev.row_bs, dpv, dtype=self.dtype,
+                        row_align=self._row_align, stage=True,
+                    )
+                    R_fmt = bell.from_scipy(
+                        Pb.T.tobsr(blocksize=(dpv, lev.row_bs)),
+                        dpv,
+                        lev.row_bs,
+                        dtype=self.dtype,
+                        row_align=self._row_align,
+                        stage=True,
+                    )
             dev_levels.append(
-                DeviceLevel(A=A_ell, smoother=sm, P=P_ell, R=R_ell)
+                DeviceLevel(
+                    A=A_fmts[i], smoother=sms[i], P=P_fmt, R=R_fmt
+                )
             )
         self._coarsest_perm = scal_perms[-1]
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
             coarse_inv = self._build_coarse_inv(dev_levels[-1])
-        self.op = AMGOperator(
+        # single batched transfer of the whole hierarchy (remote-TPU
+        # tunnels pay a round trip per individual device_put)
+        op_host = AMGOperator(
             levels=tuple(dev_levels),
             coarse_inv=coarse_inv,
             cycle=opts.cycle.value,
         )
-        self.A_dev = dev_levels[0].A
+        self.op = jax.device_put(op_host)
+        self.A_dev = self.op.levels[0].A
 
     def _build_coarse_inv(self, dev_coarsest: DeviceLevel):
         """Dense pseudo-inverse of the coarsest matrix (CoarseLevelInv).
@@ -217,10 +267,10 @@ class AMGPreconditioner:
         lev = self.setup_levels_[-1]
         Ad = lev.A.toarray()
         inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
-        npad = dev_coarsest.A.nrows_pad * lev.row_bs
-        out = np.zeros((npad, npad))
+        npad = _scalar_pad(dev_coarsest.A, lev.row_bs)
+        out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
         out[: inv.shape[0], : inv.shape[1]] = inv
-        return jnp.asarray(out, dtype=self.dtype)
+        return out
 
     # ------------------------------------------------------------------
     # apply / solve

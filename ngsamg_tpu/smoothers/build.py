@@ -97,9 +97,11 @@ def build_smoother(
     steps = int(opts.steps.get(level))
 
     def pad_blocks(B):
-        out = np.zeros((nrows_pad, bs, bs))
+        """Numpy staging: the caller ships the whole smoother pytree with
+        one device_put (remote-TPU transfers pay per-call round trips)."""
+        out = np.zeros((nrows_pad, bs, bs), dtype=np.dtype(dtype))
         out[:nv] = B
-        return jnp.asarray(out, dtype=dtype)
+        return out
 
     if kind == SmootherType.JACOBI:
         Dinv = _pinv_blocks(D)
@@ -121,8 +123,8 @@ def build_smoother(
         lam_min = float(opts.cheby_lower.get(level)) * lam_max
         return ChebyshevSmoother(
             Dinv=pad_blocks(Dinv),
-            lam_max=jnp.asarray(lam_max, dtype=dtype),
-            lam_min=jnp.asarray(lam_min, dtype=dtype),
+            lam_max=np.asarray(lam_max, dtype=np.dtype(dtype)),
+            lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
             order=int(opts.cheby_order.get(level)),
         )
     if kind == SmootherType.GS:

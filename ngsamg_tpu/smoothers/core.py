@@ -26,7 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..sparse.bell import BlockELL, spmv, spmv_rows
+from ..sparse.bell import BlockELL, spmv_rows
+from ..sparse.formats import matvec
 
 
 def _block_mul(Dinv: jax.Array, r: jax.Array) -> jax.Array:
@@ -115,7 +116,7 @@ def _jacobi(sm: JacobiSmoother, A, x, b):
         x = sm.omega * _block_mul(sm.Dinv, b)
         steps -= 1
     for _ in range(steps):
-        r = b - spmv(A, x)
+        r = b - matvec(A, x)
         x = x + sm.omega * _block_mul(sm.Dinv, r)
     return x
 
@@ -160,11 +161,11 @@ def _chebyshev(sm: ChebyshevSmoother, A, x, b):
         r = b
         x = jnp.zeros_like(b)
     else:
-        r = b - spmv(A, x)
+        r = b - matvec(A, x)
     d = _block_mul(sm.Dinv, r) / theta
     for _ in range(sm.order - 1):
         x = x + d
-        r = r - spmv(A, d)
+        r = r - matvec(A, d)
         rho_new = 1.0 / (2.0 * sigma - rho)
         d = (rho_new * rho) * d + (2.0 * rho_new / delta) * _block_mul(
             sm.Dinv, r

@@ -22,7 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..sparse.bell import BlockELL, spmv
+from ..sparse.bell import BlockELL
+from ..sparse.formats import matvec
 from ..smoothers.core import Smoother, smooth, smooth_back
 
 
@@ -35,10 +36,10 @@ from ..smoothers.core import Smoother, smooth, smooth_back
 class DeviceLevel:
     """One AMG level on device (the reference's `AMGLevel` capsule)."""
 
-    A: BlockELL
+    A: object  # BlockELL | DiaMatrix | SupernodeELL | DenseMatrix
     smoother: Smoother | None
-    P: BlockELL | None  # prolongation: next-coarser -> this level
-    R: BlockELL | None  # restriction (P^T stored row-wise by coarse rows)
+    P: object | None  # prolongation: next-coarser -> this level
+    R: object | None  # restriction (P^T stored row-wise by coarse rows)
 
 
 @partial(
@@ -76,13 +77,13 @@ def _cycle(op: AMGOperator, b: jax.Array, l: int) -> jax.Array:
         return coarse_solve(op, b)
     lev = levels[l]
     x = smooth(lev.smoother, lev.A, None, b)
-    r = b - spmv(lev.A, x)
-    bc = spmv(lev.R, r)
+    r = b - matvec(lev.A, x)
+    bc = matvec(lev.R, r)
     xc = _cycle(op, bc, l + 1)
     if op.cycle == "W" and l + 1 < len(levels) - 1:
-        rc = bc - spmv(levels[l + 1].A, xc)
+        rc = bc - matvec(levels[l + 1].A, xc)
         xc = xc + _cycle(op, rc, l + 1)
-    x = x + spmv(lev.P, xc)
+    x = x + matvec(lev.P, xc)
     x = smooth_back(lev.smoother, lev.A, x, b)
     return x
 
@@ -102,5 +103,5 @@ def _bs_cycle(op: AMGOperator, b: jax.Array) -> jax.Array:
     back up. Here: one extra full-depth correction pass.
     """
     x = _cycle(op, b, 0)
-    r = b - spmv(op.levels[0].A, x)
+    r = b - matvec(op.levels[0].A, x)
     return x + _cycle(op, r, 0)

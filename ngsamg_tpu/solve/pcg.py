@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.bell import BlockELL, spmv
+from ..sparse.bell import BlockELL
+from ..sparse.formats import matvec
 from .cycle import AMGOperator, amg_apply
 
 
@@ -35,12 +36,16 @@ def default_chunk() -> int:
     """Iterations per device dispatch.
 
     The axon remote-TPU platform deadlocks on gathers inside fori_loop
-    bodies, so there each dispatch runs exactly one (loop-free) iteration;
-    other backends batch iterations to amortize dispatch latency.
+    bodies, so there chunks are python-unrolled straight-line graphs (see
+    `_pcg_chunk`); other backends use fori chunks.
     """
     if "axon" in str(jax.config.jax_platforms or ""):
-        return 1
+        return 4  # unrolled: 4x fewer tunnel round trips per residual check
     return 16
+
+
+def _is_axon() -> bool:
+    return "axon" in str(jax.config.jax_platforms or "")
 
 
 def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -81,7 +86,7 @@ def _pcg_chunk(
             first, 0.0, rz / jnp.where(rz_prev == 0, eps, rz_prev)
         )
         p_new = z + beta * p
-        q = spmv(A, p_new)
+        q = matvec(A, p_new)
         pq = _dot(p_new, q)
         ok = active & (pq > 0) & (jnp.abs(rz) > 0)
         alpha = jnp.where(ok, rz / jnp.where(pq == 0, eps, pq), 0.0)
@@ -95,6 +100,11 @@ def _pcg_chunk(
 
     if chunk == 1:
         return body(0, state)
+    if _is_axon():
+        # unrolled straight-line graph: gathers inside fori deadlock there
+        for i in range(chunk):
+            state = body(i, state)
+        return state
     return jax.lax.fori_loop(0, chunk, body, state)
 
 
@@ -121,11 +131,19 @@ def pcg(
     tol_abs2 = jnp.asarray(tol * tol * bnorm2, b.dtype)
     state = _pcg_init(b)
     done = 0
-    # always run full-size chunks (single compilation); converged state is
-    # frozen so overshooting maxiter by a partial chunk is harmless
+    # Chunks are dispatched speculatively and the residual scalar is read
+    # only every `sync_every` chunks: on remote-TPU tunnels a device->host
+    # sync costs ~20x an async dependent dispatch, and the converged state
+    # freezes, so over-dispatching wastes only cheap device cycles.
+    sync_every = 4 if _is_axon() else 1
+    pending = 0
     while done < maxiter:
         state = _pcg_chunk(op, A, state, tol_abs2, chunk=chunk)
         done += chunk
+        pending += 1
+        if pending < sync_every and done < maxiter:
+            continue
+        pending = 0
         rn = float(state[4])
         if not np.isfinite(rn) or rn <= float(tol_abs2):
             break
@@ -175,7 +193,7 @@ def _si_chunk(op, A, state, tol_abs2, chunk: int = 16):
         x, r, rn, k = s
         active = rn > tol_abs2
         x_new = x + amg_apply(op, r)
-        r_new = r - spmv(A, x_new - x)
+        r_new = r - matvec(A, x_new - x)
         x = jnp.where(active, x_new, x)
         r = jnp.where(active, r_new, r)
         rn = jnp.where(active, _dot(r, r), rn)
@@ -184,4 +202,8 @@ def _si_chunk(op, A, state, tol_abs2, chunk: int = 16):
 
     if chunk == 1:
         return body(0, state)
+    if _is_axon():
+        for i in range(chunk):
+            state = body(i, state)
+        return state
     return jax.lax.fori_loop(0, chunk, body, state)

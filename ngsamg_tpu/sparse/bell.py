@@ -67,8 +67,14 @@ def from_scipy(
     dtype=jnp.float32,
     row_align: int = 8,
     width: int | None = None,
+    stage: bool = False,
 ) -> BlockELL:
-    """Build a device BlockELL from a host scipy matrix."""
+    """Build a BlockELL from a host scipy matrix.
+
+    ``stage=True`` keeps numpy leaves (host staging) so a whole hierarchy
+    can be shipped with ONE `jax.device_put` — on remote-TPU tunnels each
+    individual transfer pays a round trip.
+    """
     data, cols = _host.pad_to_ell(A, bs_r, bs_c, width=width)
     n = data.shape[0]
     n_pad = -(-n // row_align) * row_align
@@ -79,9 +85,13 @@ def from_scipy(
         )
         cols = np.concatenate([cols, np.zeros((pad, cols.shape[1]), cols.dtype)])
     ncols = A.shape[1] // bs_c
+    data = np.asarray(data, dtype=np.dtype(dtype))
+    cols = np.asarray(cols, dtype=np.int32)
+    if not stage:
+        data, cols = jnp.asarray(data), jnp.asarray(cols)
     return BlockELL(
-        data=jnp.asarray(data, dtype=dtype),
-        cols=jnp.asarray(cols),
+        data=data,
+        cols=cols,
         nrows=n,
         ncols=ncols,
         nrows_pad=n_pad,

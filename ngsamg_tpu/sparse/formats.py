@@ -1,0 +1,253 @@
+"""TPU-native sparse matrix formats + the `matvec` dispatch.
+
+XLA's general gather is extremely slow on TPU (measured ~8 ns per gathered
+element through the ELL path — three orders of magnitude under HBM
+bandwidth), so the solve phase picks a per-level format that avoids or
+amortizes gathers:
+
+* :class:`DiaMatrix` — diagonal storage. y = sum_d diag_d * shift(x, off_d):
+  every term is a contiguous static slice + FMA on the VPU; zero gathers.
+  Optimal for the (natural-ordered) finest FEM level, whose stencil has a
+  few dozen distinct offsets. The reference's scalar CSR SpMV plays this
+  role on CPU (utils_sparseMM.hpp).
+* :class:`BlockELL` (bell.py) — padded block-ELL; gathers block rows of x.
+  For scalar (bs=1) unstructured levels the rows are *supernoded* into
+  8x8 tiles first (scipy BSR regrouping), cutting gather count 64x and
+  feeding the MXU with small dense blocks — the TPU analog of the
+  reference's `DynBlockSparseMatrix` row-fusion idea (dyn_block.hpp:109).
+* :class:`DenseMatrix` — replicated dense matvec on the MXU for small
+  coarse levels (the reference's coarse direct-solve regime).
+
+`matvec(A, x)` dispatches on the static pytree type inside jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .bell import BlockELL, spmv as _bell_spmv
+from . import bell as _bell
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "nrows", "nrows_pad"],
+)
+@dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal-storage sparse matrix (square, scalar entries).
+
+    data[d, i] = A[i, i + offsets[d]] (zero where out of range); the row
+    dimension is padded to ``nrows_pad``. Vectors are (nrows_pad, 1) block
+    vectors like everywhere else.
+    """
+
+    data: jax.Array  # (ndiag, nrows_pad)
+    offsets: tuple  # static ints, ascending
+    nrows: int
+    nrows_pad: int
+
+    @property
+    def shape(self):
+        return self.nrows, self.nrows
+
+    def __matmul__(self, x):
+        return matvec(self, x)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["nrows", "nrows_pad", "bs"],
+)
+@dataclass(frozen=True)
+class DenseMatrix:
+    """Dense square matrix acting on (nrows_pad, bs) block vectors."""
+
+    data: jax.Array  # (nrows_pad*bs, nrows_pad*bs)
+    nrows: int  # logical block rows
+    nrows_pad: int
+    bs: int
+
+    def __matmul__(self, x):
+        return matvec(self, x)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["inner"],
+    meta_fields=["nrows", "nrows_pad", "tile_r", "tile_c"],
+)
+@dataclass(frozen=True)
+class SupernodeELL:
+    """Scalar matrix regrouped into (tile_r x tile_c) dense tiles (ELL).
+
+    Wraps a BlockELL whose "block size" is the supernode tile; matvec
+    reshapes the (n_pad, 1) scalar block vector into tile_c-wide tiles,
+    applies the tiled SpMV (few, wide gathers + MXU-friendly small
+    matmuls), and reshapes back. Works for square operators and
+    rectangular transfers; scalar (bs = 1) operators only.
+    """
+
+    inner: BlockELL
+    nrows: int  # logical scalar rows
+    nrows_pad: int  # padded scalar rows (output vector length)
+    tile_r: int
+    tile_c: int
+
+    def __matmul__(self, x):
+        return matvec(self, x)
+
+
+def matvec(A, x: jax.Array) -> jax.Array:
+    """y = A @ x for any device sparse/dense format; x: (nrows_pad, bs)."""
+    if isinstance(A, BlockELL):
+        return _bell_spmv(A, x)
+    if isinstance(A, DiaMatrix):
+        return _dia_matvec(A, x)
+    if isinstance(A, DenseMatrix):
+        n, bs = x.shape
+        y = jnp.dot(
+            A.data, x.reshape(-1), preferred_element_type=A.data.dtype
+        )
+        return y.reshape(n, bs)
+    if isinstance(A, SupernodeELL):
+        xt = x.reshape(-1, A.tile_c)
+        yt = _bell_spmv(A.inner, xt)
+        return yt.reshape(-1, 1)
+    raise TypeError(type(A))
+
+
+def _dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """Shift-and-FMA: one fused VPU loop, no gathers."""
+    n = A.nrows_pad
+    xf = x[:, 0]
+    lo = -min(A.offsets[0], 0)
+    hi = max(A.offsets[-1], 0)
+    xp = jnp.pad(xf, (lo, hi))
+    y = jnp.zeros_like(xf)
+    for d, off in enumerate(A.offsets):
+        y = y + A.data[d] * jax.lax.dynamic_slice_in_dim(xp, lo + off, n)
+    return y[:, None]
+
+
+# ---------------------------------------------------------------------------
+# host-side construction / format selection
+# ---------------------------------------------------------------------------
+
+
+def dia_from_scipy(
+    A: sp.spmatrix, dtype, row_align: int = 8, stage: bool = False
+) -> DiaMatrix:
+    C = A.tocsr()
+    n = C.shape[0]
+    n_pad = -(-n // row_align) * row_align
+    coo = C.tocoo()
+    offs = np.unique(coo.col - coo.row)
+    data = np.zeros((len(offs), n_pad), dtype=np.dtype(dtype))
+    pos = np.searchsorted(offs, coo.col - coo.row)
+    data[pos, coo.row] = coo.data
+    arr = data if stage else jnp.asarray(data)
+    return DiaMatrix(
+        data=arr,
+        offsets=tuple(int(o) for o in offs),
+        nrows=n,
+        nrows_pad=n_pad,
+    )
+
+
+def count_diagonals(A: sp.spmatrix) -> int:
+    coo = A.tocoo()
+    return len(np.unique(coo.col - coo.row))
+
+
+def supernode_from_scipy(
+    A: sp.spmatrix,
+    dtype,
+    tile: int = 8,
+    row_align: int = 8,
+    stage: bool = False,
+    tile_c: int | None = None,
+    nr_pad: int | None = None,
+    nc_pad: int | None = None,
+) -> SupernodeELL:
+    """Regroup a scalar-entry matrix into (tile x tile_c) block-ELL.
+
+    For rectangular operators (prolongation/restriction) pass the padded
+    scalar row/col counts of the two level interfaces so the tile reshape
+    matches the levels' vector layouts exactly.
+    """
+    tile_c = tile if tile_c is None else tile_c
+    nr, nc = A.shape
+    align_r = max(tile, row_align)
+    if nr_pad is None:
+        nr_pad = -(-nr // align_r) * align_r
+    if nc_pad is None:
+        nc_pad = -(-nc // tile_c) * tile_c
+    if nr_pad % tile or nc_pad % tile_c:
+        raise ValueError("pad sizes must be multiples of the tiles")
+    P = sp.csr_matrix(A.tocsr(), copy=True)
+    P.resize((nr_pad, nc_pad))
+    B = sp.bsr_matrix(P, blocksize=(tile, tile_c))
+    inner = _bell.from_scipy(
+        B, tile, tile_c, dtype=dtype, row_align=1, stage=stage
+    )
+    return SupernodeELL(
+        inner=inner,
+        nrows=nr,
+        nrows_pad=nr_pad,
+        tile_r=tile,
+        tile_c=tile_c,
+    )
+
+
+def dense_from_scipy(
+    A: sp.spmatrix, bs: int, dtype, row_align: int = 8, stage: bool = False
+) -> DenseMatrix:
+    n = A.shape[0] // bs
+    n_pad = -(-n // row_align) * row_align
+    out = np.zeros((n_pad * bs, n_pad * bs), dtype=np.dtype(dtype))
+    out[: A.shape[0], : A.shape[1]] = A.toarray()
+    arr = out if stage else jnp.asarray(out)
+    return DenseMatrix(data=arr, nrows=n, nrows_pad=n_pad, bs=bs)
+
+
+def choose_format(
+    A: sp.spmatrix,
+    bs: int,
+    dtype,
+    row_align: int = 8,
+    *,
+    allow_reorder: bool = True,
+    dense_max_rows: int = 4096,
+    dia_max_diags: int = 256,
+    supernode_tile: int = 8,
+    stage: bool = False,
+):
+    """Pick the fastest TPU format for one level's matrix.
+
+    Priority: dense (small) > DIA (few diagonals, scalar) > supernoded ELL
+    (scalar unstructured) > block-ELL (bs > 1 keeps natural block tiles).
+    Only formats compatible with identity row ordering are chosen here;
+    color-permuted (GS) levels always use block-ELL.
+    """
+    n = A.shape[0] // bs
+    if n <= dense_max_rows and (n * bs) ** 2 * 4 <= 512e6:
+        return dense_from_scipy(A, bs, dtype, row_align, stage=stage)
+    if bs == 1:
+        nd = count_diagonals(A)
+        if nd <= dia_max_diags:
+            return dia_from_scipy(A, dtype, row_align, stage=stage)
+        return supernode_from_scipy(
+            A, dtype, tile=supernode_tile, row_align=row_align, stage=stage
+        )
+    return _bell.from_scipy(
+        A, bs, bs, dtype=dtype, row_align=row_align, stage=stage
+    )

@@ -41,7 +41,10 @@ def block_norm_graph(A: sp.spmatrix, bs: int):
     B = to_bsr(A, bs)
     nv = B.shape[0] // bs
     norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
-    W = sp.csr_matrix((norms, B.indices, B.indptr), shape=(nv, nv))
+    # copy structure arrays: setdiag/eliminate_zeros mutate them in place
+    W = sp.csr_matrix(
+        (norms, B.indices.copy(), B.indptr.copy()), shape=(nv, nv)
+    )
     d = W.diagonal().copy()
     W.setdiag(0.0)
     W.eliminate_zeros()
