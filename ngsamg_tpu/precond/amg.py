@@ -151,6 +151,11 @@ class AMGPreconditioner:
             perm = cb = None
             if need_smoother:
                 perm, cb = plan_row_order(lev.A, lev.row_bs, opts.smoother, i)
+            if perm is None:
+                # non-GS level: RCM reorder if it will be supernoded
+                perm = formats.plan_reorder(
+                    lev.A, lev.row_bs, self._row_align
+                )
             perms.append(perm)
             bounds.append(cb)
             scal_perms.append(

@@ -75,7 +75,7 @@ def from_scipy(
     can be shipped with ONE `jax.device_put` — on remote-TPU tunnels each
     individual transfer pays a round trip.
     """
-    data, cols = _host.pad_to_ell(A, bs_r, bs_c, width=width)
+    data, cols = _host.pad_to_ell(A, bs_r, bs_c, width=width, dtype=dtype)
     n = data.shape[0]
     n_pad = -(-n // row_align) * row_align
     if n_pad != n:

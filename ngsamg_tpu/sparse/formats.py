@@ -38,7 +38,7 @@ from . import bell as _bell
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data"],
-    meta_fields=["offsets", "nrows", "nrows_pad"],
+    meta_fields=["offsets", "nrows", "nrows_pad", "use_pallas"],
 )
 @dataclass(frozen=True)
 class DiaMatrix:
@@ -46,13 +46,15 @@ class DiaMatrix:
 
     data[d, i] = A[i, i + offsets[d]] (zero where out of range); the row
     dimension is padded to ``nrows_pad``. Vectors are (nrows_pad, 1) block
-    vectors like everywhere else.
+    vectors like everywhere else. With ``use_pallas`` the matvec runs as the
+    fused single-pass kernel in :mod:`ngsamg_tpu.ops.dia_pallas`.
     """
 
     data: jax.Array  # (ndiag, nrows_pad)
     offsets: tuple  # static ints, ascending
     nrows: int
     nrows_pad: int
+    use_pallas: bool = False
 
     @property
     def shape(self):
@@ -126,6 +128,14 @@ def matvec(A, x: jax.Array) -> jax.Array:
 
 
 def _dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    if A.use_pallas:
+        from ..ops.dia_pallas import dia_matvec_pallas
+
+        return dia_matvec_pallas(A, x)
+    return _dia_matvec_xla(A, x)
+
+
+def _dia_matvec_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """Shift-and-FMA: one fused VPU loop, no gathers."""
     n = A.nrows_pad
     xf = x[:, 0]
@@ -143,11 +153,35 @@ def _dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def pallas_available() -> bool:
+    """True when the backend runs real Mosaic kernels (TPU, incl. axon)."""
+    if "axon" in str(jax.config.jax_platforms or ""):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# the fused kernel keeps x fully VMEM-resident; cap its size
+_DIA_PALLAS_MAX_ROWS = 2_500_000
+
+
 def dia_from_scipy(
-    A: sp.spmatrix, dtype, row_align: int = 8, stage: bool = False
+    A: sp.spmatrix,
+    dtype,
+    row_align: int = 8,
+    stage: bool = False,
+    use_pallas: bool | None = None,
 ) -> DiaMatrix:
     C = A.tocsr()
     n = C.shape[0]
+    if use_pallas is None:
+        use_pallas = pallas_available() and n <= _DIA_PALLAS_MAX_ROWS
+    if use_pallas:
+        from ..ops.dia_pallas import LANES, ROWS_PER_TILE
+
+        row_align = int(np.lcm(row_align, LANES * ROWS_PER_TILE))
     n_pad = -(-n // row_align) * row_align
     coo = C.tocoo()
     offs = np.unique(coo.col - coo.row)
@@ -160,6 +194,7 @@ def dia_from_scipy(
         offsets=tuple(int(o) for o in offs),
         nrows=n,
         nrows_pad=n_pad,
+        use_pallas=bool(use_pallas),
     )
 
 
@@ -193,7 +228,7 @@ def supernode_from_scipy(
         nc_pad = -(-nc // tile_c) * tile_c
     if nr_pad % tile or nc_pad % tile_c:
         raise ValueError("pad sizes must be multiples of the tiles")
-    P = sp.csr_matrix(A.tocsr(), copy=True)
+    P = sp.csr_matrix(A.tocsr().astype(np.dtype(dtype)), copy=False)
     P.resize((nr_pad, nc_pad))
     B = sp.bsr_matrix(P, blocksize=(tile, tile_c))
     inner = _bell.from_scipy(
@@ -219,15 +254,38 @@ def dense_from_scipy(
     return DenseMatrix(data=arr, nrows=n, nrows_pad=n_pad, bs=bs)
 
 
+DENSE_MAX_ROWS = 4096
+DIA_MAX_DIAGS = 256
+
+
+def plan_reorder(A: sp.spmatrix, bs: int, row_align: int = 8):
+    """Bandwidth-reducing (RCM) row order for levels headed to supernoding.
+
+    Supernoded tiles only stay dense if consecutive rows share neighbors;
+    aggregate-ordered coarse levels do not (measured 17x nnz inflation), so
+    they get reverse-Cuthill-McKee first. Returns a block-row permutation or
+    None (levels that will use DIA/dense/natural block-ELL).
+    """
+    n = A.shape[0] // bs
+    if bs != 1 or n <= DENSE_MAX_ROWS:
+        return None
+    if count_diagonals(A) <= DIA_MAX_DIAGS:
+        return None  # stencil level: DIA in natural order
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(
+        reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True), dtype=np.int64
+    )
+
+
 def choose_format(
     A: sp.spmatrix,
     bs: int,
     dtype,
     row_align: int = 8,
     *,
-    allow_reorder: bool = True,
-    dense_max_rows: int = 4096,
-    dia_max_diags: int = 256,
+    dense_max_rows: int = DENSE_MAX_ROWS,
+    dia_max_diags: int = DIA_MAX_DIAGS,
     supernode_tile: int = 8,
     stage: bool = False,
 ):

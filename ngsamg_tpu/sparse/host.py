@@ -94,31 +94,43 @@ def csr_rowwise_argmax(indptr, indices, vals, valid=None):
     """Per-row argmax over CSR entries, restricted to ``valid`` entries.
 
     Returns (best_col, best_val) per row; rows with no valid entry get
-    best_col = -1, best_val = -inf.
+    best_col = -1, best_val = -inf. O(nnz) via two reduceat passes (a
+    lexsort here dominated the whole AMG setup at scale).
     """
     n = len(indptr) - 1
     v = vals.astype(np.float64, copy=True)
     if valid is not None:
         v[~valid] = -np.inf
-    rows = np.repeat(np.arange(n), np.diff(indptr))
     best_col = np.full(n, -1, dtype=np.int64)
     best_val = np.full(n, -np.inf)
-    order = np.lexsort((v, rows))  # within each row, ascending value
-    if len(order):
-        last = np.zeros(n, dtype=bool)
-        # last entry of each row in sorted order is its argmax
-        idx_last = indptr[1:] - 1  # position in `order` of each row's max
-        nonempty = np.diff(indptr) > 0
-        sel = order[idx_last[nonempty]]
-        best_col[nonempty] = indices[sel]
-        best_val[nonempty] = v[sel]
-    # rows whose max is -inf have no valid entry
-    none = ~np.isfinite(best_val)
-    best_col[none] = -1
+    deg = np.diff(indptr)
+    nonempty = np.flatnonzero(deg > 0)
+    if len(nonempty) == 0:
+        return best_col, best_val
+    starts = indptr[nonempty]
+    rowmax = np.maximum.reduceat(v, starts)
+    rowmax_full = np.full(n, -np.inf)
+    rowmax_full[nonempty] = rowmax
+    rows = np.repeat(np.arange(n), deg)
+    # first position achieving the row max
+    nnz = len(v)
+    pos = np.arange(nnz)
+    cand = np.where(v == rowmax_full[rows], pos, nnz)
+    first = np.minimum.reduceat(cand, starts)
+    ok = np.isfinite(rowmax) & (first < nnz)
+    sel = first[ok]
+    best_col[nonempty[ok]] = indices[sel]
+    best_val[nonempty[ok]] = v[sel]
     return best_col, best_val
 
 
-def pad_to_ell(A: sp.spmatrix, bs_r: int, bs_c: int, width: int | None = None):
+def pad_to_ell(
+    A: sp.spmatrix,
+    bs_r: int,
+    bs_c: int,
+    width: int | None = None,
+    dtype=np.float64,
+):
     """Convert a (possibly rectangular-block) sparse matrix to padded ELL.
 
     Returns ``(data, cols)`` with ``data: (n, K, bs_r, bs_c)`` float64 and
@@ -139,7 +151,7 @@ def pad_to_ell(A: sp.spmatrix, bs_r: int, bs_c: int, width: int | None = None):
     K = int(deg.max()) if width is None else int(width)
     if deg.max() > K:
         raise ValueError(f"ELL width {K} < max row degree {deg.max()}")
-    data = np.zeros((n, K, bs_r, bs_c), dtype=np.float64)
+    data = np.zeros((n, K, bs_r, bs_c), dtype=np.dtype(dtype))
     cols = np.zeros((n, K), dtype=np.int32)
     rows = np.repeat(np.arange(n), deg)
     slot = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
