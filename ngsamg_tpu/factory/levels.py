@@ -79,6 +79,28 @@ def build_coarse_map(
     vertex_factory_impl.hpp:503-530)."""
     c = opts.coarsen
     algo = CoarsenType(c.algo.get(level))
+    if algo in (CoarsenType.AUTO, CoarsenType.LATTICE):
+        from ..coarsen.lattice import lattice_aggregate
+
+        pos = energy.vertex_positions(mesh)
+        ok = pos is not None
+        if ok and algo == CoarsenType.AUTO:
+            # AUTO requires near-uniform connection strengths: lattice
+            # blocks ignore coefficient jumps, which energy-driven matching
+            # respects (jump tests regress otherwise)
+            w = mesh.edge_data.get("wt")
+            if w is not None and len(w):
+                wpos = w[w > 0]
+                ok = len(wpos) == 0 or (
+                    float(np.quantile(wpos, 0.99))
+                    <= 30.0 * float(np.quantile(wpos, 0.01))
+                )
+        res = lattice_aggregate(pos) if ok else None
+        if res is not None:
+            return res
+        if algo == CoarsenType.LATTICE:
+            raise ValueError("lattice coarsening: vertices are not a lattice")
+        algo = CoarsenType.SPW  # AUTO fallback
     if algo == CoarsenType.PLATE:
         pos = energy.vertex_positions(mesh)
         return pairwise.plate_test_aggregate(pos)
