@@ -53,7 +53,7 @@ def main():
         type=SmootherType(os.environ.get("NGSAMG_BENCH_SM", "chebyshev"))
     )
     t0 = time.perf_counter()
-    pc = AMGPreconditioner(prob.A, options=opts).setup()
+    pc = AMGPreconditioner(prob.A, coords=prob.coords, options=opts).setup()
     t_setup = time.perf_counter() - t0
 
     # warm-up: trigger all compiles on a throwaway solve, then measure

@@ -1,0 +1,296 @@
+"""Facet-based Stokes AMG on the dual mesh (TPU-native re-creation).
+
+Re-creates the reference Stokes component (/root/reference/src/stokes/):
+
+* The algebraic mesh is the DUAL mesh — vertices = elements (cells), edges =
+  facets; the velocity DOF sits on the edge as a (signed) normal flux
+  (`StokesAMGFactory : NodalAMGFactory<NT_EDGE,...>`, stokes_factory.hpp:75).
+* Edge data carries the facet *flow* (oriented area) and vertex data the
+  element volume (nc_stokes_mesh.hpp:19-39).
+* Coarsening aggregates CELLS; coarse facets are the aggregated cross
+  facets with oriented summed flows.
+* The prolongation preserves flux and divergence: a coarse facet's flux is
+  distributed over its fine facets proportionally to flow, and interior
+  fine facets are reconstructed by routing each fine cell's volume share of
+  the coarse divergence along a spanning forest of the aggregate — so
+  divergence-free coarse fields prolongate to divergence-free fine fields
+  (the reference's flow-preserving prolongation, stokes_factory.hpp:20-44).
+* The potential space is spanned by facet LOOPS (discrete curls) around
+  interior lattice nodes (`CalcFacetLoops`, stokes_pc.cpp), yielding the
+  curl matrix C per level that feeds the Hiptmair smoother.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..mesh.topo import AlgebraicMesh, map_edges
+
+
+@dataclass
+class StokesLevel:
+    """One Stokes level (the reference's `BaseStokesLevelCapsule`)."""
+
+    A: sp.csr_matrix  # facet-DOF operator
+    mesh: AlgebraicMesh  # dual mesh: vertices=cells, edges=facets
+    P: sp.csr_matrix | None = None  # facet prolongation to this level
+    C: sp.csr_matrix | None = None  # curl: loops -> facet space
+    v2agg: np.ndarray | None = None
+
+
+def build_dual_mesh(cell_pos, cell_vol, facet_cells, facet_flow, A=None):
+    """Dual mesh from cell/facet geometry (interior facets only)."""
+    interior = (facet_cells >= 0).all(axis=1)
+    edges = facet_cells[interior].astype(np.int64)
+    # orient edges i < j, flipping the flow sign accordingly
+    flip = edges[:, 0] > edges[:, 1]
+    edges = np.where(flip[:, None], edges[:, ::-1], edges)
+    flow = np.where(flip, -facet_flow[interior], facet_flow[interior])
+    mesh = AlgebraicMesh(nv=len(cell_pos), edges=edges)
+    mesh.vertex_data["pos"] = np.asarray(cell_pos, float)
+    mesh.vertex_data["vol"] = np.asarray(cell_vol, float)
+    mesh.edge_data["flow"] = flow
+    return mesh, np.flatnonzero(interior)
+
+
+def coarsen_cells(mesh: AlgebraicMesh, theta: float = 0.08):
+    """Aggregate dual-mesh cells: lattice when possible, else SPW."""
+    from ..coarsen.lattice import lattice_aggregate
+    from ..coarsen.pairwise import spw_aggregate
+
+    res = lattice_aggregate(mesh.vertex_data["pos"])
+    if res is not None:
+        return res
+    w = np.abs(mesh.edge_data["flow"])
+    S = mesh.edge_graph(weights=w)
+    return spw_aggregate(S, rounds=2, theta=theta)
+
+
+def map_stokes_mesh(mesh, v2agg, n_agg, coarse_edges, e2ce):
+    """Coarse dual mesh with oriented flow sums + summed volumes."""
+    cmesh = AlgebraicMesh(nv=n_agg, edges=coarse_edges)
+    m = e2ce >= 0
+    fi = mesh.edges[m]
+    ce = e2ce[m]
+    # orientation of the fine edge relative to its coarse edge
+    sign = np.where(
+        v2agg[fi[:, 0]] == coarse_edges[ce, 0], 1.0, -1.0
+    )
+    flow_c = np.zeros(len(coarse_edges))
+    np.add.at(flow_c, ce, sign * mesh.edge_data["flow"][m])
+    cmesh.edge_data["flow"] = flow_c
+    vol = np.zeros(n_agg)
+    act = v2agg >= 0
+    np.add.at(vol, v2agg[act], mesh.vertex_data["vol"][act])
+    cmesh.vertex_data["vol"] = vol
+    pos = mesh.vertex_data["pos"]
+    cpos = np.zeros((n_agg, pos.shape[1]))
+    wsum = np.zeros(n_agg)
+    np.add.at(cpos, v2agg[act], pos[act] * mesh.vertex_data["vol"][act, None])
+    np.add.at(wsum, v2agg[act], mesh.vertex_data["vol"][act])
+    cmesh.vertex_data["pos"] = cpos / np.maximum(wsum, 1e-300)[:, None]
+    return cmesh
+
+
+def flow_prolongation(mesh, cmesh, v2agg, e2ce):
+    """Divergence-preserving facet prolongation P: (ne_f, ne_c).
+
+    Cross facets: U_E distributed over its fine facets proportionally to
+    |flow| (oriented) so the total flux is preserved. Interior facets:
+    each fine cell must end with div = (vol_i / vol_agg) * coarse div, so
+    the per-cell excess is routed along a spanning forest of each
+    aggregate's interior connectivity (exact, local, linear in U).
+    """
+    ne_f, ne_c = mesh.ne, cmesh.ne
+    edges = mesh.edges
+    flow = mesh.edge_data["flow"]
+    vol = mesh.vertex_data["vol"]
+    aggvol = cmesh.vertex_data["vol"]
+
+    rows, cols, vals = [], [], []
+
+    # --- cross facets -----------------------------------------------------
+    cross = e2ce >= 0
+    ce = e2ce[cross]
+    sgn = np.where(v2agg[edges[cross, 0]] == cmesh.edges[ce, 0], 1.0, -1.0)
+    wsum = np.zeros(ne_c)
+    np.add.at(wsum, ce, np.abs(flow[cross]))
+    # coarse DOF U_E is the TOTAL flux through E (in coarse orientation);
+    # distribute proportionally to |flow| so the signed fine sum equals U_E
+    wcoef = np.abs(flow[cross]) / np.maximum(wsum[ce], 1e-300)
+    rows.append(np.flatnonzero(cross))
+    cols.append(ce)
+    vals.append(sgn * wcoef)
+
+    # --- per-cell boundary influx b_i(U) as a sparse (ncell, ne_c) --------
+    # fine cross facet e=(i,j) with value v_e(U_E): flux leaves i, enters j
+    fe = np.flatnonzero(cross)
+    i_c, j_c = edges[fe, 0], edges[fe, 1]
+    # div convention: + for flow out of cell i (edge oriented i->j)
+    Bin = sp.coo_matrix(
+        (
+            np.concatenate([sgn * wcoef, -sgn * wcoef]),
+            (
+                np.concatenate([i_c, j_c]),
+                np.concatenate([ce, ce]),
+            ),
+        ),
+        shape=(mesh.nv, ne_c),
+    ).tocsr()
+    # target outflux per cell: (vol_i / vol_I) * (net coarse outflux of I)
+    # coarse cell I's outflux in terms of U: +U_E if I == E[0] else -U_E
+    CI, CJ = cmesh.edges[:, 0], cmesh.edges[:, 1]
+    Cout = sp.coo_matrix(
+        (
+            np.concatenate([np.ones(ne_c), -np.ones(ne_c)]),
+            (np.concatenate([CI, CJ]), np.concatenate([np.arange(ne_c)] * 2)),
+        ),
+        shape=(cmesh.nv, ne_c),
+    ).tocsr()
+    frac = vol / np.maximum(aggvol[v2agg], 1e-300)
+    Tgt = sp.diags(frac) @ Cout[v2agg]  # (ncell, ne_c)
+    Excess = (Tgt - Bin).tocsr()  # flux each cell still must emit
+
+    # --- route excess along a spanning forest of interior facets ----------
+    # processed aggregate-locally: each aggregate touches a handful of
+    # cells and coarse facets, so the routing uses small dense blocks
+    interior = np.flatnonzero(~cross)
+    parent_edge, order = _spanning_forest(mesh, v2agg, interior)
+    ExcC = Excess.tocsr()
+    pos_in_order = np.empty(mesh.nv, dtype=np.int64)
+    pos_in_order[np.asarray(order)] = np.arange(mesh.nv)
+    agg_cells: dict[int, list[int]] = {}
+    for c in range(mesh.nv):
+        a = v2agg[c]
+        if a >= 0:
+            agg_cells.setdefault(int(a), []).append(c)
+    for a, cells in agg_cells.items():
+        if len(cells) == 1:
+            continue
+        cells = sorted(cells, key=lambda c: pos_in_order[c])  # leaves first
+        sub = ExcC[cells]  # (k, ne_c) sparse
+        lcols = np.unique(sub.indices) if sub.nnz else None
+        if lcols is None or len(lcols) == 0:
+            continue
+        loc = np.asarray(sub[:, lcols].todense())  # (k, m) small
+        cpos = {c: t for t, c in enumerate(cells)}
+        for t, ci in enumerate(cells):
+            e = parent_edge[ci]
+            if e < 0:
+                continue
+            i, j = edges[e]
+            other = j if i == ci else i
+            s = 1.0 if i == ci else -1.0  # facet oriented i -> j
+            row = loc[t]
+            nz = np.flatnonzero(row)
+            if len(nz):
+                rows.append(np.full(len(nz), e))
+                cols.append(lcols[nz])
+                vals.append(s * row[nz])
+            loc[cpos[other]] += row
+            loc[t] = 0.0
+
+    P = sp.coo_matrix(
+        (
+            np.concatenate(vals),
+            (np.concatenate(rows), np.concatenate(cols)),
+        ),
+        shape=(ne_f, ne_c),
+    ).tocsr()
+    P.sum_duplicates()
+    return P
+
+
+def _spanning_forest(mesh, v2agg, interior_edges):
+    """BFS spanning forest of each aggregate over interior facets.
+
+    Returns (parent_edge (ncell,), order): parent facet of each cell (-1
+    for aggregate roots) and a leaves-first processing order.
+    """
+    nv = mesh.nv
+    adj = {}
+    for e in interior_edges:
+        i, j = mesh.edges[e]
+        adj.setdefault(i, []).append((j, e))
+        adj.setdefault(j, []).append((i, e))
+    parent_edge = np.full(nv, -1, dtype=np.int64)
+    visited = np.zeros(nv, dtype=bool)
+    order = []
+    for root in range(nv):
+        if visited[root]:
+            continue
+        visited[root] = True
+        stack = [root]
+        bfs = [root]
+        while stack:
+            c = stack.pop()
+            for nb, e in adj.get(c, ()):
+                if not visited[nb] and v2agg[nb] == v2agg[c]:
+                    visited[nb] = True
+                    parent_edge[nb] = e
+                    stack.append(nb)
+                    bfs.append(nb)
+        order.extend(reversed(bfs))
+    return parent_edge, order
+
+
+def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+    """Curl matrix C: loops -> facet space (`CalcFacetLoops` analog).
+
+    Loops are the elementary 4-cycles of the dual lattice (cells around an
+    interior primal node); requires lattice cell positions. Returns None
+    when the dual mesh is not a lattice (Hiptmair then degrades to the
+    plain range smoother).
+    """
+    from ..coarsen.lattice import detect_lattice
+
+    det = detect_lattice(mesh.vertex_data["pos"])
+    if det is None or det[0].shape[1] != 2:
+        return None
+    idx, dims = det
+    nx, ny = int(dims[0]), int(dims[1])
+    cell_of = -np.ones((nx, ny), dtype=np.int64)
+    cell_of[idx[:, 0], idx[:, 1]] = np.arange(mesh.nv)
+    # edge lookup
+    ekey = {}
+    for e, (i, j) in enumerate(mesh.edges):
+        ekey[(int(i), int(j))] = e
+
+    def get_edge(a, b):
+        if a < 0 or b < 0:
+            return None
+        if a < b:
+            e = ekey.get((a, b))
+            return (e, 1.0) if e is not None else None
+        e = ekey.get((b, a))
+        return (e, -1.0) if e is not None else None
+
+    rows, cols, vals = [], [], []
+    nl = 0
+    for ix in range(nx - 1):
+        for iy in range(ny - 1):
+            c00 = cell_of[ix, iy]
+            c10 = cell_of[ix + 1, iy]
+            c01 = cell_of[ix, iy + 1]
+            c11 = cell_of[ix + 1, iy + 1]
+            legs = [
+                get_edge(c00, c10),
+                get_edge(c10, c11),
+                get_edge(c11, c01),
+                get_edge(c01, c00),
+            ]
+            if any(l is None for l in legs):
+                continue
+            for e, s in legs:
+                rows.append(e)
+                cols.append(nl)
+                vals.append(s)
+            nl += 1
+    if nl == 0:
+        return None
+    return sp.coo_matrix(
+        (vals, (rows, cols)), shape=(mesh.ne, nl)
+    ).tocsr()

@@ -90,7 +90,8 @@ def build_coarse_map(
             # respects (jump tests regress otherwise)
             w = mesh.edge_data.get("wt")
             if w is not None and len(w):
-                wpos = w[w > 0]
+                # ignore numerically-zero couplings (assembly roundoff)
+                wpos = w[w > 1e-8 * max(float(w.max()), 1e-300)]
                 ok = len(wpos) == 0 or (
                     float(np.quantile(wpos, 0.99))
                     <= 30.0 * float(np.quantile(wpos, 0.01))

@@ -1,0 +1,225 @@
+"""Stokes AMG preconditioner (facet DOFs, Hiptmair smoothing).
+
+The reference's `BaseStokesAMGPrecond`/`NCStokesAMGPC`/`HDivStokesAMGPC`
+front-ends (/root/reference/src/stokes/common/stokes_pc.hpp:23+,
+stokes_pc.cpp:1300-1390 `BuildSmoothers`) re-created over the strict
+algebraic dual-mesh inputs produced by
+:mod:`ngsamg_tpu.utils.stokes_fem` (or any host discretization providing
+cell/facet geometry):
+
+  setup: dual mesh -> per level {cell aggregation, flow/divergence
+  preserving facet prolongation, Galerkin RAP, facet loops -> curl matrix}
+  -> device hierarchy whose smoothers are Hiptmair pairs (range GS/Chebyshev
+  + potential-space smoother through C).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..apps import stokes as st
+from ..config import AMGOptions, CoarseSolveType, SmootherType
+from ..smoothers.build import build_smoother
+from ..smoothers.hiptmair import HiptmairSmoother
+from ..solve.cycle import AMGOperator, DeviceLevel
+from ..solve.pcg import pcg
+from ..sparse import bell
+from .amg import ROW_ALIGN, SolveInfo
+
+import jax
+import jax.numpy as jnp
+
+
+class StokesAMG:
+    """Facet-based AMG for grad-div-penalized (Stokes) velocity systems."""
+
+    def __init__(
+        self,
+        A: sp.spmatrix,
+        *,
+        cell_pos: np.ndarray,
+        cell_vol: np.ndarray,
+        facet_cells: np.ndarray,
+        facet_flow: np.ndarray,
+        options: AMGOptions | None = None,
+    ):
+        self.options = options or AMGOptions()
+        self.A_host = A.tocsr().astype(np.float64)
+        self.n = A.shape[0]
+        mesh, interior = st.build_dual_mesh(
+            cell_pos, cell_vol, facet_cells, facet_flow
+        )
+        if mesh.ne != self.n:
+            raise ValueError(
+                f"matrix has {self.n} DOFs but the dual mesh has "
+                f"{mesh.ne} interior facets"
+            )
+        self.mesh0 = mesh
+        self.dtype = jnp.float32
+        self._is_setup = False
+
+    def setup(self) -> "StokesAMG":
+        t0 = time.perf_counter()
+        opts = self.options
+        lc = opts.levels
+        levels: list[st.StokesLevel] = []
+        A, mesh = self.A_host, self.mesh0
+        lvl = 0
+        while True:
+            cap = st.StokesLevel(A=A, mesh=mesh)
+            cap.C = st.build_loops(mesh)
+            levels.append(cap)
+            if (
+                lvl + 1 >= lc.max_levels
+                or mesh.ne <= lc.max_coarse_size
+                or mesh.nv <= 8
+            ):
+                break
+            v2agg, n_agg = st.coarsen_cells(mesh)
+            if n_agg >= lc.min_coarsen_ratio * mesh.nv:
+                break
+            from ..mesh.topo import map_edges
+
+            cedges, e2ce = map_edges(mesh, v2agg, n_agg)
+            cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, cedges, e2ce)
+            P = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+            cap.P = P
+            cap.v2agg = v2agg
+            from ..transfer.galerkin import rap
+
+            A = rap(A, P)
+            mesh = cmesh
+            lvl += 1
+        self.setup_levels_ = levels
+        self._compile_device()
+        self.setup_time = time.perf_counter() - t0
+        self._is_setup = True
+        return self
+
+    # ------------------------------------------------------------------
+    def _compile_device(self):
+        opts = self.options
+        nlev = len(self.setup_levels_)
+        dev_levels = []
+        for i, cap in enumerate(self.setup_levels_):
+            A_ell = bell.from_scipy(
+                cap.A, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
+                stage=True,
+            )
+            is_coarsest = i == nlev - 1
+            sm = None
+            if not is_coarsest or opts.coarse_solve != CoarseSolveType.INV:
+                sm = self._build_hiptmair(cap, A_ell.nrows_pad, i)
+            P_ell = R_ell = None
+            if cap.P is not None:
+                P_ell = bell.from_scipy(
+                    cap.P, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
+                    stage=True,
+                )
+                R_ell = bell.from_scipy(
+                    cap.P.T.tocsr(), 1, 1, dtype=self.dtype,
+                    row_align=ROW_ALIGN, stage=True,
+                )
+            dev_levels.append(
+                DeviceLevel(A=A_ell, smoother=sm, P=P_ell, R=R_ell)
+            )
+        coarse_inv = None
+        if opts.coarse_solve == CoarseSolveType.INV:
+            Ad = self.setup_levels_[-1].A.toarray()
+            inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+            npad = dev_levels[-1].A.nrows_pad
+            out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
+            out[: inv.shape[0], : inv.shape[1]] = inv
+            coarse_inv = out
+        op_host = AMGOperator(
+            levels=tuple(dev_levels),
+            coarse_inv=coarse_inv,
+            cycle=opts.cycle.value,
+        )
+        self.op = jax.device_put(op_host)
+        self.A_dev = self.op.levels[0].A
+
+    def _build_hiptmair(self, cap: st.StokesLevel, nrows_pad: int, level):
+        """Range smoother + potential smoother through the curl matrix.
+
+        (`BuildSmoothers`, stokes_pc.cpp:1300-1390.) Falls back to the
+        plain range smoother when the level has no loops.
+        """
+        opts = self.options
+        sm_opts = opts.smoother
+        kind = SmootherType(sm_opts.type.get(level))
+        if kind in (SmootherType.GS, SmootherType.HIPTMAIR):
+            kind = SmootherType.L1_JACOBI  # range part: parallel-safe
+        from ..config import SmootherOptions
+
+        range_opts = SmootherOptions(type=kind)
+        range_sm = build_smoother(
+            cap.A, 1, range_opts, level, nrows_pad, self.dtype
+        )
+        if cap.C is None:
+            return range_sm
+        C = cap.C
+        A_pot = (C.T @ cap.A @ C).tocsr()
+        A_pot = (A_pot + A_pot.T) * 0.5
+        Cp = bell.from_scipy(
+            C, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN, stage=True
+        )
+        CTp = bell.from_scipy(
+            C.T.tocsr(), 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
+            stage=True,
+        )
+        A_pot_ell = bell.from_scipy(
+            A_pot, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN, stage=True
+        )
+        pot_sm = build_smoother(
+            A_pot, 1, range_opts, level, A_pot_ell.nrows_pad, self.dtype
+        )
+        return HiptmairSmoother(
+            range_sm=range_sm,
+            pot_sm=pot_sm,
+            A_pot=A_pot_ell,
+            C=Cp,
+            CT=CTp,
+        )
+
+    # ------------------------------------------------------------------
+    def _to_dev(self, v):
+        return bell.block_vec(v, 1, self.A_dev.nrows_pad, self.dtype)
+
+    def _from_dev(self, v):
+        return np.asarray(bell.flat_vec(v, self.A_dev.nrows), np.float64)
+
+    def solve(self, b, *, tol=1e-8, maxiter=300):
+        b = np.asarray(b, np.float64)
+        bnorm = np.linalg.norm(b)
+        if bnorm == 0:
+            return np.zeros_like(b), SolveInfo(0, 0.0)
+        x = np.zeros(self.n)
+        total = 0
+        relres = 1.0
+        for outer in range(8):
+            r = b - self.A_host @ x
+            relres = np.linalg.norm(r) / bnorm
+            if relres <= tol:
+                break
+            res = pcg(
+                self.op, self.A_dev, self._to_dev(r),
+                tol=max(tol / relres, 2e-6), maxiter=maxiter,
+            )
+            x = x + self._from_dev(res.x)
+            total += int(res.iterations)
+        r = b - self.A_host @ x
+        relres = float(np.linalg.norm(r) / bnorm)
+        return x, SolveInfo(
+            iterations=total,
+            relres=relres,
+            outer_iterations=outer + 1,
+            converged=relres <= tol,
+        )
+
+    @property
+    def num_levels(self):
+        return len(self.setup_levels_)

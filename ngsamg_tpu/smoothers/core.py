@@ -100,12 +100,20 @@ def smooth(sm: Smoother, A: BlockELL, x: jax.Array | None, b: jax.Array):
         return _gs(sm, A, x, b, reverse=False)
     if isinstance(sm, ChebyshevSmoother):
         return _chebyshev(sm, A, x, b)
+    from .hiptmair import HiptmairSmoother, hiptmair_smooth
+
+    if isinstance(sm, HiptmairSmoother):
+        return hiptmair_smooth(sm, A, x, b, reverse=False)
     raise TypeError(type(sm))
 
 
 def smooth_back(sm: Smoother, A: BlockELL, x: jax.Array | None, b: jax.Array):
     if isinstance(sm, GSSmoother):
         return _gs(sm, A, x, b, reverse=True)
+    from .hiptmair import HiptmairSmoother, hiptmair_smooth
+
+    if isinstance(sm, HiptmairSmoother):
+        return hiptmair_smooth(sm, A, x, b, reverse=True)
     # Jacobi / Chebyshev are symmetric
     return smooth(sm, A, x, b)
 

@@ -1,0 +1,118 @@
+"""Staggered-grid (MAC) Stokes test problems: facet-flux velocity systems.
+
+The reference's Stokes AMG operates on facet-based velocity DOFs of
+HDiv/nonconforming discretizations with a grad-grad + div-penalty ("GG")
+bilinear form (/root/reference/src/stokes/, exports stokes_gg_2d etc.). The
+standalone analog here is the classical MAC scheme on a structured grid:
+one normal-velocity DOF per cell face, vector Laplacian + alpha * div^T div
+penalty, Dirichlet (no-slip) boundary:
+
+    K = L + alpha * D^T W D,   D = cell-wise discrete divergence.
+
+K is SPD on the free facet DOFs and its kernel structure (near-null
+divergence-free fields) is exactly what the divergence-preserving AMG must
+handle. The generator also returns the geometric data the Stokes energy
+needs: the dual mesh (cells x faces), face flows (areas), and cell volumes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+
+@dataclass
+class StokesProblem:
+    A: sp.csr_matrix  # velocity system on free facet DOFs (SPD)
+    b: np.ndarray
+    D: sp.csr_matrix  # divergence: (ncells, nfacets) on free DOFs
+    cell_pos: np.ndarray  # (ncells, dim) cell centers
+    cell_vol: np.ndarray  # (ncells,)
+    facet_cells: np.ndarray  # (nfacets, 2) adjacent cells, -1 = boundary
+    facet_flow: np.ndarray  # (nfacets,) face area (flow weight)
+    facet_pos: np.ndarray  # (nfacets, dim) face centers
+    alpha: float
+
+    @property
+    def n(self):
+        return self.A.shape[0]
+
+
+def stokes_mac_2d(n: int = 16, alpha: float = 10.0, nu: float = 1.0):
+    """MAC Stokes velocity block on an n x n unit-square grid.
+
+    Free DOFs are the interior faces (no-slip boundary eliminated):
+    vertical faces carry u_x, horizontal faces carry u_y.
+    """
+    h = 1.0 / n
+    ncell = n * n
+
+    def cid(i, j):
+        return i * n + j
+
+    # interior vertical faces: between cells (i,j) and (i+1,j) -> u_x
+    # interior horizontal faces: between (i,j) and (i,j+1)     -> u_y
+    vi, vj = np.meshgrid(np.arange(n - 1), np.arange(n), indexing="ij")
+    hi, hj = np.meshgrid(np.arange(n), np.arange(n - 1), indexing="ij")
+    nv = (n - 1) * n  # vertical faces
+    nh = n * (n - 1)
+    nf = nv + nh
+
+    fc = np.full((nf, 2), -1, dtype=np.int64)
+    fc[:nv, 0] = cid(vi, vj).ravel()
+    fc[:nv, 1] = cid(vi + 1, vj).ravel()
+    fc[nv:, 0] = cid(hi, hj).ravel()
+    fc[nv:, 1] = cid(hi, hj + 1).ravel()
+
+    fpos = np.zeros((nf, 2))
+    fpos[:nv, 0] = (vi.ravel() + 1.0) * h
+    fpos[:nv, 1] = (vj.ravel() + 0.5) * h
+    fpos[nv:, 0] = (hi.ravel() + 0.5) * h
+    fpos[nv:, 1] = (hj.ravel() + 1.0) * h
+
+    flow = np.full(nf, h)  # face length in 2D
+
+    # divergence: for cell c, sum of outgoing fluxes / vol
+    rows = np.concatenate([fc[:, 0], fc[:, 1]])
+    cols = np.concatenate([np.arange(nf), np.arange(nf)])
+    data = np.concatenate([flow, -flow])  # out of cell0, into cell1
+    D = sp.coo_matrix((data, (rows, cols)), shape=(ncell, nf)).tocsr()
+
+    # component Laplacians on the staggered grids (5-point, no-slip):
+    # u_x on the (n-1) x n vertical-face lattice, u_y on n x (n-1)
+    def lap(nx, ny):
+        ex = np.ones(nx)
+        ey = np.ones(ny)
+        Tx = sp.diags([-ex[:-1], 2 * ex, -ex[:-1]], [-1, 0, 1])
+        Ty = sp.diags([-ey[:-1], 2 * ey, -ey[:-1]], [-1, 0, 1])
+        # no-slip tangential walls add +1 to the boundary-normal weight;
+        # keep the standard 2/h^2 scaling (constant h): factor nu
+        return sp.kron(Tx, sp.eye(ny)) + sp.kron(sp.eye(nx), Ty)
+
+    L = sp.block_diag([lap(n - 1, n), lap(n, n - 1)]).tocsr() * nu
+    W = sp.diags(1.0 / (h * h) * np.ones(ncell))  # 1/vol weights
+    K = (L + alpha * (D.T @ W @ D)).tocsr()
+    K = (K + K.T) * 0.5
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(nf)
+    # make the rhs consistent-ish: remove the mean flux component
+    b -= b.mean()
+
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    cpos = np.stack(
+        [(ii.ravel() + 0.5) * h, (jj.ravel() + 0.5) * h], axis=1
+    )
+    return StokesProblem(
+        A=K.tocsr(),
+        b=b,
+        D=D,
+        cell_pos=cpos,
+        cell_vol=np.full(ncell, h * h),
+        facet_cells=fc,
+        facet_flow=flow,
+        facet_pos=fpos,
+        alpha=alpha,
+    )

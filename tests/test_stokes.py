@@ -1,0 +1,98 @@
+"""Stokes (facet-based, divergence-preserving) AMG tests.
+
+The reference ships no in-tree Stokes tests (exercised via examples/,
+SURVEY.md section 4); here the oracle is the component's structural
+invariants plus convergence budgets on MAC grad-div velocity systems.
+"""
+
+import numpy as np
+
+from ngsamg_tpu import AMGOptions
+from ngsamg_tpu.apps import stokes as st
+from ngsamg_tpu.mesh.topo import map_edges
+from ngsamg_tpu.precond.stokes import StokesAMG
+from ngsamg_tpu.utils.stokes_fem import stokes_mac_2d
+
+
+def _pipeline(n=8, alpha=10.0):
+    p = stokes_mac_2d(n, alpha=alpha)
+    mesh, interior = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    v2agg, n_agg = st.coarsen_cells(mesh)
+    ce, e2ce = map_edges(mesh, v2agg, n_agg)
+    cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, ce, e2ce)
+    P = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+    return p, mesh, cmesh, v2agg, e2ce, P
+
+
+def test_loops_span_kernel():
+    """Curl matrix columns lie in ker(D) and span it completely."""
+    p = stokes_mac_2d(8)
+    mesh, _ = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    C = st.build_loops(mesh)
+    assert np.abs(p.D @ C).max() == 0.0
+    ker_dim = p.n - (np.linalg.matrix_rank(p.D.toarray()))
+    assert np.linalg.matrix_rank(C.toarray()) == ker_dim
+
+
+def test_prolongation_preserves_divergence_free():
+    p, mesh, cmesh, v2agg, e2ce, P = _pipeline()
+    Cc = st.build_loops(cmesh)
+    rng = np.random.default_rng(0)
+    U = Cc @ rng.standard_normal(Cc.shape[1])
+    div = p.D @ (P @ U)
+    assert np.abs(div).max() < 1e-12
+
+
+def test_prolongation_preserves_flux():
+    p, mesh, cmesh, v2agg, e2ce, P = _pipeline()
+    rng = np.random.default_rng(1)
+    U = rng.standard_normal(cmesh.ne)
+    u = P @ U
+    sgn = np.where(
+        v2agg[mesh.edges[:, 0]] == cmesh.edges[np.maximum(e2ce, 0), 0],
+        1.0,
+        -1.0,
+    )
+    tot = np.zeros(cmesh.ne)
+    m = e2ce >= 0
+    np.add.at(tot, e2ce[m], (sgn * u)[m])
+    np.testing.assert_allclose(tot, U, atol=1e-12)
+
+
+def test_stokes_solve():
+    p = stokes_mac_2d(24, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 100
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=150)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7
+    assert info.iterations < 120
+    assert pc.num_levels >= 3
+
+
+def test_stokes_solve_stiff_penalty():
+    p = stokes_mac_2d(16, alpha=1000.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 60
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=200)
+    assert info.converged
