@@ -50,6 +50,13 @@ def handshake_match(S: sp.csr_matrix, theta: float, can_match: np.ndarray):
         0xFFFFFFFF
     )
     vals = vals * (1.0 + 1e-9 * (h.astype(np.float64) / 2**32))
+
+    # native single-pass implementation when built (ngsamg_tpu.native)
+    from ..native import handshake_match as _native_match
+
+    nat = _native_match(indptr, indices, vals, theta, 8)
+    if nat is not None:
+        return np.asarray(nat)
     # eligibility by strength threshold (relative to both endpoints' rows,
     # cf. the reference's strength filters in agglomerator_utils.hpp)
     rows = np.repeat(np.arange(n), np.diff(indptr))

@@ -1,0 +1,41 @@
+"""Optional native (C++) setup kernels with numpy fallbacks.
+
+Build with `python setup.py build_ext --inplace` from the repo root. The
+wrappers here validate/convert dtypes and silently fall back when the
+extension is missing, so the framework works identically (just slower on
+the host setup path) without a toolchain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from . import _ngsamg_native as _nat
+
+    HAVE_NATIVE = True
+except ImportError:  # pragma: no cover - environment dependent
+    _nat = None
+    HAVE_NATIVE = False
+
+
+def greedy_color(indptr, indices) -> np.ndarray | None:
+    """Sequential greedy coloring; None when the extension is absent."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.greedy_color(
+        np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int64),
+    )
+
+
+def handshake_match(indptr, indices, weights, theta, iters=8):
+    if not HAVE_NATIVE:
+        return None
+    return _nat.handshake_match(
+        np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int64),
+        np.ascontiguousarray(weights, dtype=np.float64),
+        float(theta),
+        int(iters),
+    )

@@ -1,0 +1,172 @@
+// Native (C++) setup kernels for ngsamg_tpu.
+//
+// The reference implements its entire setup pipeline natively
+// (/root/reference/src/, ~67k LoC C++17); this module provides compiled
+// equivalents of the host-side graph kernels that dominate the TPU-native
+// framework's setup phase, exposed through the raw CPython C API (no
+// pybind11 in the image):
+//
+//   * greedy_color   — sequential greedy graph coloring (fewer colors and
+//                      ~10x faster than the vectorized speculative rounds;
+//                      color count = sequential depth of the GS sweep)
+//   * handshake_match— one full pairwise-matching round (propose/accept
+//                      loop of coarsen/pairwise.py) in one pass
+//   * ell_slots      — CSR -> padded-ELL slot computation
+//
+// Build: python setup.py build_ext --inplace   (see repo setup.py)
+// Python callers fall back to the numpy implementations when this module
+// is not built.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <numpy/arrayobject.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// greedy_color(indptr int64[n+1], indices int64[nnz]) -> int32[n]
+// ---------------------------------------------------------------------
+PyObject *greedy_color(PyObject *, PyObject *args) {
+  PyArrayObject *indptr_o, *indices_o;
+  if (!PyArg_ParseTuple(args, "O!O!", &PyArray_Type, &indptr_o,
+                        &PyArray_Type, &indices_o))
+    return nullptr;
+  auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
+  auto *indices = static_cast<const int64_t *>(PyArray_DATA(indices_o));
+  const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
+
+  npy_intp dims[1] = {n};
+  PyArrayObject *out =
+      (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT32);
+  auto *colors = static_cast<int32_t *>(PyArray_DATA(out));
+  std::fill(colors, colors + n, -1);
+
+  std::vector<int32_t> mark(256, -1);
+  int maxc = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+      const int64_t nb = indices[k];
+      const int32_t c = colors[nb];
+      if (c >= 0) mark[c] = (int32_t)v;
+    }
+    int32_t c = 0;
+    while (c < (int32_t)mark.size() && mark[c] == (int32_t)v) ++c;
+    colors[v] = c;
+    if (c > maxc) maxc = c;
+  }
+  (void)maxc;
+  return (PyObject *)out;
+}
+
+// ---------------------------------------------------------------------
+// handshake_match(indptr, indices, weights f64, theta f64, iters int)
+//   -> partner int64[n]  (-1 unmatched)
+// ---------------------------------------------------------------------
+PyObject *handshake_match(PyObject *, PyObject *args) {
+  PyArrayObject *indptr_o, *indices_o, *w_o;
+  double theta;
+  int iters;
+  if (!PyArg_ParseTuple(args, "O!O!O!di", &PyArray_Type, &indptr_o,
+                        &PyArray_Type, &indices_o, &PyArray_Type, &w_o,
+                        &theta, &iters))
+    return nullptr;
+  auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
+  auto *indices = static_cast<const int64_t *>(PyArray_DATA(indices_o));
+  auto *w = static_cast<const double *>(PyArray_DATA(w_o));
+  const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
+
+  npy_intp dims[1] = {n};
+  PyArrayObject *out =
+      (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
+  auto *partner = static_cast<int64_t *>(PyArray_DATA(out));
+  std::fill(partner, partner + n, (int64_t)-1);
+
+  // row maxima for the strength threshold
+  std::vector<double> rowmax(n, 0.0);
+  for (int64_t v = 0; v < n; ++v)
+    for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k)
+      rowmax[v] = std::max(rowmax[v], w[k]);
+
+  std::vector<int64_t> best(n);
+  for (int it = 0; it < iters; ++it) {
+    bool any = false;
+    // propose: strongest available neighbor above threshold
+    for (int64_t v = 0; v < n; ++v) {
+      best[v] = -1;
+      if (partner[v] >= 0) continue;
+      double bw = -1.0;
+      for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+        const int64_t nb = indices[k];
+        if (partner[nb] >= 0) continue;
+        const double thr =
+            theta * std::min(rowmax[v], rowmax[nb]);
+        if (w[k] < thr || w[k] <= 0.0) continue;
+        if (w[k] > bw) { bw = w[k]; best[v] = nb; }
+      }
+    }
+    // accept mutual proposals
+    for (int64_t v = 0; v < n; ++v) {
+      const int64_t b = best[v];
+      if (b > v && best[b] == v) {
+        partner[v] = b;
+        partner[b] = v;
+        any = true;
+      }
+    }
+    if (!any) break;
+  }
+  return (PyObject *)out;
+}
+
+// ---------------------------------------------------------------------
+// ell_slots(indptr int64[n+1]) -> (rows int64[nnz], slot int64[nnz], K)
+// ---------------------------------------------------------------------
+PyObject *ell_slots(PyObject *, PyObject *args) {
+  PyArrayObject *indptr_o;
+  if (!PyArg_ParseTuple(args, "O!", &PyArray_Type, &indptr_o))
+    return nullptr;
+  auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
+  const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
+  const int64_t nnz = indptr[n];
+
+  npy_intp dims[1] = {nnz};
+  PyArrayObject *rows_o =
+      (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
+  PyArrayObject *slot_o =
+      (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
+  auto *rows = static_cast<int64_t *>(PyArray_DATA(rows_o));
+  auto *slot = static_cast<int64_t *>(PyArray_DATA(slot_o));
+  int64_t K = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    const int64_t deg = indptr[v + 1] - indptr[v];
+    if (deg > K) K = deg;
+    for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+      rows[k] = v;
+      slot[k] = k - indptr[v];
+    }
+  }
+  PyObject *ret = Py_BuildValue("(NNl)", rows_o, slot_o, (long)K);
+  return ret;
+}
+
+PyMethodDef methods[] = {
+    {"greedy_color", greedy_color, METH_VARARGS,
+     "sequential greedy graph coloring"},
+    {"handshake_match", handshake_match, METH_VARARGS,
+     "pairwise handshake matching round"},
+    {"ell_slots", ell_slots, METH_VARARGS, "CSR->ELL slot computation"},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_ngsamg_native", nullptr,
+                         -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__ngsamg_native(void) {
+  import_array();
+  return PyModule_Create(&moduledef);
+}

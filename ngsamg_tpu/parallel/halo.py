@@ -1,0 +1,105 @@
+"""Explicit halo-exchange SpMV over a device mesh (shard_map + ppermute).
+
+TPU-native replacement for the reference's hybrid-matrix machinery: NgsAMG
+splits each parallel matrix into owned + ghost couplings and overlaps
+Gauss-Seidel with MPI halo exchange
+(/root/reference/src/base/linalg/hybrid_matrix.hpp:28-144,
+src/base/linalg/dcc_map.hpp:20-134, hybrid_base_smoother.hpp:56-61). On TPU
+the same structure becomes: rows block-partitioned over a 1-D mesh axis,
+each shard holding its contiguous row slice of a banded (DIA) operator;
+matvec needs only a halo of `halo_width` entries from each neighbor, moved
+with two `jax.lax.ppermute` shifts over ICI, while the interior FMA work
+proceeds on data already local.
+
+This is the bandwidth-scalable alternative to the GSPMD all-gather path in
+:mod:`ngsamg_tpu.parallel.shard`: communication volume is O(halo) instead of
+O(n), exactly like the reference's interface-only DCC exchanges.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse.formats import DiaMatrix
+
+
+def dia_halo_matvec(A: DiaMatrix, mesh: Mesh, axis: str = "rows"):
+    """Build a shard_map'd matvec closure for a row-sharded DiaMatrix.
+
+    The returned function maps (data_local, x_local) -> y_local under
+    shard_map; `A.data` must be sharded (None, axis) and x (axis, None).
+    Requires nrows_pad divisible by the mesh size and halo width (the max
+    |offset|) not exceeding one shard.
+    """
+    nshards = mesh.devices.size
+    n = A.nrows_pad
+    assert n % nshards == 0
+    local = n // nshards
+    lo = max(0, -min(A.offsets))
+    hi = max(0, max(A.offsets))
+    if max(lo, hi) > local:
+        raise ValueError("halo wider than one shard; replicate this level")
+    offsets = A.offsets
+
+    def body(data, x):
+        # data: (ndiag, local); x: (local, 1)
+        xf = x[:, 0]
+        # halo exchange: left neighbor's tail and right neighbor's head.
+        # ppermute cyclically; the wrap-around halo is masked off below.
+        idx = jax.lax.axis_index(axis)
+        right_src = [(i, (i + 1) % nshards) for i in range(nshards)]
+        left_src = [((i + 1) % nshards, i) for i in range(nshards)]
+        tail = jax.lax.ppermute(xf[-lo:], axis, right_src) if lo else None
+        head = jax.lax.ppermute(xf[:hi], axis, left_src) if hi else None
+        if tail is not None:
+            tail = jnp.where(idx == 0, 0.0, tail)  # no left neighbor
+        if head is not None:
+            head = jnp.where(idx == nshards - 1, 0.0, head)
+        parts = [p for p in (tail, xf, head) if p is not None]
+        xp = jnp.concatenate(parts)
+        y = jnp.zeros_like(xf)
+        for d, off in enumerate(offsets):
+            y = y + data[d] * jax.lax.dynamic_slice_in_dim(
+                xp, lo + off, local
+            )
+        return y[:, None]
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    return fn
+
+
+def demo_sharded_solve(n_devices: int = 8, n: int = 24):
+    """End-to-end check: halo-exchange DIA SpMV == replicated SpMV."""
+    from ..sparse import formats
+    from ..utils import fem
+
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("rows",))
+    p = fem.poisson_3d(n)
+    A = formats.dia_from_scipy(
+        p.A, jnp.float32, row_align=8 * n_devices, use_pallas=False
+    )
+    x = np.random.default_rng(0).standard_normal(A.nrows_pad)
+    xs = jax.device_put(
+        jnp.asarray(x[:, None], jnp.float32),
+        NamedSharding(mesh, P("rows", None)),
+    )
+    data_s = jax.device_put(
+        A.data, NamedSharding(mesh, P(None, "rows"))
+    )
+    fn = dia_halo_matvec(A, mesh)
+    y = jax.jit(fn)(data_s, xs)
+    ref = p.A @ x[: p.n]
+    err = np.abs(np.asarray(y[: p.n, 0]) - ref).max() / np.abs(ref).max()
+    return float(err)

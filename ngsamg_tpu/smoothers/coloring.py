@@ -33,6 +33,11 @@ def jones_plassmann_coloring(
     indptr, indices = W.indptr, W.indices
     if n == 0:
         return np.zeros(0, dtype=np.int32)
+    from ..native import greedy_color as _native_color
+
+    nat = _native_color(indptr, indices)
+    if nat is not None:
+        return np.asarray(nat)
     rng = np.random.default_rng(seed)
     prio = rng.random(n)
     rows = np.repeat(np.arange(n), np.diff(indptr))

@@ -1,0 +1,43 @@
+"""Multi-chip sharding tests (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+
+
+def test_halo_exchange_dia_spmv():
+    from ngsamg_tpu.parallel.halo import demo_sharded_solve
+
+    err = demo_sharded_solve(8, 20)
+    assert err < 1e-5
+
+
+def test_shard_operator_solve():
+    """GSPMD-sharded hierarchy PCG step stays finite and consistent."""
+    import jax
+    import numpy as np
+
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.parallel.shard import make_mesh, shard_operator
+    from ngsamg_tpu.solve.pcg import _pcg_chunk, _pcg_init
+    from ngsamg_tpu.utils import fem
+
+    prob = fem.poisson_3d(10)
+    opts = AMGOptions(shards=8)
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    opts.levels.max_coarse_size = 60
+    pc = AMGPreconditioner(prob.A, coords=prob.coords, options=opts).setup()
+    mesh = make_mesh(8)
+    op_s, A_s = shard_operator(pc.op, pc.A_dev, mesh, replicate_below=100)
+    b = pc._to_dev(prob.b)
+    st = _pcg_init(b)
+    tol2 = np.float32(1e-30)
+    for _ in range(4):
+        st = _pcg_chunk(op_s, A_s, st, tol2, chunk=4)
+    # compare against the unsharded chunk result
+    st_ref = _pcg_init(b)
+    for _ in range(4):
+        st_ref = _pcg_chunk(pc.op, pc.A_dev, st_ref, tol2, chunk=4)
+    xs = np.asarray(st[0])
+    xr = np.asarray(st_ref[0])
+    rel = np.abs(xs - xr).max() / max(np.abs(xr).max(), 1e-12)
+    assert np.isfinite(rel) and rel < 1e-3
