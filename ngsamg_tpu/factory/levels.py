@@ -152,13 +152,19 @@ def setup_levels(
     energy: Energy,
     opts: AMGOptions,
     coords: np.ndarray | None = None,
+    finest_mesh: AlgebraicMesh | None = None,
 ) -> tuple[list[SetupLevel], FactoryLog]:
-    """Run the level loop; returns host levels (finest first) + log."""
+    """Run the level loop; returns host levels (finest first) + log.
+
+    ``finest_mesh`` overrides the matrix-extracted (ALG) energy mesh — the
+    ELMAT mode, where the mesh energies come from element matrices
+    (apps/elmat.py; reference `BuildAlgMesh_ELMAT`).
+    """
     A = A.tocsr().astype(np.float64)
     lc = opts.levels
     log = FactoryLog()
 
-    mesh = energy.build_finest_mesh(A, coords)
+    mesh = finest_mesh or energy.build_finest_mesh(A, coords)
     row_bs = A.shape[0] // mesh.nv
     levels = [SetupLevel(index=0, A=A, row_bs=row_bs, mesh=mesh)]
     log.nvs.append(mesh.nv)

@@ -72,6 +72,7 @@ class AMGPreconditioner:
         coords: np.ndarray | None = None,
         freedofs: np.ndarray | None = None,
         options: AMGOptions | None = None,
+        elmat_data: tuple | None = None,
         **flags,
     ):
         if options is None:
@@ -105,6 +106,17 @@ class AMGPreconditioner:
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             # explicit f64 request must not silently truncate to f32
             jax.config.update("jax_enable_x64", True)
+        # ELMAT energy mode: finest mesh from element matrices
+        # (AddElementMatrix analog; reference amg_pc_vertex.hpp:170)
+        self._finest_mesh = None
+        if elmat_data is not None:
+            from ..apps.elmat import ElmatAccumulator
+
+            dnums, elmats = elmat_data
+            nv = self.n // self.energy.dpv
+            acc = ElmatAccumulator(nv)
+            acc.add_batch(np.asarray(dnums), np.asarray(elmats))
+            self._finest_mesh = acc.finalize(self.coords)
         self._is_setup = False
 
     # ------------------------------------------------------------------
@@ -113,7 +125,8 @@ class AMGPreconditioner:
     def setup(self) -> "AMGPreconditioner":
         t0 = time.perf_counter()
         self.setup_levels_, self.log_ = setup_levels(
-            self.A_host, self.energy, self.options, self.coords
+            self.A_host, self.energy, self.options, self.coords,
+            finest_mesh=self._finest_mesh,
         )
         t1 = time.perf_counter()
         self._compile_device()

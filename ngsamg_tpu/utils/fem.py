@@ -161,6 +161,32 @@ def _eliminate_dirichlet(A, b, coords, fixed_mask, block_size=1):
     return A, b[free], coords[free_v]
 
 
+def poisson_2d_elmats(n: int = 32, jump: bool = False):
+    """P1 Poisson + its element matrices in FREE-DOF numbering.
+
+    Returns (Problem, dnums (ne, 3) with -1 for Dirichlet vertices,
+    elmats (ne, 3, 3)) — the input of the ELMAT energy mode.
+    """
+    verts, tris = _grid_2d(n, n)
+    centers = verts[tris].mean(axis=1)
+    coeff = (
+        np.where(_in_inclusions_2d(centers), 1e4, 1.0)
+        if jump
+        else np.ones(len(tris))
+    )
+    Ke, vol = _p1_stiffness(verts, tris, coeff)
+    A = _assemble(len(verts), tris, Ke)
+    b = np.zeros(len(verts))
+    np.add.at(b, tris.ravel(), np.repeat(vol / 3.0, 3))
+    x, y = verts[:, 0], verts[:, 1]
+    fixed = (x == 0) | (x == 1) | (y == 0) | (y == 1)
+    A2, b2, coords = _eliminate_dirichlet(A, b, verts, fixed)
+    prob = Problem(A=A2, b=b2, coords=coords, dim=2, block_size=1)
+    renum = np.full(len(verts), -1, dtype=np.int64)
+    renum[~fixed] = np.arange((~fixed).sum())
+    return prob, renum[tris], Ke
+
+
 def poisson_2d(n: int = 32, jump: bool = False, f=1.0) -> Problem:
     """P1 Poisson on the unit square, Dirichlet on the whole boundary.
 

@@ -265,3 +265,36 @@ def test_options_from_flags():
     assert opts.cycle.value == "W"
     assert opts.levels.max_coarse_size == 100
     assert opts.coarsen.theta.get(3) == 0.1
+
+
+# ---------------------------------------------------------------------------
+# element-matrix (ELMAT) energy mode
+# ---------------------------------------------------------------------------
+
+
+def test_elmat_energy_mode():
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+
+    prob, dnums, elmats = fem.poisson_2d_elmats(32)
+    pc = AMGPreconditioner(
+        prob.A,
+        coords=prob.coords,
+        options=AMGOptions(),
+        elmat_data=(dnums, elmats),
+    ).setup()
+    x, info = pc.solve(prob.b, tol=1e-8, maxiter=60)
+    assert info.converged and info.iterations < 60
+
+
+def test_elmat_accumulator_matches_matrix_graph():
+    """ALG-variant accumulation reproduces the assembled off-diag pattern."""
+    from ngsamg_tpu.apps.elmat import ElmatAccumulator
+    from ngsamg_tpu.apps.h1 import H1Energy
+
+    prob, dnums, elmats = fem.poisson_2d_elmats(12)
+    acc = ElmatAccumulator(prob.n, variant="alg")
+    acc.add_batch(dnums, elmats)
+    mesh = acc.finalize(prob.coords)
+    ref = H1Energy(1).build_finest_mesh(prob.A, prob.coords)
+    assert mesh.ne == ref.ne
+    np.testing.assert_array_equal(mesh.edges, ref.edges)
