@@ -104,6 +104,10 @@ def smooth(sm: Smoother, A: BlockELL, x: jax.Array | None, b: jax.Array):
 
     if isinstance(sm, HiptmairSmoother):
         return hiptmair_smooth(sm, A, x, b, reverse=False)
+    from ..solve.cycle import AMGSmoother
+
+    if isinstance(sm, AMGSmoother):
+        return sm.smooth(A, x, b)
     raise TypeError(type(sm))
 
 
@@ -114,7 +118,7 @@ def smooth_back(sm: Smoother, A: BlockELL, x: jax.Array | None, b: jax.Array):
 
     if isinstance(sm, HiptmairSmoother):
         return hiptmair_smooth(sm, A, x, b, reverse=True)
-    # Jacobi / Chebyshev are symmetric
+    # Jacobi / Chebyshev / AMG-as-smoother are symmetric
     return smooth(sm, A, x, b)
 
 

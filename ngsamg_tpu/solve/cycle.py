@@ -95,6 +95,32 @@ def amg_apply(op: AMGOperator, b: jax.Array) -> jax.Array:
     return _cycle(op, b, 0)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["op"],
+    meta_fields=["steps"],
+)
+@dataclass(frozen=True)
+class AMGSmoother:
+    """A multigrid operator used as a smoother.
+
+    The reference wraps an `AMGMatrix` tail as a smoother for composed
+    solvers (`AMGSmoother`, amg_matrix.hpp:132-158; used by the Stokes
+    secondary sequences) — here any AMGOperator becomes a smoother whose
+    sweep is `steps` stationary AMG iterations.
+    """
+
+    op: AMGOperator
+    steps: int = 1
+
+    def smooth(self, A, x, b):
+        if x is None:
+            x = jnp.zeros_like(b)
+        for _ in range(self.steps):
+            x = x + amg_apply(self.op, b - matvec(A, x))
+        return x
+
+
 def _bs_cycle(op: AMGOperator, b: jax.Array) -> jax.Array:
     """Braess-Sarazin-style cascade (`SmoothBS`, amg_matrix.cpp:110-158):
 

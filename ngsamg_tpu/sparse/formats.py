@@ -297,12 +297,15 @@ def choose_format(
     color-permuted (GS) levels always use block-ELL.
     """
     n = A.shape[0] // bs
-    if n <= dense_max_rows and (n * bs) ** 2 * 4 <= 512e6:
-        return dense_from_scipy(A, bs, dtype, row_align, stage=stage)
-    if bs == 1:
+    # DIA wins over dense whenever the level is a stencil and not tiny:
+    # same op count class, ~20x less memory/transfer for mid-size levels
+    if bs == 1 and n > 512:
         nd = count_diagonals(A)
         if nd <= dia_max_diags:
             return dia_from_scipy(A, dtype, row_align, stage=stage)
+    if n <= dense_max_rows and (n * bs) ** 2 * 4 <= 512e6:
+        return dense_from_scipy(A, bs, dtype, row_align, stage=stage)
+    if bs == 1:
         return supernode_from_scipy(
             A, dtype, tile=supernode_tile, row_align=row_align, stage=stage
         )
