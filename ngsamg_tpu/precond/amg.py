@@ -353,6 +353,8 @@ class AMGPreconditioner:
             history.append(relres)
             if relres <= tol:
                 break
+            if len(history) >= 2 and relres > 0.5 * history[-2]:
+                break  # refinement stagnated (f32 accuracy floor)
             res: SolveResult = pcg(
                 self.op,
                 self.A_dev,
@@ -425,6 +427,39 @@ class AMGPreconditioner:
             T += np.diag(off, 1) + np.diag(off, -1)
         ev = np.linalg.eigvalsh(T)
         return float(ev[0]), float(ev[-1])
+
+    def test_smoothers(self, sweeps: int = 4) -> list[float]:
+        """Per-level smoother check (the reference's `test_smoothers` flag,
+        amg_pc.hpp:250-253 / TestSmoother): symmetric sweeps must reduce the
+        energy error on every smoothed level. Returns per-level reduction
+        factors."""
+        self._require_setup()
+        from ..smoothers.core import smooth, smooth_back
+        from ..sparse.formats import matvec
+
+        import jax.numpy as jnp
+
+        rates = []
+        for i, lev in enumerate(self.op.levels):
+            if lev.smoother is None:
+                continue
+            A = lev.A
+            bs = self.setup_levels_[i].row_bs
+            nb = _block_pad(A, bs)
+            bsv = _scalar_pad(A, bs) // nb
+            rng = np.random.default_rng(i)
+            x = jnp.asarray(
+                rng.standard_normal((nb, bsv)), dtype=self.dtype
+            )
+            # smoothing the homogeneous system from x: energy must drop
+            e0 = float(jnp.vdot(x.reshape(-1), matvec(A, x).reshape(-1)))
+            b0 = jnp.zeros_like(x)
+            for _ in range(sweeps):
+                x = smooth(lev.smoother, A, x, b0)
+                x = smooth_back(lev.smoother, A, x, b0)
+            e1 = float(jnp.vdot(x.reshape(-1), matvec(A, x).reshape(-1)))
+            rates.append(e1 / max(e0, 1e-300))
+        return rates
 
     def _require_setup(self):
         if not self._is_setup:
