@@ -44,6 +44,9 @@ class SetupLevel:
     mesh: AlgebraicMesh
     P: sp.bsr_matrix | None = None  # prolongation next-coarser -> this level
     v2agg: np.ndarray | None = None
+    # set when P can be applied implicitly on device (lattice levels):
+    # dict(dims_f, dims_c, omega) — see transfer/lattice_transfer.py
+    lattice_transfer: dict | None = None
 
 
 @dataclass
@@ -147,6 +150,67 @@ def build_prolongation(
     )
 
 
+def _lattice_transfer_plan(energy, cur, mesh_c, v2agg, n_agg, opts, lvl):
+    """Implicit-transfer plan for full-lattice scalar levels.
+
+    Conditions: dpv == 1, smoothed prolongation requested, both levels are
+    FULL row-major lattices, and the aggregation is exactly the 2^d index
+    blocking — then P = (I - omega D^-1 A) P_pw with P_pw a pure
+    reshape/upsample, applied implicitly on device (no stored transfer).
+    Returns (P_explicit_for_RAP, meta) or None.
+    """
+    from ..coarsen.lattice import detect_lattice
+    from ..config import ProlType
+    from ..transfer.lattice_transfer import host_lattice_prol
+    from ..transfer.prolongation import _rho_estimate
+
+    if energy.dpv != 1 or cur.row_bs != 1:
+        return None
+    if ProlType(opts.prol.type.get(lvl)) != ProlType.SMOOTHED:
+        return None
+    pos_f = energy.vertex_positions(cur.mesh)
+    pos_c = energy.vertex_positions(mesh_c)
+    det_f = detect_lattice(pos_f)
+    det_c = detect_lattice(pos_c)
+    if det_f is None or det_c is None:
+        return None
+    idx_f, dims_f = det_f
+    idx_c, dims_c = det_c
+    nf, nc = cur.mesh.nv, n_agg
+    if np.prod(dims_f) != nf or np.prod(dims_c) != nc:
+        return None  # partial lattice
+    # vertices must be stored in row-major lattice order on both levels
+    key_f = np.zeros(nf, dtype=np.int64)
+    for k in range(idx_f.shape[1]):
+        key_f = key_f * dims_f[k] + idx_f[:, k]
+    if not np.array_equal(key_f, np.arange(nf)):
+        return None
+    key_c = np.zeros(nc, dtype=np.int64)
+    for k in range(idx_c.shape[1]):
+        key_c = key_c * dims_c[k] + idx_c[:, k]
+    if not np.array_equal(key_c, np.arange(nc)):
+        return None
+    # aggregation must be the index blocking
+    cidx = idx_f // 2
+    agg_key = np.zeros(nf, dtype=np.int64)
+    for k in range(idx_f.shape[1]):
+        agg_key = agg_key * dims_c[k] + cidx[:, k]
+    if not np.array_equal(agg_key, v2agg):
+        return None
+    A = cur.A
+    d = A.diagonal()
+    dinv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    rho = _rho_estimate(lambda x: dinv * x, A)
+    omega = float(opts.prol.omega.get(lvl)) / max(rho, 1e-12)
+    P, _ = host_lattice_prol(A, idx_f, dims_f, agg_key, nc, omega)
+    meta = {
+        "dims_f": tuple(int(x) for x in dims_f),
+        "dims_c": tuple(int(x) for x in dims_c),
+        "omega": omega,
+    }
+    return P.tobsr(blocksize=(1, 1)), meta
+
+
 def setup_levels(
     A: sp.spmatrix,
     energy: Energy,
@@ -182,7 +246,16 @@ def setup_levels(
         coarse_edges, e2ce = map_edges(cur.mesh, v2agg, n_agg)
         mesh_c = energy.map_data(cur.mesh, v2agg, n_agg, coarse_edges, e2ce)
 
-        P = build_prolongation(energy, cur.mesh, mesh_c, v2agg, opts, lvl)
+        lat = _lattice_transfer_plan(
+            energy, cur, mesh_c, v2agg, n_agg, opts, lvl
+        )
+        if lat is not None:
+            P, meta = lat
+            cur.lattice_transfer = meta
+        else:
+            P = build_prolongation(
+                energy, cur.mesh, mesh_c, v2agg, opts, lvl
+            )
         E = energy.embedding_matrix(cur.mesh) if lvl == 0 else None
         if E is not None:
             P = (E @ P).tobsr(blocksize=(cur.row_bs, energy.dpv))

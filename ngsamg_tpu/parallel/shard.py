@@ -89,6 +89,20 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
             nrows_pad=A.nrows_pad,
             bs=A.bs,
         )
+    from ..transfer.lattice_transfer import (
+        LatticeProlongation,
+        LatticeRestriction,
+    )
+
+    if isinstance(A, (LatticeProlongation, LatticeRestriction)):
+        import dataclasses as _dc
+
+        rows2 = NamedSharding(mesh, P(axis, None)) if shard else repl
+        return _dc.replace(
+            A,
+            A=_shard_mat(A.A, mesh, axis, shard),
+            Dinv=_put(A.Dinv, rows2),
+        )
     raise TypeError(type(A))
 
 

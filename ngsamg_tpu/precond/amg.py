@@ -232,7 +232,48 @@ class AMGPreconditioner:
                 nc_pad = _scalar_pad(
                     A_fmts[i + 1], self.setup_levels_[i + 1].row_bs
                 )
-                if lev.row_bs == 1 and dpv == 1:
+                if (
+                    lev.lattice_transfer is not None
+                    and isinstance(A_fmts[i], formats.DiaMatrix)
+                    and scal_perms[i] is None
+                    and scal_perms[i + 1] is None
+                ):
+                    # implicit gather-free transfer (lattice levels): the
+                    # smoothing matrix is the already-resident level A
+                    from ..transfer.lattice_transfer import (
+                        LatticeProlongation,
+                        LatticeRestriction,
+                    )
+
+                    meta = lev.lattice_transfer
+                    d = lev.A.diagonal()
+                    dinv = np.zeros(nf_pad, dtype=np.dtype(self.dtype))
+                    dinv[: len(d)] = np.where(
+                        d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0
+                    )
+                    # placeholder A: the real (shared) operator is re-pointed
+                    # after the single device_put, avoiding a 3x transfer
+                    placeholder = formats.DiaMatrix(
+                        data=np.zeros((0, 0), dtype=np.dtype(self.dtype)),
+                        offsets=A_fmts[i].offsets,
+                        nrows=A_fmts[i].nrows,
+                        nrows_pad=A_fmts[i].nrows_pad,
+                        use_pallas=A_fmts[i].use_pallas,
+                    )
+                    common = dict(
+                        A=placeholder,
+                        Dinv=dinv[:, None],
+                        dims_f=meta["dims_f"],
+                        dims_c=meta["dims_c"],
+                        omega=meta["omega"],
+                        nf=lev.mesh.nv,
+                        nf_pad=nf_pad,
+                        nc=self.setup_levels_[i + 1].mesh.nv,
+                        nc_pad=nc_pad,
+                    )
+                    P_fmt = LatticeProlongation(**common)
+                    R_fmt = LatticeRestriction(**common)
+                elif lev.row_bs == 1 and dpv == 1:
                     # scalar transfers: supernode (wide gathers + MXU tiles)
                     P_fmt = formats.supernode_from_scipy(
                         P, self.dtype, tile=8, nr_pad=nf_pad,
@@ -272,7 +313,25 @@ class AMGPreconditioner:
             coarse_inv=coarse_inv,
             cycle=opts.cycle.value,
         )
-        self.op = jax.device_put(op_host)
+        op = jax.device_put(op_host)
+        # re-point implicit lattice transfers at the level's device A
+        import dataclasses as _dc
+
+        from ..transfer.lattice_transfer import (
+            LatticeProlongation,
+            LatticeRestriction,
+        )
+
+        new_levels = []
+        for lev in op.levels:
+            if isinstance(lev.P, LatticeProlongation):
+                lev = _dc.replace(
+                    lev,
+                    P=_dc.replace(lev.P, A=lev.A),
+                    R=_dc.replace(lev.R, A=lev.A),
+                )
+            new_levels.append(lev)
+        self.op = _dc.replace(op, levels=tuple(new_levels))
         self.A_dev = self.op.levels[0].A
 
     def _build_coarse_inv(self, dev_coarsest: DeviceLevel):

@@ -124,6 +124,17 @@ def matvec(A, x: jax.Array) -> jax.Array:
         xt = x.reshape(-1, A.tile_c)
         yt = _bell_spmv(A.inner, xt)
         return yt.reshape(-1, 1)
+    from ..transfer.lattice_transfer import (
+        LatticeProlongation,
+        LatticeRestriction,
+        lattice_prol_apply,
+        lattice_restrict_apply,
+    )
+
+    if isinstance(A, LatticeProlongation):
+        return lattice_prol_apply(A, x)
+    if isinstance(A, LatticeRestriction):
+        return lattice_restrict_apply(A, x)
     raise TypeError(type(A))
 
 
