@@ -195,10 +195,14 @@ def dia_from_scipy(
         row_align = int(np.lcm(row_align, LANES * ROWS_PER_TILE))
     n_pad = -(-n // row_align) * row_align
     coo = C.tocoo()
-    offs = np.unique(coo.col - coo.row)
+    off_all = coo.col.astype(np.int64) - coo.row
+    offs = _unique_offsets(off_all, n)
+    # O(nnz) slot lookup instead of a searchsorted per entry
+    b = int(max(-offs[0], offs[-1], 0))
+    lut = np.zeros(2 * b + 1, dtype=np.int32)
+    lut[offs + b] = np.arange(len(offs), dtype=np.int32)
     data = np.zeros((len(offs), n_pad), dtype=np.dtype(dtype))
-    pos = np.searchsorted(offs, coo.col - coo.row)
-    data[pos, coo.row] = coo.data
+    data[lut[off_all + b], coo.row] = coo.data
     arr = data if stage else jnp.asarray(data)
     return DiaMatrix(
         data=arr,
@@ -209,9 +213,21 @@ def dia_from_scipy(
     )
 
 
+def _unique_offsets(off: np.ndarray, n: int) -> np.ndarray:
+    """Sorted unique diagonal offsets, O(nnz) via a presence mask."""
+    if len(off) == 0:
+        return np.zeros(0, dtype=np.int64)
+    present = np.zeros(2 * n - 1, dtype=bool)
+    present[off + (n - 1)] = True
+    return np.flatnonzero(present).astype(np.int64) - (n - 1)
+
+
 def count_diagonals(A: sp.spmatrix) -> int:
     coo = A.tocoo()
-    return len(np.unique(coo.col - coo.row))
+    n = A.shape[0]
+    return len(
+        _unique_offsets(coo.col.astype(np.int64) - coo.row, n)
+    )
 
 
 def supernode_from_scipy(
