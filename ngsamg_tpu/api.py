@@ -224,6 +224,22 @@ def CreateHybridGSS(mat, block_size=1, **kw):
     return _standalone_smoother(mat, "gs", block_size, **kw)
 
 
+def CreateHybridBlockGSS(mat, blocks, steps: int = 1):
+    """Block GS from user-supplied DOF blocks (ref: CreateHybridBlockGSS,
+    python_smoothers.cpp:197)."""
+    import jax.numpy as jnp
+
+    from .smoothers.block import build_block_gs
+
+    A = mat.tocsr()
+    Ad = bell.from_scipy(A, 1, 1)
+    sm = build_block_gs(
+        A, [np.asarray(b) for b in blocks], Ad.nrows_pad, jnp.float32,
+        steps=steps,
+    )
+    return _SmootherHandle(Ad, sm, None, mat.shape[0], 1)
+
+
 def CreateJacobiSmoother(mat, block_size=1, l1: bool = True, **kw):
     return _standalone_smoother(
         mat, "l1_jacobi" if l1 else "jacobi", block_size, **kw

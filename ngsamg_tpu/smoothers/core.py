@@ -104,6 +104,10 @@ def smooth(sm: Smoother, A: BlockELL, x: jax.Array | None, b: jax.Array):
 
     if isinstance(sm, HiptmairSmoother):
         return hiptmair_smooth(sm, A, x, b, reverse=False)
+    from .block import BlockGSSmoother, block_gs_smooth
+
+    if isinstance(sm, BlockGSSmoother):
+        return block_gs_smooth(sm, A, x, b, reverse=False)
     from ..solve.cycle import AMGSmoother
 
     if isinstance(sm, AMGSmoother):
@@ -118,6 +122,10 @@ def smooth_back(sm: Smoother, A: BlockELL, x: jax.Array | None, b: jax.Array):
 
     if isinstance(sm, HiptmairSmoother):
         return hiptmair_smooth(sm, A, x, b, reverse=True)
+    from .block import BlockGSSmoother, block_gs_smooth
+
+    if isinstance(sm, BlockGSSmoother):
+        return block_gs_smooth(sm, A, x, b, reverse=True)
     # Jacobi / Chebyshev / AMG-as-smoother are symmetric
     return smooth(sm, A, x, b)
 

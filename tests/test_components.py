@@ -298,3 +298,51 @@ def test_elmat_accumulator_matches_matrix_graph():
     ref = H1Energy(1).build_finest_mesh(prob.A, prob.coords)
     assert mesh.ne == ref.ne
     np.testing.assert_array_equal(mesh.edges, ref.edges)
+
+
+# ---------------------------------------------------------------------------
+# block smoothers + batched device LA
+# ---------------------------------------------------------------------------
+
+
+def test_block_gs_reduces_error():
+    import ngsamg_tpu.api as NgsAMG
+
+    p = fem.poisson_2d(16)
+    # blocks = 4x4 patches of the lattice (arbitrary non-overlapping blocks)
+    m = 15
+    ids = np.arange(p.n).reshape(m, m)
+    blocks = [
+        ids[i : i + 4, j : j + 4].ravel()
+        for i in range(0, m, 4)
+        for j in range(0, m, 4)
+    ]
+    sm = NgsAMG.CreateHybridBlockGSS(p.A, blocks)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(p.n)
+    b = p.A @ xex
+    x = np.zeros(p.n)
+    eA = lambda v: float((v - xex) @ (p.A @ (v - xex)))
+    e_hist = [eA(x)]
+    for _ in range(4):
+        x = sm.Smooth(x, b)
+        x = sm.SmoothBack(x, b)
+        e_hist.append(eA(x))
+    assert e_hist[-1] < 1e-3 * e_hist[0]
+    assert all(b <= a * (1 + 1e-10) for a, b in zip(e_hist, e_hist[1:]))
+
+
+def test_batched_pencil_matches_numpy():
+    from ngsamg_tpu.apps.elasticity import _pencil_extreme_eig as np_pencil
+    from ngsamg_tpu.ops import batched_la as bla
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((20, 6, 6))
+    # well-conditioned C: rank decisions must agree between the f64 host
+    # path and the f32 device path (borderline ranks legitimately differ)
+    C = np.einsum("bik,bjk->bij", X, X) + 0.5 * np.eye(6)
+    Y = rng.standard_normal((20, 6, 2))
+    E = np.einsum("bik,bjk->bij", Y, Y)
+    ref = np_pencil(E, C, reduction="max")
+    dev = np.asarray(bla.pencil_extreme_eig(E, C, reduction="max"))
+    np.testing.assert_allclose(dev, ref, rtol=5e-3, atol=1e-4)
