@@ -157,6 +157,45 @@ class elast_3d(_AMGClass):
         super().__init__(A, coords=coords, **flags)
 
 
+class _StokesAMGClass:
+    """Stokes facet AMG with the reference export surface."""
+
+    def __init__(self, A, *, cell_pos, cell_vol, facet_cells, facet_flow,
+                 options=None, **flags):
+        from .precond.stokes import StokesAMG
+
+        if options is None:
+            options = options_from_flags(flags) if flags else AMGOptions()
+        self._pc = StokesAMG(
+            A,
+            cell_pos=cell_pos,
+            cell_vol=cell_vol,
+            facet_cells=facet_cells,
+            facet_flow=facet_flow,
+            options=options,
+        ).setup()
+
+    def GetNLevels(self, rank: int = 0):
+        return self._pc.num_levels
+
+    def GetNDof(self, level: int = 0, rank: int = 0):
+        return self._pc.setup_levels_[level].A.shape[0]
+
+    def GetAMGMatrix(self):
+        return self._pc.op
+
+    def solve(self, b, **kw):
+        return self._pc.solve(b, **kw)
+
+
+class stokes_gg_2d(_StokesAMGClass):
+    """2D grad-grad + div-penalty Stokes AMG (reference stokes_gg_2d)."""
+
+
+class stokes_gg_3d(_StokesAMGClass):
+    """3D grad-grad + div-penalty Stokes AMG (reference stokes_gg_3d)."""
+
+
 # ---------------------------------------------------------------------------
 # standalone smoothers (python_smoothers.cpp:144-391)
 # ---------------------------------------------------------------------------

@@ -240,21 +240,24 @@ def _spanning_forest(mesh, v2agg, interior_edges):
 def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     """Curl matrix C: loops -> facet space (`CalcFacetLoops` analog).
 
-    Loops are the elementary 4-cycles of the dual lattice (cells around an
-    interior primal node); requires lattice cell positions. Returns None
-    when the dual mesh is not a lattice (Hiptmair then degrades to the
-    plain range smoother).
+    Loops are the elementary 4-cycles of the dual lattice: in 2D one loop
+    per interior primal node, in 3D one per interior primal edge — i.e.
+    for every axis pair (a1, a2) the cycle c -> c+e1 -> c+e1+e2 -> c+e2.
+    They span ker(D) (a spanning set, not necessarily a basis in 3D).
+    Requires lattice cell positions; returns None otherwise (Hiptmair then
+    degrades to the plain range smoother).
     """
     from ..coarsen.lattice import detect_lattice
 
     det = detect_lattice(mesh.vertex_data["pos"])
-    if det is None or det[0].shape[1] != 2:
+    if det is None:
         return None
     idx, dims = det
-    nx, ny = int(dims[0]), int(dims[1])
-    cell_of = -np.ones((nx, ny), dtype=np.int64)
-    cell_of[idx[:, 0], idx[:, 1]] = np.arange(mesh.nv)
-    # edge lookup
+    d = idx.shape[1]
+    if d < 2:
+        return None
+    cell_of = -np.ones(tuple(int(x) for x in dims), dtype=np.int64)
+    cell_of[tuple(idx.T)] = np.arange(mesh.nv)
     ekey = {}
     for e, (i, j) in enumerate(mesh.edges):
         ekey[(int(i), int(j))] = e
@@ -270,25 +273,39 @@ def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
 
     rows, cols, vals = [], [], []
     nl = 0
-    for ix in range(nx - 1):
-        for iy in range(ny - 1):
-            c00 = cell_of[ix, iy]
-            c10 = cell_of[ix + 1, iy]
-            c01 = cell_of[ix, iy + 1]
-            c11 = cell_of[ix + 1, iy + 1]
-            legs = [
-                get_edge(c00, c10),
-                get_edge(c10, c11),
-                get_edge(c11, c01),
-                get_edge(c01, c00),
+    for a1 in range(d):
+        for a2 in range(a1 + 1, d):
+            e1 = np.zeros(d, dtype=np.int64)
+            e2 = np.zeros(d, dtype=np.int64)
+            e1[a1] = 1
+            e2[a2] = 1
+            it_dims = [
+                int(dims[k]) - (1 if k in (a1, a2) else 0) for k in range(d)
             ]
-            if any(l is None for l in legs):
-                continue
-            for e, s in legs:
-                rows.append(e)
-                cols.append(nl)
-                vals.append(s)
-            nl += 1
+            for flat in range(int(np.prod(it_dims))):
+                base = []
+                r = flat
+                for k in reversed(it_dims):
+                    base.append(r % k)
+                    r //= k
+                base = np.asarray(base[::-1], dtype=np.int64)
+                c00 = cell_of[tuple(base)]
+                c10 = cell_of[tuple(base + e1)]
+                c11 = cell_of[tuple(base + e1 + e2)]
+                c01 = cell_of[tuple(base + e2)]
+                legs = [
+                    get_edge(c00, c10),
+                    get_edge(c10, c11),
+                    get_edge(c11, c01),
+                    get_edge(c01, c00),
+                ]
+                if any(l is None for l in legs):
+                    continue
+                for e, s in legs:
+                    rows.append(e)
+                    cols.append(nl)
+                    vals.append(s)
+                nl += 1
     if nl == 0:
         return None
     return sp.coo_matrix(

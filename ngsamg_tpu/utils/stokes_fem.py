@@ -116,3 +116,86 @@ def stokes_mac_2d(n: int = 16, alpha: float = 10.0, nu: float = 1.0):
         facet_pos=fpos,
         alpha=alpha,
     )
+
+
+def stokes_mac_3d(n: int = 8, alpha: float = 10.0, nu: float = 1.0):
+    """3D MAC Stokes velocity block on an n^3 unit-cube grid."""
+    h = 1.0 / n
+    ncell = n**3
+
+    def cid(i, j, k):
+        return (i * n + j) * n + k
+
+    axes = []
+    for ax in range(3):
+        dims = [n, n, n]
+        dims[ax] -= 1
+        I, J, K = np.meshgrid(
+            np.arange(dims[0]), np.arange(dims[1]), np.arange(dims[2]),
+            indexing="ij",
+        )
+        step = [0, 0, 0]
+        step[ax] = 1
+        c0 = cid(I, J, K).ravel()
+        c1 = cid(I + step[0], J + step[1], K + step[2]).ravel()
+        pos = np.stack(
+            [
+                (I.ravel() + (1.0 if ax == 0 else 0.5)) * h,
+                (J.ravel() + (1.0 if ax == 1 else 0.5)) * h,
+                (K.ravel() + (1.0 if ax == 2 else 0.5)) * h,
+            ],
+            axis=1,
+        )
+        axes.append((c0, c1, pos, dims))
+
+    fc = np.concatenate(
+        [np.stack([a[0], a[1]], axis=1) for a in axes]
+    ).astype(np.int64)
+    fpos = np.concatenate([a[2] for a in axes])
+    nf = len(fc)
+    flow = np.full(nf, h * h)  # face area
+
+    rows = np.concatenate([fc[:, 0], fc[:, 1]])
+    cols = np.concatenate([np.arange(nf), np.arange(nf)])
+    data = np.concatenate([flow, -flow])
+    D = sp.coo_matrix((data, (rows, cols)), shape=(ncell, nf)).tocsr()
+
+    def lap3(dims):
+        mats = []
+        for d in dims:
+            e = np.ones(d)
+            mats.append(sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1]))
+        L = (
+            sp.kron(sp.kron(mats[0], sp.eye(dims[1])), sp.eye(dims[2]))
+            + sp.kron(sp.kron(sp.eye(dims[0]), mats[1]), sp.eye(dims[2]))
+            + sp.kron(sp.kron(sp.eye(dims[0]), sp.eye(dims[1])), mats[2])
+        )
+        return L
+
+    L = sp.block_diag([lap3(a[3]) for a in axes]).tocsr() * nu * h
+    W = sp.diags(np.full(ncell, 1.0 / h**3))
+    Kmat = (L + alpha * (D.T @ W @ D)).tocsr()
+    Kmat = (Kmat + Kmat.T) * 0.5
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(nf)
+    b -= b.mean()
+
+    I, J, K2 = np.meshgrid(
+        np.arange(n), np.arange(n), np.arange(n), indexing="ij"
+    )
+    cpos = np.stack(
+        [(I.ravel() + 0.5) * h, (J.ravel() + 0.5) * h, (K2.ravel() + 0.5) * h],
+        axis=1,
+    )
+    return StokesProblem(
+        A=Kmat.tocsr(),
+        b=b,
+        D=D,
+        cell_pos=cpos,
+        cell_vol=np.full(ncell, h**3),
+        facet_cells=fc,
+        facet_flow=flow,
+        facet_pos=fpos,
+        alpha=alpha,
+    )

@@ -96,3 +96,44 @@ def test_stokes_solve_stiff_penalty():
     ).setup()
     x, info = pc.solve(p.b, tol=1e-8, maxiter=200)
     assert info.converged
+
+
+def test_stokes_3d():
+    from ngsamg_tpu.utils.stokes_fem import stokes_mac_3d
+
+    p = stokes_mac_3d(8, alpha=10.0)
+    mesh, _ = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    C = st.build_loops(mesh)
+    assert np.abs(p.D @ C).max() == 0.0
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 150
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=200)
+    assert info.converged and info.iterations < 120
+
+
+def test_stokes_api_export():
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_mac_2d
+
+    p = stokes_mac_2d(16, alpha=10.0)
+    pc = NgsAMG.stokes_gg_2d(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        ngs_amg_max_coarse_size=80,
+    )
+    assert pc.GetNLevels() >= 2
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=150)
+    assert info.converged
