@@ -26,7 +26,7 @@ from .config import AMGOptions, SmootherType, options_from_flags
 from .precond.amg import AMGPreconditioner
 from .sparse import bell
 from .solve.cycle import amg_apply
-from .solve.pcg import amg_iteration, pcg
+from .solve.pcg import amg_iteration
 
 
 class _AMGClass(AMGPreconditioner):

@@ -22,12 +22,12 @@ Re-creates the reference Stokes component (/root/reference/src/stokes/):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
 
-from ..mesh.topo import AlgebraicMesh, map_edges
+from ..mesh.topo import AlgebraicMesh
 
 
 @dataclass

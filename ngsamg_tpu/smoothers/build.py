@@ -11,7 +11,6 @@ D^-1 A spectral radius for Chebyshev windows.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 import scipy.sparse as sp
 
 from ..config import SmootherOptions, SmootherType

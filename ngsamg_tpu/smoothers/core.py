@@ -20,7 +20,7 @@ fast path, which skips the first A@x).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

@@ -22,7 +22,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..sparse.bell import BlockELL
 from ..sparse.formats import matvec
 from ..smoothers.core import Smoother, smooth, smooth_back
 
