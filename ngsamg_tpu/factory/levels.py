@@ -260,7 +260,8 @@ def setup_levels(
         if E is not None:
             P = (E @ P).tobsr(blocksize=(cur.row_bs, energy.dpv))
 
-        Ac = rap(cur.A, P)
+        # f32 products: coarse operators only serve the f32 preconditioner
+        Ac = rap(cur.A, P, dtype=np.float32)
         cur.P = P
         cur.v2agg = v2agg
         levels.append(

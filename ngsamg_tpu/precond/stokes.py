@@ -90,7 +90,7 @@ class StokesAMG:
             cap.v2agg = v2agg
             from ..transfer.galerkin import rap
 
-            A = rap(A, P)
+            A = rap(A, P, dtype=np.float32)
             mesh = cmesh
             lvl += 1
         self.setup_levels_ = levels

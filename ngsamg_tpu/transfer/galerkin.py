@@ -13,8 +13,16 @@ from __future__ import annotations
 import scipy.sparse as sp
 
 
-def rap(A: sp.spmatrix, P: sp.spmatrix) -> sp.csr_matrix:
-    """Coarse operator A_c = P^T A P (symmetrized)."""
+def rap(A: sp.spmatrix, P: sp.spmatrix, dtype=None) -> sp.csr_matrix:
+    """Coarse operator A_c = P^T A P (symmetrized).
+
+    ``dtype`` controls the product precision: coarse operators only serve
+    the (f32) preconditioner, so float32 halves the memory traffic of the
+    dominant setup cost (csr matmat) without affecting the f64 outer solve.
+    """
+    if dtype is not None:
+        A = A.astype(dtype)
+        P = P.astype(dtype)
     Ac = (P.T.tocsr() @ (A.tocsr() @ P.tocsr())).tocsr()
     Ac = (Ac + Ac.T) * 0.5
     Ac = Ac.tocsr()
