@@ -51,6 +51,29 @@ def _scalar_pad(fmt, bs: int) -> int:
     return fmt.nrows_pad * bs
 
 
+_TRANSFER_WARM = False
+
+
+def _warm_transfer_path():
+    """Graduated host->device transfer warm-up.
+
+    On remote-TPU tunnels the first sizeable device_put of a process pays a
+    large one-time cost (measured 77s for a cold 128MB put vs 1.5s warm);
+    warming with small puts before the hierarchy ships avoids paying it on
+    the big transfer.
+    """
+    global _TRANSFER_WARM
+    if _TRANSFER_WARM:
+        return
+    _TRANSFER_WARM = True
+    try:
+        for sz in (1 << 12, 1 << 20, 1 << 23):
+            d = jax.device_put(np.zeros(sz, np.float32))
+            jax.block_until_ready(d)
+    except Exception:
+        pass
+
+
 @dataclass
 class SolveInfo:
     iterations: int
@@ -80,6 +103,13 @@ class AMGPreconditioner:
         self.options = options
         self.freedofs = None if freedofs is None else np.asarray(freedofs, bool)
         A = A.tocsr()
+        if A.shape[0] != A.shape[1]:
+            raise ValueError(f"matrix must be square, got {A.shape}")
+        if A.shape[0] % block_size:
+            raise ValueError(
+                f"matrix size {A.shape[0]} not divisible by "
+                f"block_size {block_size}"
+            )
         if self.freedofs is not None:
             # subset selection (reference: DOF subsets, amg_pc_vertex.hpp:211)
             idx = np.flatnonzero(self.freedofs)
@@ -124,6 +154,7 @@ class AMGPreconditioner:
     # ------------------------------------------------------------------
     def setup(self) -> "AMGPreconditioner":
         t0 = time.perf_counter()
+        _warm_transfer_path()
         self.setup_levels_, self.log_ = setup_levels(
             self.A_host, self.energy, self.options, self.coords,
             finest_mesh=self._finest_mesh,
