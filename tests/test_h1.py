@@ -66,3 +66,43 @@ def test_eig_bounds():
     assert lmax < 1.05
     assert lmin > 0.05
     assert lmax / max(lmin, 1e-12) < 20.0
+
+
+def test_amg_as_coarse_component():
+    """AMG composed inside an outer two-level method (the reference's BDDC
+    test pattern: Preconditioner("bddc", coarsetype="ngs_amg.h1_scal"),
+    tests/h1/simple/test_2d_bddc.py) — here: outer additive two-level
+    preconditioner whose coarse solve is the AMG operator via AMGSmoother."""
+    import numpy as np
+
+    from ngsamg_tpu import AMGPreconditioner
+    from ngsamg_tpu.utils import fem
+
+    p = fem.poisson_2d(48)
+    pc = AMGPreconditioner(p.A, coords=p.coords).setup()
+    D = p.A.diagonal()
+
+    def outer_prec(r):
+        return r / D + pc.apply(r)  # additive Jacobi + AMG composition
+
+    # PCG with the composed preconditioner (host loop, small problem)
+    b = p.b
+    x = np.zeros_like(b)
+    r = b.copy()
+    z = outer_prec(r)
+    pvec = z.copy()
+    rz = r @ z
+    it = 0
+    for it in range(1, 61):
+        q = p.A @ pvec
+        alpha = rz / (pvec @ q)
+        x += alpha * pvec
+        r -= alpha * q
+        if np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b):
+            break
+        z = outer_prec(r)
+        rz_new = r @ z
+        pvec = z + (rz_new / rz) * pvec
+        rz = rz_new
+    assert np.linalg.norm(p.A @ x - b) / np.linalg.norm(b) < 1e-7
+    assert it < 60
