@@ -85,7 +85,6 @@ def build_block_gs(
 
     # batched block submatrices A[blk, blk] (padding -> identity-free zero)
     Asub = np.zeros((nb, B, B))
-    dense_cols = {}
     for i in range(B):
         rows_i = blk[:, i]
         valid_i = rows_i != pad_row

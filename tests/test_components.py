@@ -346,3 +346,21 @@ def test_batched_pencil_matches_numpy():
     ref = np_pencil(E, C, reduction="max")
     dev = np.asarray(bla.pencil_extreme_eig(E, C, reduction="max"))
     np.testing.assert_allclose(dev, ref, rtol=5e-3, atol=1e-4)
+
+
+def test_replacement_matrix_spectrally_equivalent():
+    """check_aux_mats analog (CheckAuxMatEquivalence,
+    vertex_factory_impl.hpp:1701-1741): the replacement matrix A-hat must be
+    spectrally comparable to A on generic vectors."""
+    p = fem.poisson_2d(24)
+    en = H1Energy(1)
+    mesh = en.build_finest_mesh(p.A, p.coords)
+    Ahat = en.replacement_matrix(mesh).tocsr()
+    rng = np.random.default_rng(0)
+    ratios = []
+    for _ in range(20):
+        x = rng.standard_normal(p.n)
+        num = x @ (p.A @ x)
+        den = x @ (Ahat @ x)
+        ratios.append(num / den)
+    assert 0.2 < min(ratios) and max(ratios) < 5.0
