@@ -133,8 +133,9 @@ def pcg(
     done = 0
     # Chunks are dispatched speculatively and the residual scalar is read
     # only every `sync_every` chunks: on remote-TPU tunnels a device->host
-    # sync costs ~20x an async dependent dispatch, and the converged state
-    # freezes, so over-dispatching wastes only cheap device cycles.
+    # sync serializes the pipeline, while dependent async dispatches overlap
+    # (measured: per-chunk syncing is ~15% SLOWER even at 2M DoF where the
+    # speculatively dispatched chunks do wasted work).
     sync_every = 4 if _is_axon() else 1
     pending = 0
     while done < maxiter:
