@@ -427,11 +427,14 @@ class AMGPreconditioner:
         bnorm = np.linalg.norm(b)
         if bnorm == 0:
             return np.zeros_like(b), SolveInfo(0, 0.0)
-        f32 = self.dtype == jnp.float32
+        # inner accuracy floor of the device dtype (defect correction
+        # bridges the gap to the requested tolerance)
+        floors = {jnp.float64: 0.0, jnp.float32: 2e-6, jnp.bfloat16: 3e-2}
+        floor = floors.get(jnp.dtype(self.dtype).type, 2e-6)
         if use_refinement is None:
-            use_refinement = f32 and tol < 1e-5
-        inner_tol = max(tol, 2e-6) if f32 else tol
-        max_outer = 8 if use_refinement else 1
+            use_refinement = floor > 0 and tol < floor
+        inner_tol = max(tol, floor)
+        max_outer = (30 if floor > 1e-3 else 8) if use_refinement else 1
 
         x = np.zeros(self.n)
         total_it = 0

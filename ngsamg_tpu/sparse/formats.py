@@ -230,6 +230,13 @@ def count_diagonals(A: sp.spmatrix) -> int:
     )
 
 
+def _scipy_compat(dtype):
+    """scipy-supported staging dtype (bf16 etc. cast at the final array)."""
+    if np.dtype(dtype) in (np.dtype(np.float32), np.dtype(np.float64)):
+        return np.dtype(dtype)
+    return np.float32
+
+
 def supernode_from_scipy(
     A: sp.spmatrix,
     dtype,
@@ -255,7 +262,7 @@ def supernode_from_scipy(
         nc_pad = -(-nc // tile_c) * tile_c
     if nr_pad % tile or nc_pad % tile_c:
         raise ValueError("pad sizes must be multiples of the tiles")
-    P = sp.csr_matrix(A.tocsr().astype(np.dtype(dtype)), copy=False)
+    P = sp.csr_matrix(A.tocsr().astype(_scipy_compat(dtype)), copy=False)
     P.resize((nr_pad, nc_pad))
     B = sp.bsr_matrix(P, blocksize=(tile, tile_c))
     inner = _bell.from_scipy(

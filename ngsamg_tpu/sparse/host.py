@@ -151,7 +151,10 @@ def pad_to_ell(
     K = int(deg.max()) if width is None else int(width)
     if deg.max() > K:
         raise ValueError(f"ELL width {K} < max row degree {deg.max()}")
-    data = np.zeros((n, K, bs_r, bs_c), dtype=np.dtype(dtype))
+    try:
+        data = np.zeros((n, K, bs_r, bs_c), dtype=np.dtype(dtype))
+    except TypeError:
+        data = np.zeros((n, K, bs_r, bs_c), dtype=dtype)  # ml_dtypes (bf16)
     cols = np.zeros((n, K), dtype=np.int32)
     rows = np.repeat(np.arange(n), deg)
     slot = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)

@@ -364,3 +364,37 @@ def test_replacement_matrix_spectrally_equivalent():
         den = x @ (Ahat @ x)
         ratios.append(num / den)
     assert 0.2 < min(ratios) and max(ratios) < 5.0
+
+
+def test_implicit_lattice_transfer_matches_explicit_P():
+    """Device implicit prolongation/restriction must equal the explicit
+    scipy P used for the Galerkin product (hierarchy consistency)."""
+    import jax.numpy as jnp
+
+    from ngsamg_tpu import AMGPreconditioner, AMGOptions
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.sparse.formats import matvec
+    from ngsamg_tpu.transfer.lattice_transfer import LatticeProlongation
+
+    p = fem.poisson_3d(12)
+    opts = AMGOptions()
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    pc = AMGPreconditioner(p.A, coords=p.coords, options=opts).setup()
+    lev = pc.op.levels[0]
+    assert isinstance(lev.P, LatticeProlongation)
+    P_explicit = pc.setup_levels_[0].P.tocsr()
+    nf, nc = P_explicit.shape
+    rng = np.random.default_rng(0)
+    xc = rng.standard_normal(nc)
+    xc_dev = jnp.zeros((lev.P.nc_pad, 1), jnp.float32).at[:nc, 0].set(
+        jnp.asarray(xc, jnp.float32)
+    )
+    yf = np.asarray(matvec(lev.P, xc_dev))[:nf, 0]
+    np.testing.assert_allclose(yf, P_explicit @ xc, rtol=1e-4, atol=1e-5)
+    # restriction == P^T
+    xf = rng.standard_normal(nf)
+    xf_dev = jnp.zeros((lev.P.nf_pad, 1), jnp.float32).at[:nf, 0].set(
+        jnp.asarray(xf, jnp.float32)
+    )
+    yc = np.asarray(matvec(lev.R, xf_dev))[:nc, 0]
+    np.testing.assert_allclose(yc, P_explicit.T @ xf, rtol=1e-4, atol=1e-5)

@@ -106,3 +106,11 @@ def test_amg_as_coarse_component():
         rz = rz_new
     assert np.linalg.norm(p.A @ x - b) / np.linalg.norm(b) < 1e-7
     assert it < 60
+
+
+def test_bf16_device_dtype():
+    """bfloat16 device compute + f64 defect correction reaches 1e-8."""
+    from ngsamg_tpu import AMGOptions
+
+    prob = fem.poisson_3d(12)
+    solve_and_check(prob, ms=100, options=AMGOptions(dtype="bfloat16"))
