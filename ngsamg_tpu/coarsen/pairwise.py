@@ -121,13 +121,16 @@ def spw_aggregate(
     adopt_orphans: bool = True,
     active: np.ndarray | None = None,
     max_agg: int | None = None,
+    aaf: float | None = None,
 ) -> tuple[np.ndarray, int]:
     """Multi-round successive pairwise aggregation.
 
     Parameters mirror SPWConfig (spw_agg.hpp:15-60): ``rounds`` = numRounds,
     ``theta`` the strength threshold. ``active`` masks vertices that take part
-    (Dirichlet/dropped vertices excluded). Returns (v2agg, n_agg) with
-    v2agg[v] = -1 for inactive vertices.
+    (Dirichlet/dropped vertices excluded). ``aaf`` (when set) is the
+    reference's goal coarsening factor (base_factory.hpp `aaf`): rounds
+    repeat until n_coarse <= aaf * n, bounded by 10 rounds. Returns
+    (v2agg, n_agg) with v2agg[v] = -1 for inactive vertices.
     """
     n = S.shape[0]
     if active is None:
@@ -138,9 +141,14 @@ def spw_aggregate(
     act_idx = np.flatnonzero(active)
     v2c[act_idx] = np.arange(len(act_idx))
     n_cur = len(act_idx)
+    n0 = n_cur
     S_cur = S[act_idx][:, act_idx].tocsr()
 
-    for _ in range(rounds):
+    if aaf is not None:
+        rounds = 10  # goal-driven: bound, not target
+    for _round in range(rounds):
+        if aaf is not None and n_cur <= aaf * n0:
+            break
         partner = handshake_match(
             S_cur, theta, can_match=np.ones(n_cur, dtype=bool)
         )

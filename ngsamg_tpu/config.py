@@ -127,6 +127,10 @@ class CoarsenOptions:
     spw_rounds: SpecLike = field(
         default_factory=lambda: SpecOpt(2, (3,))
     )
+    # goal coarsening factor per step (the reference's `aaf`/`first_aaf`,
+    # base_factory.hpp:100-110): when set, pairwise rounds repeat until
+    # n_coarse <= aaf * n_fine (overrides spw_rounds); None = fixed rounds
+    aaf: SpecLike = None
     # strength-of-connection threshold: edges weaker than theta * max-per-row
     # are never matched (cf. MIS `ecw` options mis_agg.hpp:15-60)
     theta: SpecLike = 0.08
@@ -142,6 +146,7 @@ class CoarsenOptions:
     def __post_init__(self):
         self.algo = as_spec(self.algo)
         self.spw_rounds = as_spec(self.spw_rounds)
+        self.aaf = as_spec(self.aaf)
         self.theta = as_spec(self.theta)
         self.robust = as_spec(self.robust)
         self.adopt_orphans = as_spec(self.adopt_orphans)
@@ -265,6 +270,11 @@ def options_from_flags(flags: dict) -> AMGOptions:
                 so = SpecOpt(getattr(type(obj)(), attr), so.spec)
             setattr(obj, attr, so)
 
+    if "aaf" in flat or "first_aaf" in flat:
+        # aggressive coarsening factors (base_factory.hpp aaf/first_aaf)
+        default = float(flat["aaf"]) if "aaf" in flat else None
+        spec = (float(flat["first_aaf"]),) if "first_aaf" in flat else ()
+        opts.coarsen.aaf = SpecOpt(default, spec)
     if "mg_cycle" in flat:
         opts.cycle = CycleType(flat["mg_cycle"].upper())
     if "clev" in flat:

@@ -117,11 +117,13 @@ def build_coarse_map(
         return mis_aggregate(
             S, theta=float(c.theta.get(level))
         )
+    aaf = c.aaf.get(level)
     return pairwise.spw_aggregate(
         S,
         rounds=int(c.spw_rounds.get(level)),
         theta=float(c.theta.get(level)),
         adopt_orphans=bool(c.adopt_orphans.get(level)),
+        aaf=None if aaf is None else float(aaf),
     )
 
 
@@ -260,8 +262,12 @@ def setup_levels(
         if E is not None:
             P = (E @ P).tobsr(blocksize=(cur.row_bs, energy.dpv))
 
-        # f32 products: coarse operators only serve the f32 preconditioner
-        Ac = rap(cur.A, P, dtype=np.float32)
+        # Galerkin products in the solve dtype: f32 coarse operators serve
+        # an f32 preconditioner, but an f64 solve needs f64 RAP — on
+        # ill-conditioned (jump elasticity) problems f32-rounded coarse
+        # operators measurably break the V-cycle's positive definiteness
+        rap_dt = np.float32 if opts.dtype != "float64" else np.float64
+        Ac = rap(cur.A, P, dtype=rap_dt)
         cur.P = P
         cur.v2agg = v2agg
         levels.append(

@@ -346,20 +346,22 @@ def _elasticity_elem(verts, elems, E, nu, plane_stress=True):
     G[:, 1:, :] = np.transpose(Dinv, (0, 2, 1))
     G[:, 0, :] = -G[:, 1:, :].sum(axis=1)
 
+    E = np.broadcast_to(np.asarray(E, dtype=np.float64), (ne,))
     mu = E / (2 * (1 + nu))
     if dim == 2 and plane_stress:
         lam = E * nu / (1 - nu * nu)
     else:
         lam = E * nu / ((1 + nu) * (1 - 2 * nu))
+    mu5 = mu[:, None, None, None, None]
+    lam5 = lam[:, None, None, None, None]
 
-    # Ke[e, i*dim+a, j*dim+b] =
-    #   vol * ( mu*(G_ib G_ja? ...) ) — use standard formula:
-    #   mu * (delta_ab * G_i.G_j + G_jb*G_ia... )
+    # standard small-strain isotropic element stiffness:
+    # mu*(delta_ab G_i.G_j + G_ib G_ja) + lam G_ia G_jb
     GiGj = np.einsum("eid,ejd->eij", G, G)  # (ne, nl, nl)
     Ke = (
-        mu * np.einsum("eij,ab->eiajb", GiGj, np.eye(dim))
-        + mu * np.einsum("eib,eja->eiajb", G, G)
-        + lam * np.einsum("eia,ejb->eiajb", G, G)
+        mu5 * np.einsum("eij,ab->eiajb", GiGj, np.eye(dim))
+        + mu5 * np.einsum("eib,eja->eiajb", G, G)
+        + lam5 * np.einsum("eia,ejb->eiajb", G, G)
     )
     Ke *= vol[:, None, None, None, None]
     return Ke.reshape(ne, nl * dim, nl * dim), vol
@@ -375,9 +377,17 @@ def _beam(dim, n, length):
     return verts, elems, fixed
 
 
-def _elasticity(dim, n, length, E, nu, load) -> Problem:
+def _elasticity(dim, n, length, E, nu, load, jump=False) -> Problem:
     verts, elems, fixed = _beam(dim, n, length)
-    Ke, vol = _elasticity_elem(verts, elems, E, nu)
+    if jump:
+        # two-material beam: stiff inclusions along the length (the
+        # reference's elasticity jump tests, tests/elasticity/mdim/jump)
+        centers = verts[elems].mean(axis=1)
+        stiff = (centers[:, 0] % 4.0) < 2.0
+        Evec = np.where(stiff, E * 1e3, E)
+    else:
+        Evec = E
+    Ke, vol = _elasticity_elem(verts, elems, Evec, nu)
     nl = elems.shape[1]
     # vector DOF indices: vertex v -> [v*dim, ..., v*dim+dim-1]
     dof = (elems[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(
@@ -412,11 +422,13 @@ def vector_poisson(base: Problem, bs: int) -> Problem:
     )
 
 
-def elasticity_2d(n: int = 8, length: int = 10, E=1e3, nu=0.3, load=1.0):
+def elasticity_2d(n: int = 8, length: int = 10, E=1e3, nu=0.3, load=1.0,
+                  jump: bool = False):
     """2D plane-stress cantilever beam (cf. tests/elasticity mdim 2D)."""
-    return _elasticity(2, n, length, E, nu, load)
+    return _elasticity(2, n, length, E, nu, load, jump=jump)
 
 
-def elasticity_3d(n: int = 4, length: int = 10, E=1e3, nu=0.3, load=1.0):
+def elasticity_3d(n: int = 4, length: int = 10, E=1e3, nu=0.3, load=1.0,
+                  jump: bool = False):
     """3D cantilever beam 10x1x1 (tests/elasticity/mdim/simple/test_3d_lo.py)."""
-    return _elasticity(3, n, length, E, nu, load)
+    return _elasticity(3, n, length, E, nu, load, jump=jump)

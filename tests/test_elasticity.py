@@ -113,3 +113,28 @@ def test_rbm_preserved_through_hierarchy():
     interior = np.repeat(pos_f[:, 0] > 1.0, 2)
     err = np.abs(v - expect)[interior]
     assert err.max() < 1e-8, f"max RBM error {err.max():.2e}"
+
+
+def test_elast_2d_jump():
+    """Two-material beam (E jump 1e3) — reference elasticity jump tests
+    (tests/elasticity/mdim/jump). kappa(A) ~ 1e9, so the f64 PCG residual
+    floor sits near 1e-7; the budgeted tolerance reflects that."""
+    p = fem.elasticity_2d(10, length=10, jump=True)
+    solve_and_check(p, ms=80, tol=1e-6, options=_opts(), energy="elasticity")
+
+
+def test_aaf_goal_driven_coarsening():
+    """aaf/first_aaf goal factors drive the pairwise rounds."""
+    import ngsamg_tpu.factory.levels as L
+    from ngsamg_tpu import AMGPreconditioner
+    from ngsamg_tpu.config import CoarsenType, SpecOpt
+
+    p = fem.poisson_2d(48)
+    o = _opts()
+    o.coarsen.algo = SpecOpt(CoarsenType.SPW)  # force algebraic path
+    o.coarsen.aaf = SpecOpt(0.1, (0.05,))  # first_aaf aggressive
+    pc = AMGPreconditioner(p.A, options=o).setup()
+    nvs = pc.log_.nvs
+    assert nvs[1] <= 0.06 * nvs[0]  # first level ~20x reduction
+    if len(nvs) > 2:
+        assert nvs[2] <= 0.12 * nvs[1]
