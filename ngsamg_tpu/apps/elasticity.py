@@ -47,27 +47,41 @@ def _skew(d: np.ndarray) -> np.ndarray:
 
 
 class ElasticityEnergy(Energy):
-    """dim=2 -> dpv=3, dim=3 -> dpv=6."""
+    """dim=2 -> dpv=3, dim=3 -> dpv=6.
 
-    def __init__(self, dim: int):
+    ``rot_scale`` rescales the rotational coefficients r' = r / s so the
+    transport couplings d/s stay O(1) (the reference's `rot_scale` ~ 1/h,
+    vertex_factory_impl.hpp:84, elasticity_pc_impl.hpp rot_scalings):
+    "auto" picks s = median edge length of the finest mesh.
+    """
+
+    def __init__(self, dim: int, rot_scale: float | str = "auto"):
         if dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
         self.dim = dim
         self.dpv = 3 if dim == 2 else 6
+        self.rot_scale = rot_scale
+        self._s = 1.0 if rot_scale == "auto" else float(rot_scale)
 
     # -- transport --------------------------------------------------------
     def transport(self, pos_from, pos_to) -> np.ndarray:
-        """Q(a -> b): (m, dpv, dpv) rigid-body coefficient transport."""
+        """Q(a -> b): (m, dpv, dpv) rigid-body coefficient transport.
+
+        In scaled coordinates (t, r/s): Q' = S Q S^-1 with S = diag(I, I/s),
+        i.e. the displacement-rotation coupling becomes -skew(d)*s... note
+        the coupling block is multiplied by the rotation scale s.
+        """
         d = np.asarray(pos_to, float) - np.asarray(pos_from, float)
         m = len(d)
+        s = self._s
         Q = np.tile(np.eye(self.dpv), (m, 1, 1))
         if self.dim == 2:
             # u(b) = t + omega * perp(d), perp(d) = (-dy, dx)
-            Q[:, 0, 2] = -d[:, 1]
-            Q[:, 1, 2] = d[:, 0]
+            Q[:, 0, 2] = -d[:, 1] * s
+            Q[:, 1, 2] = d[:, 0] * s
         else:
             # u(b) = t + omega x d = t - skew(d) omega
-            Q[:, :3, 3:] = -_skew(d)
+            Q[:, :3, 3:] = -_skew(d) * s
         return Q
 
     def embed_blocks(self, m: int) -> np.ndarray:
@@ -130,7 +144,11 @@ class ElasticityEnergy(Energy):
         blocks = blocks[order_b][inv]  # aligned with mesh.edges
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
         t = pos[j] - pos[i]
-        t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-300)
+        lens = np.linalg.norm(t, axis=1)
+        if self.rot_scale == "auto" and len(lens):
+            # rotations measured in units of h: couplings d * s stay O(1)
+            self._s = 1.0 / max(float(np.median(lens)), 1e-300)
+        t /= np.maximum(lens[:, None], 1e-300)
         fac = np.abs(np.einsum("ei,eij,ej->e", t, -blocks, t))
         emat = np.zeros((mesh.ne, dpv, dpv))
         emat[:, :dim, :dim] = fac[:, None, None] * np.einsum(
