@@ -130,11 +130,15 @@ class ElasticityEnergy(Energy):
             nv=nv,
             edges=np.stack([U.row, U.col], axis=1).astype(np.int64),
         )
-        # off-diagonal displacement blocks for the edges (vectorized lookup)
+        # off-diagonal displacement blocks for the edges (vectorized lookup).
+        # Explicitly-stored ZERO blocks were dropped from W by
+        # eliminate_zeros above — drop them here too or the edge/block
+        # alignment silently shifts (norms>0 matches eliminate_zeros exactly)
         rows_all = np.repeat(np.arange(nv), np.diff(B.indptr))
-        upper = rows_all < B.indices
+        upper = (rows_all < B.indices) & (norms > 0)
         blk_i, blk_j = rows_all[upper], B.indices[upper]
         blocks = B.data[upper].astype(np.float64)
+        assert len(blocks) == mesh.ne, (len(blocks), mesh.ne)
         # the triu COO above and this BSR walk enumerate the same edges;
         # align by (i, j) sort order
         order_u = np.lexsort((mesh.edges[:, 1], mesh.edges[:, 0]))

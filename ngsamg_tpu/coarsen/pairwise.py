@@ -54,7 +54,7 @@ def handshake_match(S: sp.csr_matrix, theta: float, can_match: np.ndarray):
     # native single-pass implementation when built (ngsamg_tpu.native)
     from ..native import handshake_match as _native_match
 
-    nat = _native_match(indptr, indices, vals, theta, 8)
+    nat = _native_match(indptr, indices, vals, can_match, theta, 8)
     if nat is not None:
         return np.asarray(nat)
     # eligibility by strength threshold (relative to both endpoints' rows,
@@ -146,12 +146,20 @@ def spw_aggregate(
 
     if aaf is not None:
         rounds = 10  # goal-driven: bound, not target
+    sizes = np.ones(n_cur, dtype=np.int64)  # fine vertices per coarse vertex
     for _round in range(rounds):
         if aaf is not None and n_cur <= aaf * n0:
             break
-        partner = handshake_match(
-            S_cur, theta, can_match=np.ones(n_cur, dtype=bool)
+        # aggregate-size cap (reference SPW size caps): full aggregates
+        # no longer participate in matching
+        cm = (
+            np.ones(n_cur, dtype=bool)
+            if max_agg is None
+            else sizes * 2 <= max_agg
         )
+        if not cm.any():
+            break
+        partner = handshake_match(S_cur, theta, can_match=cm)
         c2agg, n_agg = aggregates_from_partner(
             partner, np.ones(n_cur, dtype=bool)
         )
@@ -160,6 +168,9 @@ def spw_aggregate(
         # compose
         mask = v2c >= 0
         v2c[mask] = c2agg[v2c[mask]]
+        sizes = np.bincount(
+            c2agg, weights=sizes.astype(np.float64), minlength=n_agg
+        ).astype(np.int64)
         n_cur = n_agg
         S_cur = coarse_strength_graph(S_cur, c2agg, n_agg)
 

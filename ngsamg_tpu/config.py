@@ -267,7 +267,10 @@ def options_from_flags(flags: dict) -> AMGOptions:
         so = spec(key, cast)
         if so is not None:
             if so.default is None:
-                so = SpecOpt(getattr(type(obj)(), attr), so.spec)
+                # dataclass defaults are already SpecOpt-wrapped by
+                # __post_init__ — unwrap to avoid nesting
+                d = getattr(type(obj)(), attr)
+                so = SpecOpt(d.default if isinstance(d, SpecOpt) else d, so.spec)
             setattr(obj, attr, so)
 
     if "aaf" in flat or "first_aaf" in flat:

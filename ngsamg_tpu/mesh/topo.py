@@ -83,7 +83,9 @@ def map_edges(mesh: AlgebraicMesh, v2agg: np.ndarray, n_agg: int):
     cj = v2agg[mesh.edges[:, 1]]
     lo = np.minimum(ci, cj)
     hi = np.maximum(ci, cj)
-    cross = lo != hi
+    # edges touching dropped vertices (v2agg == -1) are collapsed, not
+    # cross edges — a negative lo would corrupt the key arithmetic below
+    cross = (lo != hi) & (lo >= 0)
     key = lo.astype(np.int64) * n_agg + hi
     e2ce = np.full(mesh.ne, -1, dtype=np.int64)
     if cross.any():

@@ -29,13 +29,14 @@ def greedy_color(indptr, indices) -> np.ndarray | None:
     )
 
 
-def handshake_match(indptr, indices, weights, theta, iters=8):
+def handshake_match(indptr, indices, weights, can_match, theta, iters=8):
     if not HAVE_NATIVE:
         return None
     return _nat.handshake_match(
         np.ascontiguousarray(indptr, dtype=np.int64),
         np.ascontiguousarray(indices, dtype=np.int64),
         np.ascontiguousarray(weights, dtype=np.float64),
+        np.ascontiguousarray(can_match, dtype=np.uint8),
         float(theta),
         int(iters),
     )

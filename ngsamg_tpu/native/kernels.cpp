@@ -63,20 +63,23 @@ PyObject *greedy_color(PyObject *, PyObject *args) {
 }
 
 // ---------------------------------------------------------------------
-// handshake_match(indptr, indices, weights f64, theta f64, iters int)
+// handshake_match(indptr, indices, weights f64, can_match uint8,
+//                 theta f64, iters int)
 //   -> partner int64[n]  (-1 unmatched)
+// Vertices with can_match == 0 never propose and are never proposed to.
 // ---------------------------------------------------------------------
 PyObject *handshake_match(PyObject *, PyObject *args) {
-  PyArrayObject *indptr_o, *indices_o, *w_o;
+  PyArrayObject *indptr_o, *indices_o, *w_o, *cm_o;
   double theta;
   int iters;
-  if (!PyArg_ParseTuple(args, "O!O!O!di", &PyArray_Type, &indptr_o,
+  if (!PyArg_ParseTuple(args, "O!O!O!O!di", &PyArray_Type, &indptr_o,
                         &PyArray_Type, &indices_o, &PyArray_Type, &w_o,
-                        &theta, &iters))
+                        &PyArray_Type, &cm_o, &theta, &iters))
     return nullptr;
   auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
   auto *indices = static_cast<const int64_t *>(PyArray_DATA(indices_o));
   auto *w = static_cast<const double *>(PyArray_DATA(w_o));
+  auto *cm = static_cast<const uint8_t *>(PyArray_DATA(cm_o));
   const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
 
   npy_intp dims[1] = {n};
@@ -97,11 +100,11 @@ PyObject *handshake_match(PyObject *, PyObject *args) {
     // propose: strongest available neighbor above threshold
     for (int64_t v = 0; v < n; ++v) {
       best[v] = -1;
-      if (partner[v] >= 0) continue;
+      if (partner[v] >= 0 || !cm[v]) continue;
       double bw = -1.0;
       for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
         const int64_t nb = indices[k];
-        if (partner[nb] >= 0) continue;
+        if (partner[nb] >= 0 || !cm[nb]) continue;
         const double thr =
             theta * std::min(rowmax[v], rowmax[nb]);
         if (w[k] < thr || w[k] <= 0.0) continue;

@@ -336,7 +336,9 @@ class AMGPreconditioner:
         self._coarsest_perm = scal_perms[-1]
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
-            coarse_inv = self._build_coarse_inv(dev_levels[-1])
+            # invert the PERMUTED coarsest matrix: the device format and the
+            # restriction into the coarsest level are built in A_perm order
+            coarse_inv = self._build_coarse_inv(dev_levels[-1], A_perm[-1])
         # single batched transfer of the whole hierarchy (remote-TPU
         # tunnels pay a round trip per individual device_put)
         op_host = AMGOperator(
@@ -365,15 +367,16 @@ class AMGPreconditioner:
         self.op = _dc.replace(op, levels=tuple(new_levels))
         self.A_dev = self.op.levels[0].A
 
-    def _build_coarse_inv(self, dev_coarsest: DeviceLevel):
+    def _build_coarse_inv(self, dev_coarsest: DeviceLevel, A_coarsest=None):
         """Dense pseudo-inverse of the coarsest matrix (CoarseLevelInv).
 
         Computed in f64 on host, shipped padded; applied as one MXU matmul.
         Pseudo-inverse covers the reference's regularized singular coarse
         matrices (`RegularizeMatrix`, elasticity_pc_impl.hpp:139).
+        ``A_coarsest`` must be the matrix in the device (permuted) row order.
         """
         lev = self.setup_levels_[-1]
-        Ad = lev.A.toarray()
+        Ad = (lev.A if A_coarsest is None else A_coarsest).toarray()
         inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
         npad = _scalar_pad(dev_coarsest.A, lev.row_bs)
         out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))

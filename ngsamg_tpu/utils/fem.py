@@ -326,6 +326,67 @@ def _poisson_3d_assembled(n: int, jump: bool, f) -> Problem:
 
 
 # ---------------------------------------------------------------------------
+# unstructured (perturbed Delaunay) meshes
+# ---------------------------------------------------------------------------
+
+
+def _unstructured_mesh(n: int, dim: int, seed: int = 0, amp: float = 0.35):
+    """Perturbed-grid Delaunay mesh of the unit square/cube.
+
+    The reference validates on genuinely irregular Netgen meshes
+    (/root/reference/tests/h1/simple/test_2d_lo.py maxh=0.05); this is the
+    standalone equivalent: interior grid points jittered by ``amp * h``
+    i.i.d., then Delaunay-triangulated. Boundary points stay put so the
+    domain (and the Dirichlet boundary) is exact.
+    """
+    from scipy.spatial import Delaunay
+
+    h = 1.0 / n
+    axes = [np.linspace(0.0, 1.0, n + 1)] * dim
+    grids = np.meshgrid(*axes, indexing="ij")
+    verts = np.stack([g.ravel() for g in grids], axis=1)
+    interior = np.all((verts > 0) & (verts < 1), axis=1)
+    rng = np.random.default_rng(seed)
+    verts = verts + np.where(
+        interior[:, None],
+        rng.uniform(-amp * h, amp * h, size=verts.shape),
+        0.0,
+    )
+    tri = Delaunay(verts)
+    elems = tri.simplices
+    # drop degenerate (near-zero-volume) simplices produced by co-planar
+    # boundary points; P1 assembly would blow up on them
+    X = verts[elems]
+    D = X[:, 1:, :] - X[:, :1, :]
+    detD = np.abs(np.linalg.det(D))
+    elems = elems[detD > 1e-12 * h**dim]
+    return verts, elems
+
+
+def unstructured_poisson(n: int, dim: int = 2, jump: bool = False,
+                         f: float = 1.0, seed: int = 0) -> Problem:
+    """P1 Poisson on a perturbed Delaunay mesh, Dirichlet boundary."""
+    verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    if jump and dim == 2:
+        centers = verts[elems].mean(axis=1)
+        coeff = np.where(_in_inclusions_2d(centers), 1e4, 1.0)
+    elif jump:
+        centers = verts[elems].mean(axis=1)
+        m = np.all((centers > 0.3) & (centers < 0.7), axis=1)
+        coeff = np.where(m, 1e4, 1.0)
+    else:
+        coeff = np.ones(len(elems))
+    Ke, vol = _p1_stiffness(verts, elems, coeff)
+    A = _assemble(len(verts), elems, Ke)
+    nl = elems.shape[1]
+    b = np.zeros(len(verts))
+    np.add.at(b, elems.ravel(), np.repeat(f * vol / nl, nl))
+    fixed = np.any((verts == 0) | (verts == 1), axis=1)
+    A, b, coords = _eliminate_dirichlet(A, b, verts, fixed)
+    return Problem(A=A, b=b, coords=coords, dim=dim, block_size=1)
+
+
+# ---------------------------------------------------------------------------
 # linear elasticity (P1, vector-valued)
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,20 @@ def test_3d_lo():
     solve_and_check(fem.poisson_3d(12), ms=30)
 
 
+def test_2d_unstructured():
+    """Irregular (perturbed Delaunay) mesh — SPW + smoothed prol +
+    supernode formats off-lattice (reference tests use Netgen meshes)."""
+    solve_and_check(fem.unstructured_poisson(48, dim=2), ms=30)
+
+
+def test_3d_unstructured():
+    solve_and_check(fem.unstructured_poisson(12, dim=3), ms=30)
+
+
+def test_2d_unstructured_jump():
+    solve_and_check(fem.unstructured_poisson(48, dim=2, jump=True), ms=60)
+
+
 def test_3d_jump():
     solve_and_check(fem.poisson_3d(14, jump=True), ms=60)
 
