@@ -211,6 +211,13 @@ class AMGOptions:
     smoother: SmootherOptions = field(default_factory=SmootherOptions)
     levels: LevelControl = field(default_factory=LevelControl)
     energy: EnergyType = EnergyType.ALG
+    # structured fast path: on full-lattice scalar levels run the whole
+    # setup in the stencil domain (transfer/stencil.py) — exact Galerkin +
+    # SPD-safe stencil pruning, no sparse matrices on the host
+    lattice_fast: bool = True
+    # coarse-stencil pruning budget (relative to the smallest diagonal);
+    # 0 disables (exact Galerkin, but stencils grow 7->33->179->603...)
+    stencil_prune_tol: float = 0.02
     # device compute dtype for the solve phase; setup runs f64 on host
     dtype: str = "float32"
     # number of row shards the hierarchy should be divisible into

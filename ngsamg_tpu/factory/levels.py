@@ -28,7 +28,13 @@ import scipy.sparse as sp
 
 from ..apps.base import Energy
 from ..coarsen import pairwise
-from ..config import AMGOptions, CoarsenType, ProlType
+from ..config import (
+    AMGOptions,
+    CoarsenType,
+    EnergyType,
+    ProlType,
+    SmootherType,
+)
 from ..mesh.topo import AlgebraicMesh, map_edges
 from ..transfer.galerkin import rap
 from ..transfer.prolongation import piecewise_prol, smoothed_prol
@@ -39,7 +45,7 @@ class SetupLevel:
     """Host-side capsule for one level (cf. `AMGLevel`, base_factory.hpp)."""
 
     index: int
-    A: sp.csr_matrix  # scalar CSR; block structure given by row_bs
+    A: sp.csr_matrix | None  # scalar CSR; None on pure-stencil levels
     row_bs: int  # matrix block size (FEM dofs/vertex at this level)
     mesh: AlgebraicMesh
     P: sp.bsr_matrix | None = None  # prolongation next-coarser -> this level
@@ -47,6 +53,9 @@ class SetupLevel:
     # set when P can be applied implicitly on device (lattice levels):
     # dict(dims_f, dims_c, omega) — see transfer/lattice_transfer.py
     lattice_transfer: dict | None = None
+    # structured fast path: the level operator in stencil form
+    # (transfer/stencil.LatticeOp); A may then be None except coarsest
+    stencil: object | None = None
 
 
 @dataclass
@@ -213,6 +222,115 @@ def _lattice_transfer_plan(energy, cur, mesh_c, v2agg, n_agg, opts, lvl):
     return P.tobsr(blocksize=(1, 1)), meta
 
 
+def _stencil_setup(
+    A: sp.csr_matrix, energy, opts: AMGOptions, coords
+) -> tuple[list[SetupLevel], FactoryLog] | None:
+    """Structured fast path: the whole hierarchy in stencil form.
+
+    Eligible when the finest level is a full row-major lattice, the energy
+    is scalar ALG H1, coarsening is AUTO/LATTICE, prolongation is smoothed,
+    and no level asks for a GS smoother (GS needs color permutations that
+    break implicit transfers — it keeps the generic path). Returns None
+    when ineligible; callers fall back to the generic level loop.
+    """
+    from ..apps.h1 import H1Energy
+    from ..coarsen.lattice import detect_lattice
+    from ..transfer import stencil as st
+
+    if not opts.lattice_fast or opts.energy != EnergyType.ALG:
+        return None
+    if not isinstance(energy, H1Energy) or energy.dpv != 1:
+        return None
+    lc = opts.levels
+    nprobe = lc.max_levels + 1
+    if not all(
+        CoarsenType(opts.coarsen.algo.get(l))
+        in (CoarsenType.AUTO, CoarsenType.LATTICE)
+        for l in range(nprobe)
+    ):
+        return None
+    if not all(
+        ProlType(opts.prol.type.get(l)) == ProlType.SMOOTHED
+        for l in range(nprobe)
+    ):
+        return None
+    fast_smoothers = {
+        SmootherType.CHEBYSHEV,
+        SmootherType.JACOBI,
+        SmootherType.L1_JACOBI,
+    }
+    if not all(
+        SmootherType(opts.smoother.type.get(l)) in fast_smoothers
+        for l in range(nprobe)
+    ):
+        return None
+    det = detect_lattice(coords) if coords is not None else None
+    if det is None:
+        return None
+    idx, dims = det
+    nv = A.shape[0]
+    if int(np.prod(dims)) != nv:
+        return None  # partial lattice
+    key = np.zeros(nv, dtype=np.int64)
+    for k in range(idx.shape[1]):
+        key = key * dims[k] + idx[:, k]
+    if not np.array_equal(key, np.arange(nv)):
+        return None  # not row-major ordered
+    op = st.from_csr(A, dims)
+    if op is None:
+        return None
+    if CoarsenType(opts.coarsen.algo.get(0)) == CoarsenType.AUTO:
+        # AUTO requires near-uniform couplings (jump problems need
+        # energy-driven matching; same criterion as build_coarse_map)
+        t0 = st._find_zero_offset(op.offs)
+        offd = np.abs(np.delete(op.data, t0, axis=0)).ravel()
+        w = offd[offd > 1e-8 * max(float(offd.max(initial=0.0)), 1e-300)]
+        if len(w) and float(np.quantile(w, 0.99)) > 30.0 * float(
+            np.quantile(w, 0.01)
+        ):
+            return None
+
+    def ph_mesh(n):
+        return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
+
+    log = FactoryLog()
+    levels = [
+        SetupLevel(
+            index=0, A=A, row_bs=1, mesh=ph_mesh(op.n), stencil=op
+        )
+    ]
+    log.nvs.append(op.n)
+    log.nnzs.append(op.nnz)
+    cur = op
+    lvl = 0
+    while lvl + 1 < lc.max_levels and cur.n > lc.max_coarse_size:
+        rho = cur.gershgorin()
+        omega = float(opts.prol.omega.get(lvl)) / max(rho, 1e-12)
+        opc, _dinv = st.smoothed_rap(cur, omega)
+        opc = st.prune(opc, opts.stencil_prune_tol)
+        levels[-1].lattice_transfer = {
+            "dims_f": tuple(int(x) for x in cur.dims),
+            "dims_c": tuple(int(x) for x in opc.dims),
+            "omega": omega,
+        }
+        levels.append(
+            SetupLevel(
+                index=lvl + 1,
+                A=None,
+                row_bs=1,
+                mesh=ph_mesh(opc.n),
+                stencil=opc,
+            )
+        )
+        log.nvs.append(opc.n)
+        log.nnzs.append(opc.nnz)
+        cur = opc
+        lvl += 1
+    # the coarsest level needs a materialized matrix (dense inverse)
+    levels[-1].A = st.to_csr(levels[-1].stencil)
+    return levels, log
+
+
 def setup_levels(
     A: sp.spmatrix,
     energy: Energy,
@@ -228,6 +346,10 @@ def setup_levels(
     """
     A = A.tocsr().astype(np.float64)
     lc = opts.levels
+    if finest_mesh is None:
+        res = _stencil_setup(A, energy, opts, coords)
+        if res is not None:
+            return res
     log = FactoryLog()
 
     mesh = finest_mesh or energy.build_finest_mesh(A, coords)

@@ -193,9 +193,11 @@ class AMGPreconditioner:
                 opts.coarse_solve != CoarseSolveType.INV
             )
             perm = cb = None
-            if need_smoother:
+            if lev.stencil is not None:
+                pass  # stencil levels stay in natural (lattice) order
+            elif need_smoother:
                 perm, cb = plan_row_order(lev.A, lev.row_bs, opts.smoother, i)
-            if perm is None:
+            if perm is None and lev.stencil is None:
                 # non-GS level: RCM reorder if it will be supernoded
                 perm = formats.plan_reorder(
                     lev.A, lev.row_bs, self._row_align
@@ -222,10 +224,14 @@ class AMGPreconditioner:
         A_fmts, A_perm, sms = [], [], []
         for i, lev in enumerate(self.setup_levels_):
             A = lev.A
-            if scal_perms[i] is not None:
+            if A is not None and scal_perms[i] is not None:
                 A = A[scal_perms[i]][:, scal_perms[i]].tocsr()
             A_perm.append(A)
-            if bounds[i] is not None:  # GS level
+            if lev.stencil is not None:
+                A_fmt = formats.dia_from_stencil(
+                    lev.stencil, self.dtype, self._row_align, stage=True
+                )
+            elif bounds[i] is not None:  # GS level
                 A_fmt = bell.from_scipy(
                     A, lev.row_bs, lev.row_bs, dtype=self.dtype,
                     row_align=self._row_align, stage=True,
@@ -244,6 +250,7 @@ class AMGPreconditioner:
                     A, lev.row_bs, opts.smoother, i,
                     _block_pad(A_fmt, lev.row_bs), self.dtype,
                     color_bounds=bounds[i],
+                    stencil=lev.stencil,
                 )
                 if need_smoother
                 else None
@@ -252,13 +259,15 @@ class AMGPreconditioner:
         dev_levels = []
         for i, lev in enumerate(self.setup_levels_):
             P_fmt = R_fmt = None
-            if lev.P is not None:
+            if lev.P is not None or lev.lattice_transfer is not None:
                 dpv = self.energy.dpv
-                P = lev.P.tocsr()
-                if scal_perms[i] is not None:
-                    P = P[scal_perms[i]]
-                if scal_perms[i + 1] is not None:
-                    P = P[:, scal_perms[i + 1]]
+                P = None
+                if lev.P is not None:
+                    P = lev.P.tocsr()
+                    if scal_perms[i] is not None:
+                        P = P[scal_perms[i]]
+                    if scal_perms[i + 1] is not None:
+                        P = P[:, scal_perms[i + 1]]
                 nf_pad = _scalar_pad(A_fmts[i], lev.row_bs)
                 nc_pad = _scalar_pad(
                     A_fmts[i + 1], self.setup_levels_[i + 1].row_bs
@@ -277,7 +286,11 @@ class AMGPreconditioner:
                     )
 
                     meta = lev.lattice_transfer
-                    d = lev.A.diagonal()
+                    d = (
+                        lev.stencil.diagonal()
+                        if lev.stencil is not None
+                        else lev.A.diagonal()
+                    )
                     dinv = np.zeros(nf_pad, dtype=np.dtype(self.dtype))
                     dinv[: len(d)] = np.where(
                         d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0

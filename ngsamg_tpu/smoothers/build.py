@@ -81,19 +81,31 @@ def _lam_max_estimate(A: sp.spmatrix, bs: int, Dinv: np.ndarray, iters=12):
 
 
 def build_smoother(
-    A: sp.spmatrix,
+    A: sp.spmatrix | None,
     bs: int,
     opts: SmootherOptions,
     level: int,
     nrows_pad: int,
     dtype,
     color_bounds: tuple | None = None,
+    stencil=None,
 ) -> Smoother:
-    """Build the device smoother for one (already color-permuted) level."""
-    nv = A.shape[0] // bs
-    D = block_diagonal_fast(A, bs)
+    """Build the device smoother for one (already color-permuted) level.
+
+    ``stencil`` (a transfer/stencil.LatticeOp) replaces ``A`` on structured
+    fast-path levels: diagonals, l1 modifications, and the Chebyshev
+    lambda_max bound (Gershgorin) all come from the stencil arrays.
+    """
     kind = SmootherType(opts.type.get(level))
     steps = int(opts.steps.get(level))
+    if stencil is not None:
+        if bs != 1:
+            raise ValueError("stencil levels are scalar")
+        nv = stencil.n
+        D = stencil.diagonal().reshape(-1, 1, 1)
+    else:
+        nv = A.shape[0] // bs
+        D = block_diagonal_fast(A, bs)
 
     def pad_blocks(B):
         """Numpy staging: the caller ships the whole smoother pytree with
@@ -110,7 +122,12 @@ def build_smoother(
             steps=max(steps, 1),
         )
     if kind == SmootherType.L1_JACOBI:
-        Dinv = _pinv_blocks(_l1_modify(A, bs, D))
+        if stencil is not None:
+            Dm = D.copy()
+            Dm[:, 0, 0] += stencil.offdiag_abs_sum()
+        else:
+            Dm = _l1_modify(A, bs, D)
+        Dinv = _pinv_blocks(Dm)
         return JacobiSmoother(
             Dinv=pad_blocks(Dinv),
             omega=float(opts.omega.get(level)),
@@ -118,7 +135,10 @@ def build_smoother(
         )
     if kind == SmootherType.CHEBYSHEV:
         Dinv = _pinv_blocks(D)
-        lam_max = _lam_max_estimate(A, bs, Dinv)
+        if stencil is not None:
+            lam_max = stencil.power_lam()
+        else:
+            lam_max = _lam_max_estimate(A, bs, Dinv)
         lam_min = float(opts.cheby_lower.get(level)) * lam_max
         return ChebyshevSmoother(
             Dinv=pad_blocks(Dinv),

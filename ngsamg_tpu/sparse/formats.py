@@ -213,6 +213,38 @@ def dia_from_scipy(
     )
 
 
+def dia_from_stencil(
+    op, dtype, row_align: int = 8, stage: bool = False,
+    use_pallas: bool | None = None,
+) -> DiaMatrix:
+    """DiaMatrix straight from a stencil-form level (transfer/stencil.py).
+
+    Skips the CSR detour entirely: linear offsets and per-row data come out
+    of the lattice layout directly.
+    """
+    n = op.n
+    if use_pallas is None:
+        use_pallas = pallas_available() and n <= _DIA_PALLAS_MAX_ROWS
+    if use_pallas:
+        from ..ops.dia_pallas import LANES, ROWS_PER_TILE
+
+        row_align = int(np.lcm(row_align, LANES * ROWS_PER_TILE))
+    n_pad = -(-n // row_align) * row_align
+    from ..transfer.stencil import to_dia_arrays
+
+    offs, raw = to_dia_arrays(op)
+    data = np.zeros((len(offs), n_pad), dtype=np.dtype(dtype))
+    data[:, :n] = raw
+    arr = data if stage else jnp.asarray(data)
+    return DiaMatrix(
+        data=arr,
+        offsets=tuple(int(o) for o in offs),
+        nrows=n,
+        nrows_pad=n_pad,
+        use_pallas=bool(use_pallas),
+    )
+
+
 def _unique_offsets(off: np.ndarray, n: int) -> np.ndarray:
     """Sorted unique diagonal offsets, O(nnz) via a presence mask."""
     if len(off) == 0:

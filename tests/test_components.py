@@ -382,7 +382,21 @@ def test_implicit_lattice_transfer_matches_explicit_P():
     pc = AMGPreconditioner(p.A, coords=p.coords, options=opts).setup()
     lev = pc.op.levels[0]
     assert isinstance(lev.P, LatticeProlongation)
-    P_explicit = pc.setup_levels_[0].P.tocsr()
+    # reconstruct the reference explicit P from the transfer metadata
+    # (the stencil fast path no longer materializes P on the host)
+    from ngsamg_tpu.coarsen.lattice import detect_lattice
+    from ngsamg_tpu.transfer.lattice_transfer import host_lattice_prol
+
+    meta = pc.setup_levels_[0].lattice_transfer
+    idx, dims = detect_lattice(p.coords)
+    cdims = np.asarray(meta["dims_c"], dtype=np.int64)
+    cidx = idx // 2
+    key = np.zeros(len(idx), dtype=np.int64)
+    for k in range(idx.shape[1]):
+        key = key * cdims[k] + cidx[:, k]
+    P_explicit, _ = host_lattice_prol(
+        p.A, idx, dims, key, int(np.prod(cdims)), meta["omega"]
+    )
     nf, nc = P_explicit.shape
     rng = np.random.default_rng(0)
     xc = rng.standard_normal(nc)

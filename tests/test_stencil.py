@@ -1,0 +1,105 @@
+"""Stencil-domain structured setup (transfer/stencil.py) tests.
+
+The fast path must produce exactly the Galerkin operator of the explicit
+scipy pipeline (polyphase RAP == P^T A P), pruning must preserve SPD by
+construction, and the end-to-end hierarchy must match the generic path's
+convergence behavior.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ngsamg_tpu.coarsen.lattice import detect_lattice
+from ngsamg_tpu.transfer import stencil as st
+from ngsamg_tpu.transfer.galerkin import rap
+from ngsamg_tpu.transfer.lattice_transfer import host_lattice_prol
+from ngsamg_tpu.utils import fem
+
+
+def _ref_rap(prob, omega):
+    idx, dims = detect_lattice(prob.coords)
+    cdims = (dims + 1) // 2
+    cidx = idx // 2
+    key = np.zeros(len(idx), dtype=np.int64)
+    for k in range(idx.shape[1]):
+        key = key * cdims[k] + cidx[:, k]
+    P, _ = host_lattice_prol(
+        prob.A, idx, dims, key, int(np.prod(cdims)), omega
+    )
+    return rap(prob.A, P, dtype=np.float64)
+
+
+@pytest.mark.parametrize(
+    "prob",
+    [fem.poisson_2d(17), fem.poisson_2d(16), fem.poisson_3d(9)],
+    ids=["2d-odd", "2d-even", "3d-odd"],
+)
+def test_polyphase_rap_exact(prob):
+    _idx, dims = detect_lattice(prob.coords)
+    op = st.from_csr(prob.A, dims)
+    assert op is not None
+    # roundtrip
+    d0 = (st.to_csr(op) - prob.A).tocsr()
+    d0.eliminate_zeros()
+    assert d0.nnz == 0
+    omega = 0.55
+    opc, _dinv = st.smoothed_rap(op, omega)
+    Ac_ref = _ref_rap(prob, omega)
+    diff = abs(st.to_csr(opc) - Ac_ref).max()
+    assert diff < 1e-12 * abs(Ac_ref).max()
+
+
+def test_prune_rowsums_and_spd():
+    """Pruning preserves row sums exactly; the operator stays SPD."""
+    prob = fem.poisson_3d(9)
+    _idx, dims = detect_lattice(prob.coords)
+    op = st.from_csr(prob.A, dims)
+    opc, _ = st.smoothed_rap(op, 0.5)
+    pruned = st.prune(opc, 0.05)
+    assert len(pruned.offs) < len(opc.offs)
+    Ac, Ap = st.to_csr(opc), st.to_csr(pruned)
+    np.testing.assert_allclose(
+        np.asarray(Ap.sum(axis=1)).ravel(),
+        np.asarray(Ac.sum(axis=1)).ravel(),
+        rtol=1e-12, atol=1e-14 * abs(Ac).max(),
+    )
+    evp = np.linalg.eigvalsh(Ap.toarray())
+    assert evp.min() > 0
+
+
+def test_fast_path_matches_generic_iterations():
+    """Stencil hierarchy (prune off) == generic lattice path convergence."""
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+
+    prob = fem.poisson_3d(16)
+    iters = {}
+    for fast in (True, False):
+        opts = AMGOptions(lattice_fast=fast, stencil_prune_tol=0.0)
+        opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+        pc = AMGPreconditioner(
+            prob.A, coords=prob.coords, options=opts
+        ).setup()
+        assert (pc.setup_levels_[0].stencil is not None) == fast
+        x, info = pc.solve(prob.b, tol=1e-8)
+        r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
+        assert r < 1e-7
+        iters[fast] = info.iterations
+    # same algorithm up to the lambda_max estimator: a small gap allowed
+    assert abs(iters[True] - iters[False]) <= 3, iters
+
+
+def test_fast_path_gating():
+    """Jumpy coefficients and GS smoothers must avoid the fast path."""
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+
+    prob = fem.poisson_3d(10, jump=True)
+    pc = AMGPreconditioner(prob.A, coords=prob.coords).setup()
+    assert pc.setup_levels_[0].stencil is None  # jump -> SPW path
+    prob2 = fem.poisson_3d(10)
+    pc2 = AMGPreconditioner(prob2.A, coords=prob2.coords).setup()
+    # default smoother is GS -> generic path with explicit P
+    assert pc2.setup_levels_[0].stencil is None
+    x, info = pc2.solve(prob2.b, tol=1e-8)
+    assert info.converged
