@@ -56,14 +56,41 @@ def main():
     pc = AMGPreconditioner(prob.A, coords=prob.coords, options=opts).setup()
     t_setup = time.perf_counter() - t0
 
-    # warm-up: trigger all compiles on a throwaway solve, then measure
-    pc.solve(prob.b, tol=1e-2, maxiter=40)
+    # warm-up: trigger all compiles on a throwaway solve along the SAME
+    # path as the measurement (same tol => same refinement branch)
+    pc.solve(prob.b, tol=tol, maxiter=8)
     t0 = time.perf_counter()
     x, info = pc.solve(prob.b, tol=tol)
     t_solve = time.perf_counter() - t0
 
     r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
     dofs_per_s = prob.n / (t_setup + t_solve)
+
+    # unstructured leg (perturbed Delaunay; SPW + smoothed prol +
+    # supernode formats) — the paths a general mesh exercises
+    unstructured = None
+    if os.environ.get("NGSAMG_BENCH_UNSTRUCTURED", "1") != "0":
+        nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "48"))
+        up = fem.unstructured_poisson(nu, dim=3)
+        t0 = time.perf_counter()
+        upc = AMGPreconditioner(up.A, coords=up.coords, options=opts).setup()
+        tu_setup = time.perf_counter() - t0
+        upc.solve(up.b, tol=tol, maxiter=8)  # compile warm-up (same path)
+        t0 = time.perf_counter()
+        ux, uinfo = upc.solve(up.b, tol=tol)
+        tu_solve = time.perf_counter() - t0
+        ur = np.linalg.norm(up.A @ ux - up.b) / np.linalg.norm(up.b)
+        unstructured = {
+            "n_dof": up.n,
+            "iterations": int(uinfo.iterations),
+            "relres": float(ur),
+            "converged": bool(uinfo.converged and ur < 10 * tol),
+            "setup_s": round(tu_setup, 3),
+            "solve_s": round(tu_solve, 3),
+            "dofs_per_s": round(up.n / (tu_setup + tu_solve), 1),
+            "operator_complexity": round(upc.operator_complexity, 3),
+        }
+
     result = {
         "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",
         "value": round(dofs_per_s, 1),
@@ -81,10 +108,14 @@ def main():
             "solve_dofs_per_s": round(prob.n / t_solve, 1),
             "assembly_s": round(t_asm, 3),
             "tol": tol,
+            "unstructured": unstructured,
         },
     }
     print(json.dumps(result))
-    return 0 if result["extra"]["converged"] else 1
+    ok = result["extra"]["converged"] and (
+        unstructured is None or unstructured["converged"]
+    )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -21,6 +21,32 @@ from __future__ import annotations
 import numpy as np
 
 
+def _uniform_axis(c: np.ndarray):
+    """O(n) index mapping for a uniformly-spaced axis, or None.
+
+    Avoids the np.unique sort (measured 20s at 10M vertices): infer the
+    step from a sample, snap every coordinate, validate exactly.
+    """
+    cmin, cmax = float(c.min()), float(c.max())
+    if cmax <= cmin:
+        return np.zeros(len(c), dtype=np.int64), 1
+    u = np.unique(np.round(c[: min(len(c), 1 << 16)], 9))
+    if len(u) < 2:
+        return None
+    step = float(np.diff(u).min())
+    if step <= 0:
+        return None
+    m = int(round((cmax - cmin) / step)) + 1
+    if m > 4 * len(c):
+        return None
+    idx = np.round((c - cmin) / step).astype(np.int64)
+    if not np.allclose(
+        c, cmin + idx * step, rtol=0.0, atol=1e-9 * max(abs(cmax), 1.0)
+    ):
+        return None
+    return idx, m
+
+
 def detect_lattice(coords: np.ndarray | None):
     """Map vertices to integer lattice indices, or None.
 
@@ -33,6 +59,11 @@ def detect_lattice(coords: np.ndarray | None):
     idx = np.empty((nv, d), dtype=np.int64)
     dims = []
     for k in range(d):
+        fast = _uniform_axis(coords[:, k])
+        if fast is not None:
+            idx[:, k], mk = fast
+            dims.append(mk)
+            continue
         u, inv = np.unique(np.round(coords[:, k], 9), return_inverse=True)
         idx[:, k] = inv
         dims.append(len(u))
@@ -42,7 +73,11 @@ def detect_lattice(coords: np.ndarray | None):
     key = np.zeros(nv, dtype=np.int64)
     for k in range(d):
         key = key * dims[k] + idx[:, k]
-    if len(np.unique(key)) != nv:
+    prod = int(np.prod(dims))
+    if prod <= 4 * nv:  # O(n) uniqueness check (no sort)
+        if np.bincount(key, minlength=prod).max() != 1:
+            return None
+    elif len(np.unique(key)) != nv:
         return None
     return idx, dims
 

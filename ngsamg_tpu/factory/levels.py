@@ -276,19 +276,41 @@ def _stencil_setup(
         key = key * dims[k] + idx[:, k]
     if not np.array_equal(key, np.arange(nv)):
         return None  # not row-major ordered
-    op = st.from_csr(A, dims)
+    if isinstance(A, sp.dia_matrix):
+        op = st.from_dia(A, dims)
+    else:
+        op = st.from_csr(A.tocsr(), dims)
     if op is None:
         return None
+    # constant-coefficient detection: the whole hierarchy is then
+    # clamp-structured and computed on small patches (stencil.ClampedOp)
+    vals = st.detect_uniform(op)
     if CoarsenType(opts.coarsen.algo.get(0)) == CoarsenType.AUTO:
         # AUTO requires near-uniform couplings (jump problems need
         # energy-driven matching; same criterion as build_coarse_map)
         t0 = st._find_zero_offset(op.offs)
-        offd = np.abs(np.delete(op.data, t0, axis=0)).ravel()
-        w = offd[offd > 1e-8 * max(float(offd.max(initial=0.0)), 1e-300)]
+        if vals is not None:
+            w = np.abs(np.delete(vals, t0))
+        else:  # subsampled: statistically equivalent for a 30x criterion
+            w = np.abs(
+                np.concatenate(
+                    [
+                        op.data[t].ravel()[::17]
+                        for t in range(len(op.offs))
+                        if t != t0
+                    ]
+                )
+            )
+        w = w[w > 1e-8 * max(float(w.max(initial=0.0)), 1e-300)]
         if len(w) and float(np.quantile(w, 0.99)) > 30.0 * float(
             np.quantile(w, 0.01)
         ):
             return None
+    cur = (
+        st.compress_uniform(op.dims, op.offs, vals)
+        if vals is not None and op.n > 32768
+        else op
+    )
 
     def ph_mesh(n):
         return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
@@ -296,18 +318,28 @@ def _stencil_setup(
     log = FactoryLog()
     levels = [
         SetupLevel(
-            index=0, A=A, row_bs=1, mesh=ph_mesh(op.n), stencil=op
+            index=0, A=A, row_bs=1, mesh=ph_mesh(op.n), stencil=cur
         )
     ]
     log.nvs.append(op.n)
-    log.nnzs.append(op.nnz)
-    cur = op
+    log.nnzs.append(cur.nnz)
     lvl = 0
-    while lvl + 1 < lc.max_levels and cur.n > lc.max_coarse_size:
+    # stencil-domain loop for the big levels; once patches stop compressing
+    # and offset counts grow, scipy CSR products are cheaper (python-call
+    # overhead of the polyphase combinatorics dominates on tiny lattices)
+    SMALL = 40_000
+    while (
+        lvl + 1 < lc.max_levels
+        and cur.n > lc.max_coarse_size
+        and cur.n > SMALL
+    ):
         rho = cur.gershgorin()
         omega = float(opts.prol.omega.get(lvl)) / max(rho, 1e-12)
-        opc, _dinv = st.smoothed_rap(cur, omega)
-        opc = st.prune(opc, opts.stencil_prune_tol)
+        if isinstance(cur, st.ClampedOp):
+            opc = st.rap_clamped(cur, omega, opts.stencil_prune_tol)
+        else:
+            opc, _dinv = st.smoothed_rap(cur, omega)
+            opc = st.prune(opc, opts.stencil_prune_tol)
         levels[-1].lattice_transfer = {
             "dims_f": tuple(int(x) for x in cur.dims),
             "dims_c": tuple(int(x) for x in opc.dims),
@@ -326,9 +358,87 @@ def _stencil_setup(
         log.nnzs.append(opc.nnz)
         cur = opc
         lvl += 1
-    # the coarsest level needs a materialized matrix (dense inverse)
-    levels[-1].A = st.to_csr(levels[-1].stencil)
+
+    # explicit CSR tail (scipy RAP + explicit/implicit lattice transfers)
+    cur_full = st.expand(cur) if isinstance(cur, st.ClampedOp) else cur
+    A_cur = st.to_csr(cur_full)
+    levels[-1].A = A_cur
+    dims_cur = np.asarray(cur.dims, dtype=np.int64)
+    while lvl + 1 < lc.max_levels and A_cur.shape[0] > lc.max_coarse_size:
+        from ..transfer.lattice_transfer import host_lattice_prol
+
+        grids = np.meshgrid(
+            *[np.arange(d) for d in dims_cur], indexing="ij"
+        )
+        idx = np.stack([g.ravel() for g in grids], axis=1)
+        cdims = (dims_cur + 1) // 2
+        cidx = idx // 2
+        key = np.zeros(len(idx), dtype=np.int64)
+        for k in range(idx.shape[1]):
+            key = key * cdims[k] + cidx[:, k]
+        nc = int(np.prod(cdims))
+        diag = A_cur.diagonal()
+        rowsum = np.asarray(abs(A_cur).sum(axis=1)).ravel()
+        rho = float(
+            (rowsum / np.where(diag > 0, diag, 1.0)).max(initial=1.0)
+        )
+        omega = float(opts.prol.omega.get(lvl)) / max(rho, 1e-12)
+        P, _ = host_lattice_prol(A_cur, idx, dims_cur, key, nc, omega)
+        Ac = rap(A_cur, P, dtype=np.float64)
+        Ac = prune_csr(Ac, opts.stencil_prune_tol)
+        levels[-1].P = P.tobsr(blocksize=(1, 1))
+        levels[-1].lattice_transfer = {
+            "dims_f": tuple(int(x) for x in dims_cur),
+            "dims_c": tuple(int(x) for x in cdims),
+            "omega": omega,
+        }
+        levels.append(
+            SetupLevel(
+                index=lvl + 1, A=Ac, row_bs=1, mesh=ph_mesh(nc)
+            )
+        )
+        log.nvs.append(nc)
+        log.nnzs.append(Ac.nnz)
+        A_cur = Ac
+        dims_cur = cdims
+        lvl += 1
     return levels, log
+
+
+def prune_csr(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
+    """Row-sum-preserving weak-entry pruning of a CSR operator.
+
+    CSR counterpart of stencil.prune: off-diagonal entries below
+    ``tol * min(diag) / 256`` are lumped (signed) onto their row diagonal;
+    row sums — the AMG near-kernel energies — are preserved exactly.
+    """
+    if tol <= 0:
+        return A
+    d = A.diagonal()
+    pos = d[d > 0]
+    if not len(pos):
+        return A
+    thr = tol * float(pos.min()) / 256.0
+    coo = A.tocoo()
+    off = coo.row != coo.col
+    drop = off & (np.abs(coo.data) < thr)
+    if not drop.any():
+        return A
+    n = A.shape[0]
+    lump = np.bincount(coo.row[drop], weights=coo.data[drop], minlength=n)
+    keep = ~drop
+    out = sp.coo_matrix(
+        (
+            np.concatenate([coo.data[keep], lump]),
+            (
+                np.concatenate([coo.row[keep], np.arange(n)]),
+                np.concatenate([coo.col[keep], np.arange(n)]),
+            ),
+        ),
+        shape=A.shape,
+    ).tocsr()
+    out.sum_duplicates()
+    return out
 
 
 def setup_levels(
@@ -344,12 +454,15 @@ def setup_levels(
     ELMAT mode, where the mesh energies come from element matrices
     (apps/elmat.py; reference `BuildAlgMesh_ELMAT`).
     """
-    A = A.tocsr().astype(np.float64)
     lc = opts.levels
     if finest_mesh is None:
+        # the fast path accepts DIA input directly (no CSR conversion)
         res = _stencil_setup(A, energy, opts, coords)
         if res is not None:
             return res
+    A = A.tocsr()
+    if A.dtype != np.float64:
+        A = A.astype(np.float64)
     log = FactoryLog()
 
     mesh = finest_mesh or energy.build_finest_mesh(A, coords)

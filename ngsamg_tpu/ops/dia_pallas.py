@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,8 +41,10 @@ def _dia_kernel(offsets, pl_rows, data_ref, x_ref, o_ref):
             shifted = rows[:ROWS_PER_TILE]
         else:
             # want rolled[i, j] = rows[i, (j + s) mod LANES]; pltpu.roll
-            # requires a non-negative shift, and roll(a, k)[j] = a[j - k]
-            rolled = pltpu.roll(rows, LANES - s, axis=1)
+            # requires a non-negative shift, and roll(a, k)[j] = a[j - k].
+            # int32: under jax_enable_x64 a bare python int traces as i64,
+            # which tpu.dynamic_rotate rejects
+            rolled = pltpu.roll(rows, np.int32(LANES - s), axis=1)
             shifted = jnp.where(
                 lane < LANES - s,
                 rolled[:ROWS_PER_TILE],

@@ -170,6 +170,47 @@ def from_csr(A: sp.spmatrix, dims) -> LatticeOp | None:
     return op
 
 
+def from_dia(A: sp.dia_matrix, dims) -> LatticeOp | None:
+    """Decode a scipy DIA matrix on a row-major lattice (no COO expansion).
+
+    The natural input format for structured problems: per-diagonal data
+    maps to stencil rows by a shifted slice (scipy stores data[d, j] =
+    A[j - off, j], i.e. indexed by column).
+    """
+    dims = tuple(int(x) for x in dims)
+    n = int(np.prod(dims))
+    if A.shape[0] != n:
+        return None
+    offs_lin = np.asarray(A.offsets, dtype=np.int64)
+    order = np.argsort(offs_lin)
+    strides = _strides(dims)
+    d = len(dims)
+    vecs = np.zeros((len(offs_lin), d), dtype=np.int64)
+    rem = offs_lin[order].copy()
+    for k in range(d):
+        o = np.round(rem / strides[k]).astype(np.int64)
+        vecs[:, k] = o
+        rem = rem - o * strides[k]
+    if (rem != 0).any():
+        return None
+    reach = np.abs(vecs).max(axis=0)
+    if any(2 * int(r) + 1 > dims[k] for k, r in enumerate(reach)):
+        return None
+    data = np.zeros((len(offs_lin), n), dtype=np.float64)
+    for t, src in enumerate(order):
+        off = int(offs_lin[src])
+        lo_r, hi_r = max(0, -off), min(n, n - off)
+        if hi_r > lo_r:
+            data[t, lo_r:hi_r] = A.data[src, lo_r + off : hi_r + off]
+    op = LatticeOp(
+        dims=dims, offs=vecs, data=data.reshape((len(offs_lin),) + dims)
+    )
+    for t in range(len(offs_lin)):
+        if _out_of_range_mass(op, t) != 0.0:
+            return None  # entries wrap lattice rows: not a lattice stencil
+    return op
+
+
 def _out_of_range_mass(op: LatticeOp, t: int) -> float:
     """Max |data| over cells whose column x+off lies outside the lattice."""
     m = np.zeros(op.dims, dtype=bool)
@@ -392,6 +433,256 @@ def _symmetrize(op: LatticeOp) -> None:
         op.data[t] = avg
         op.data[t2] = _shift(avg, ne)
     _mask_out_of_range(op)
+
+
+# ---------------------------------------------------------------------------
+# uniform-lattice compression (clamp-structured hierarchy on patches)
+# ---------------------------------------------------------------------------
+#
+# A uniform clipped stencil (constant coefficients, Dirichlet-eliminated
+# boundary) generates a hierarchy whose per-level data depends only on the
+# clamped distance to each face: boundary bands + a constant interior. Such
+# levels are represented by a small PATCH operator plus per-dim index maps
+# (full index -> patch index); every setup product (RAP, prune, Gershgorin)
+# runs on the patch at O(patch) cost and expands only when the device needs
+# the full arrays. Exactness (bitwise vs the uncompressed pipeline) is
+# asserted by tests: the polyphase RAP is per-cell independent, so patch
+# rows compute the identical scalar op sequences as their full-lattice
+# counterparts.
+
+
+@dataclass
+class ClampedOp:
+    """Clamp-structured lattice level: patch + per-dim expansion maps."""
+
+    patch: LatticeOp
+    dims: tuple  # full lattice extents
+    maps: tuple  # per-dim int64 arrays: full index -> patch index
+    bands: tuple  # per-dim (bn, bf): leading/trailing non-constant bands
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.dims))
+
+    @property
+    def offs(self) -> np.ndarray:
+        return self.patch.offs
+
+    @property
+    def nnz(self) -> int:
+        w = [np.bincount(m, minlength=self.patch.dims[k]).astype(np.float64)
+             for k, m in enumerate(self.maps)]
+        W = w[0]
+        for wk in w[1:]:
+            W = np.multiply.outer(W, wk)
+        return int(round(((self.patch.data != 0) * W).sum()))
+
+    def _expand_field(self, f: np.ndarray) -> np.ndarray:
+        return f[np.ix_(*self.maps)]
+
+    def diagonal(self) -> np.ndarray:
+        t0 = _find_zero_offset(self.patch.offs)
+        return self._expand_field(self.patch.data[t0]).reshape(-1)
+
+    def gershgorin(self) -> float:
+        return self.patch.gershgorin()  # exact: same row-value set
+
+    def power_lam(self, iters: int = 10) -> float:
+        return self.patch.power_lam(iters)
+
+    def offdiag_abs_sum(self) -> np.ndarray:
+        s = np.abs(self.patch.data).sum(axis=0) - np.abs(
+            self.patch.data[_find_zero_offset(self.patch.offs)]
+        )
+        return self._expand_field(s).reshape(-1)
+
+
+def expand(cop: ClampedOp) -> LatticeOp:
+    """Materialize the full-lattice operator."""
+    data = np.stack(
+        [cop._expand_field(cop.patch.data[t]) for t in range(len(cop.offs))]
+    )
+    return LatticeOp(dims=cop.dims, offs=cop.patch.offs.copy(), data=data)
+
+
+def detect_uniform(op: LatticeOp) -> np.ndarray | None:
+    """Per-offset constant value over each offset's valid region, or None."""
+    vals = np.empty(len(op.offs))
+    for t in range(len(op.offs)):
+        sl = []
+        for k, o in enumerate(op.offs[t]):
+            lo = max(0, -int(o))
+            hi = op.dims[k] - max(0, int(o))
+            if hi <= lo:
+                sl = None
+                break
+            sl.append(slice(lo, hi))
+        if sl is None:
+            vals[t] = 0.0
+            continue
+        v = op.data[t][tuple(sl)]
+        v0 = v.flat[0]
+        if not (v == v0).all():
+            return None
+        vals[t] = v0
+    return vals
+
+
+def synth_uniform(dims, offs: np.ndarray, vals: np.ndarray) -> LatticeOp:
+    """Clipped constant stencil on ``dims`` from scalar values."""
+    dims = tuple(int(x) for x in dims)
+    data = np.zeros((len(offs),) + dims, dtype=np.float64)
+    for t in range(len(offs)):
+        sl = []
+        for k, o in enumerate(offs[t]):
+            lo = max(0, -int(o))
+            hi = dims[k] - max(0, int(o))
+            sl.append(slice(lo, max(hi, lo)))
+        data[t][tuple(sl)] = vals[t]
+    return LatticeOp(dims=dims, offs=offs.copy(), data=data)
+
+
+def _detect_bands_1d(data: np.ndarray, axis: int) -> tuple | None:
+    """Minimal (bn, bf) with all offsets constant along ``axis`` between."""
+    m = data.shape[axis + 1]  # data is (noffs, *dims)
+    if m == 1:
+        return (0, 0)
+    a = np.moveaxis(data, axis + 1, 1).reshape(data.shape[0], m, -1)
+    eq = (a[:, :-1, :] == a[:, 1:, :]).all(axis=(0, 2))  # (m-1,) interfaces
+    center = (m - 1) // 2
+    if not eq[center]:
+        return None
+    lo = center
+    while lo > 0 and eq[lo - 1]:
+        lo -= 1
+    hi = center
+    while hi < m - 2 and eq[hi + 1]:
+        hi += 1
+    return (lo, m - 2 - hi)
+
+
+def _maps_from_bands(n_full: int, n_patch: int, bn: int, bf: int):
+    """Index map full -> patch: near band, replicated middle, far band."""
+    rep = n_patch - bn - bf
+    m = np.empty(n_full, dtype=np.int64)
+    m[:bn] = np.arange(bn)
+    far = n_full - bf
+    m[far:] = np.arange(n_patch - bf, n_patch)
+    mid = np.arange(bn, far)
+    m[bn:far] = bn + (mid - bn) % max(rep, 1)
+    return m
+
+
+def _widen_middle(op: LatticeOp, grow: tuple) -> LatticeOp:
+    """Widen the constant middle of each dim by ``grow[k]`` cells."""
+    if all(g == 0 for g in grow):
+        return op
+    bands = []
+    for k in range(len(op.dims)):
+        b = _detect_bands_1d(op.data, k)
+        if b is None:
+            raise ValueError("cannot widen: no constant middle")
+        bands.append(b)
+    maps = tuple(
+        _maps_from_bands(op.dims[k] + grow[k], op.dims[k], *bands[k])
+        for k in range(len(op.dims))
+    )
+    data = np.stack(
+        [op.data[t][np.ix_(*maps)] for t in range(len(op.offs))]
+    )
+    out = LatticeOp(
+        dims=tuple(op.dims[k] + grow[k] for k in range(len(op.dims))),
+        offs=op.offs.copy(),
+        data=data,
+    )
+    _mask_out_of_range(out)  # widened middle may unclip far-band offsets
+    return out
+
+
+def compress_uniform(dims, offs, vals, margin: int = 4) -> "ClampedOp":
+    """ClampedOp for a uniform clipped stencil on a large lattice."""
+    dims = tuple(int(x) for x in dims)
+    reach = int(np.abs(offs).max()) if len(offs) else 1
+    H = 3 * reach + margin
+    pdims, maps, bands = [], [], []
+    for k, dk in enumerate(dims):
+        if dk <= 2 * H + 4:
+            pdims.append(dk)
+            maps.append(np.arange(dk, dtype=np.int64))
+            bands.append((dk, 0))
+            continue
+        rep = 2 if (dk % 2 == 0) else 3
+        pk = 2 * H + rep
+        pdims.append(pk)
+        maps.append(_maps_from_bands(dk, pk, H, H))
+        bands.append((H, H))
+    patch = synth_uniform(tuple(pdims), offs, vals)
+    return ClampedOp(
+        patch=patch, dims=dims, maps=tuple(maps), bands=tuple(bands)
+    )
+
+
+def rap_clamped(cop: ClampedOp, omega: float, prune_tol: float):
+    """Coarse level of a clamp-structured level (patch-RAP + band detect).
+
+    Returns a ClampedOp when the coarse level still compresses, else the
+    full LatticeOp. Falls back to the exact full-lattice RAP when band
+    detection fails (never observed; correctness guard).
+    """
+    d = len(cop.dims)
+    mc = tuple((x + 1) // 2 for x in cop.dims)
+    reach = int(np.abs(cop.patch.offs).max()) if len(cop.patch.offs) else 1
+    R = 3 * reach + 4
+    # widen patch middles so every coarse-row window sees a faithful
+    # neighborhood, preserving per-dim parity (grow by multiples of 2)
+    grow = []
+    for k in range(d):
+        if cop.bands[k][0] >= cop.dims[k]:  # identity dim
+            grow.append(0)
+            continue
+        mid = cop.patch.dims[k] - cop.bands[k][0] - cop.bands[k][1]
+        need = max(0, 2 * R - mid)
+        grow.append(need + (need % 2))
+    grow = tuple(
+        min(g, cop.dims[k] - cop.patch.dims[k]) // 2 * 2
+        for k, g in enumerate(grow)
+    )
+    patch = _widen_middle(cop.patch, grow)
+
+    opc_p, _ = smoothed_rap(patch, omega)
+    opc_p = prune(opc_p, prune_tol)
+    if opc_p.dims == mc:
+        return opc_p  # patch covers the whole coarse lattice
+    # detect coarse clamp bands; adjust parity for the next level
+    pbands, maps_c, pdims_c, growc = [], [], [], []
+    ok = True
+    for k in range(d):
+        if opc_p.dims[k] == mc[k]:
+            pbands.append((mc[k], 0))
+            maps_c.append(np.arange(mc[k], dtype=np.int64))
+            pdims_c.append(mc[k])
+            growc.append(0)
+            continue
+        b = _detect_bands_1d(opc_p.data, k)
+        if b is None or b[0] + b[1] + 1 > opc_p.dims[k]:
+            ok = False
+            break
+        pbands.append(b)
+        g = 1 if (opc_p.dims[k] % 2) != (mc[k] % 2) else 0
+        growc.append(g)
+        pdims_c.append(opc_p.dims[k] + g)
+        maps_c.append(None)  # filled after parity widen
+    if not ok:  # correctness guard: exact full-lattice fallback
+        full = expand(cop)
+        opc, _ = smoothed_rap(full, omega)
+        return prune(opc, prune_tol)
+    opc_p = _widen_middle(opc_p, tuple(growc))
+    for k in range(d):
+        if maps_c[k] is None:
+            maps_c[k] = _maps_from_bands(mc[k], pdims_c[k], *pbands[k])
+    return ClampedOp(
+        patch=opc_p, dims=mc, maps=tuple(maps_c), bands=tuple(pbands)
+    )
 
 
 def prune(op: LatticeOp, tol: float) -> LatticeOp:

@@ -293,8 +293,11 @@ def _poisson_3d_stencil(n: int, f: float) -> Problem:
         d[cols[ok]] = col[ok]
         diags.append(d)
         offsets.append(off)
+    # kept in DIA: the AMG stencil fast path decodes it without a COO/CSR
+    # detour (transfer/stencil.from_dia), and scipy DIA matvec serves the
+    # defect-correction loop fine
     A = sp.dia_matrix((np.asarray(diags), np.asarray(offsets)),
-                      shape=(nv, nv)).tocsr()
+                      shape=(nv, nv))
     b = np.full(nv, f * bunit * h**3)
     xs = (np.arange(m) + 1) * h
     X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")

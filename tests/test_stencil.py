@@ -68,6 +68,49 @@ def test_prune_rowsums_and_spd():
     assert evp.min() > 0
 
 
+@pytest.mark.parametrize("n", [20, 23, 26, 33])
+def test_clamped_hierarchy_exact(n):
+    """Uniform-lattice compression must reproduce the uncompressed
+    hierarchy bitwise (patch rows run the same scalar op sequences)."""
+    prob = fem.poisson_3d(n)
+    _idx, dims = detect_lattice(prob.coords)
+    A = prob.A if isinstance(prob.A, sp.dia_matrix) else prob.A.tocsr()
+    op = (
+        st.from_dia(A, dims)
+        if isinstance(A, sp.dia_matrix)
+        else st.from_csr(A, dims)
+    )
+    vals = st.detect_uniform(op)
+    assert vals is not None
+    cop = st.compress_uniform(op.dims, op.offs, vals)
+    assert cop.n == op.n
+    assert cop.patch.n < op.n  # actually compressed at these sizes
+    # level-0 expansion reproduces the operator
+    d0 = (st.to_csr(st.expand(cop)) - st.to_csr(op)).tocsr()
+    d0.eliminate_zeros()
+    assert d0.nnz == 0
+    cur_c, cur_f = cop, op
+    for _lvl in range(3):
+        if cur_f.n <= 128:
+            break
+        rho_c, rho_f = cur_c.gershgorin(), cur_f.gershgorin()
+        assert rho_c == rho_f  # same row-value set
+        omega = (4.0 / 3.0) / rho_f
+        nxt_c = (
+            st.rap_clamped(cur_c, omega, 0.02)
+            if isinstance(cur_c, st.ClampedOp)
+            else st.prune(st.smoothed_rap(cur_c, omega)[0], 0.02)
+        )
+        nxt_f = st.prune(st.smoothed_rap(cur_f, omega)[0], 0.02)
+        full_c = (
+            st.expand(nxt_c) if isinstance(nxt_c, st.ClampedOp) else nxt_c
+        )
+        diff = (st.to_csr(full_c) - st.to_csr(nxt_f)).tocsr()
+        diff.eliminate_zeros()
+        assert diff.nnz == 0, f"level diff max {abs(diff).max()}"
+        cur_c, cur_f = nxt_c, nxt_f
+
+
 def test_fast_path_matches_generic_iterations():
     """Stencil hierarchy (prune off) == generic lattice path convergence."""
     from ngsamg_tpu import AMGOptions, AMGPreconditioner
