@@ -55,6 +55,8 @@ class ElasticityEnergy(Energy):
     "auto" picks s = median edge length of the finest mesh.
     """
 
+    default_robust = True  # ENABLE_ROBUST_ELASTICITY_COARSENING analog
+
     def __init__(self, dim: int, rot_scale: float | str = "auto"):
         if dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
@@ -324,14 +326,35 @@ class ElasticityEnergy(Energy):
         return cmesh
 
 
+# batches at least this large route through the device pencil solver
+# (ops/batched_la.pencil_extreme_eig) — the setup's heaviest eigh batch
+DEVICE_SOC_MIN_EDGES = 200_000
+
+
 def _pencil_extreme_eig(E, C, reduction="min", tol=1e-10):
     """Batched extreme eigenvalue of pencil (E, C) restricted to range(C).
 
     Vectorized version of `CalcRobustPairSOC`: eigendecompose C, scale the
     above-threshold eigvecs by 1/sqrt(lam), form W^T E W, and take the
     min (or max) eigenvalue; null directions of C get a +/-inf sentinel on
-    the diagonal so they never win.
+    the diagonal so they never win. Large batches run on device
+    (ops/batched_la); SOC scores only order candidates, so f32 suffices.
     """
+    if len(E) >= DEVICE_SOC_MIN_EDGES:
+        try:
+            import jax.numpy as jnp
+
+            from ..ops import batched_la
+
+            out = batched_la.pencil_extreme_eig(
+                jnp.asarray(E, jnp.float32),
+                jnp.asarray(C, jnp.float32),
+                rel_tol=max(tol, 1e-6),
+                reduction=reduction,
+            )
+            return np.asarray(out, dtype=np.float64)
+        except Exception:  # pragma: no cover - device-availability dependent
+            pass
     lam, V = np.linalg.eigh(C)
     lam_max = np.maximum(lam[:, -1:], 1e-300)
     ok = lam > tol * lam_max

@@ -179,6 +179,89 @@ def spw_aggregate(
     return v2c, n_cur
 
 
+def spw_aggregate_energy(
+    energy,
+    mesh,
+    *,
+    rounds: int = 2,
+    theta: float = 0.08,
+    adopt_orphans: bool = True,
+    active: np.ndarray | None = None,
+    aaf: float | None = None,
+    max_agg: int | None = None,
+    robust: bool = True,
+) -> tuple[np.ndarray, int]:
+    """SPW with per-round energy re-evaluation (robust pick/check).
+
+    The reference's SPW consults generalized EVPs per candidate pair and
+    re-checks agglomerates against the CURRENT intermediate coarse energies
+    (spw_agg_impl.hpp:1440-1831, agglomerator_utils.hpp:764-885). The
+    data-parallel counterpart: each round rebuilds the coarse algebraic
+    mesh (Q-transported energy sums, `energy.map_data`) and re-scores all
+    candidate pairs with the robust (pencil-EVP) SOC before the handshake
+    matching — every matching decision is made against up-to-date energies
+    rather than a Galerkin-collapsed scalar graph.
+    """
+    from ..mesh.topo import map_edges
+
+    n = mesh.nv
+    if active is None:
+        active = np.ones(n, dtype=bool)
+    v2c = np.full(n, -1, dtype=np.int64)
+    act_idx = np.flatnonzero(active)
+    v2c[act_idx] = np.arange(len(act_idx))
+    # mesh must be reduced to active vertices only on the first round via
+    # the matching mask (map_data drops v2agg == -1 afterwards)
+    cur_mesh = mesh
+    cur_active = active.copy()
+    n_cur = len(act_idx)
+    n0 = n_cur
+    sizes = np.ones(cur_mesh.nv, dtype=np.int64)
+    if aaf is not None:
+        rounds = 10
+    use_robust = robust and hasattr(energy, "soc_robust")
+    for _round in range(rounds):
+        if aaf is not None and n_cur <= aaf * n0:
+            break
+        soc = (
+            energy.soc_robust(cur_mesh)
+            if use_robust
+            else energy.soc(cur_mesh)
+        )
+        S = cur_mesh.edge_graph(weights=soc)
+        cm = cur_active
+        if max_agg is not None:
+            cm = cm & (sizes * 2 <= max_agg)
+        if not cm.any():
+            break
+        partner = handshake_match(S, theta, can_match=cm)
+        c2agg, n_agg = aggregates_from_partner(partner, cur_active)
+        if n_agg >= n_cur or n_agg == 0:
+            break
+        mask = v2c >= 0
+        v2c[mask] = c2agg[v2c[mask]]
+        act = c2agg >= 0
+        sizes = np.bincount(
+            c2agg[act], weights=sizes[act].astype(np.float64),
+            minlength=n_agg,
+        ).astype(np.int64)
+        coarse_edges, e2ce = map_edges(cur_mesh, c2agg, n_agg)
+        cur_mesh = energy.map_data(
+            cur_mesh, c2agg, n_agg, coarse_edges, e2ce
+        )
+        cur_active = np.ones(n_agg, dtype=bool)
+        n_cur = n_agg
+    if adopt_orphans and n_cur:
+        soc = (
+            energy.soc_robust(cur_mesh)
+            if use_robust
+            else energy.soc(cur_mesh)
+        )
+        S_c = cur_mesh.edge_graph(weights=soc)
+        v2c, n_cur = _adopt_orphans(S_c, v2c, n_cur)
+    return v2c, n_cur
+
+
 def _adopt_orphans(S_c, v2c, n_c):
     """Merge singleton coarse vertices into their strongest neighbor agg.
 

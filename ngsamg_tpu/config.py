@@ -134,8 +134,9 @@ class CoarsenOptions:
     # strength-of-connection threshold: edges weaker than theta * max-per-row
     # are never matched (cf. MIS `ecw` options mis_agg.hpp:15-60)
     theta: SpecLike = 0.08
-    # robust (generalized-EVP) strength of connection for block energies
-    robust: SpecLike = False
+    # robust (generalized-EVP) strength of connection for block energies;
+    # None = the energy decides (elasticity defaults to True, H1 to False)
+    robust: SpecLike = None
     # orphan adoption: unmatched vertices join their strongest matched
     # neighbor's aggregate (SPW final round, spw_agg_impl.hpp:1790+)
     adopt_orphans: SpecLike = True

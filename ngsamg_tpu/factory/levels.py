@@ -117,7 +117,23 @@ def build_coarse_map(
     if algo == CoarsenType.PLATE:
         pos = energy.vertex_positions(mesh)
         return pairwise.plate_test_aggregate(pos)
-    robust = bool(c.robust.get(level)) and hasattr(energy, "soc_robust")
+    r = c.robust.get(level)
+    robust = (
+        getattr(energy, "default_robust", False) if r is None else bool(r)
+    ) and hasattr(energy, "soc_robust")
+    aaf = c.aaf.get(level)
+    if robust and algo == CoarsenType.SPW:
+        # per-round EVP pick/check against current coarse energies —
+        # default ON for elasticity (energy.default_robust)
+        return pairwise.spw_aggregate_energy(
+            energy,
+            mesh,
+            rounds=int(c.spw_rounds.get(level)),
+            theta=float(c.theta.get(level)),
+            adopt_orphans=bool(c.adopt_orphans.get(level)),
+            aaf=None if aaf is None else float(aaf),
+            robust=True,
+        )
     soc = energy.soc_robust(mesh) if robust else energy.soc(mesh)
     S = mesh.edge_graph(weights=soc)
     if algo == CoarsenType.MIS:
@@ -126,7 +142,6 @@ def build_coarse_map(
         return mis_aggregate(
             S, theta=float(c.theta.get(level))
         )
-    aaf = c.aaf.get(level)
     return pairwise.spw_aggregate(
         S,
         rounds=int(c.spw_rounds.get(level)),

@@ -512,9 +512,16 @@ class AMGPreconditioner:
         floors = {jnp.float64: 0.0, jnp.float32: 2e-6, jnp.bfloat16: 3e-2}
         floor = floors.get(jnp.dtype(self.dtype).type, 2e-6)
         if use_refinement is None:
-            use_refinement = floor > 0 and tol < floor
+            # always verify against the TRUE residual: PCG's recursive
+            # residual drifts on ill-conditioned problems even in f64
+            # (measured: claimed 1e-8, true 1.4e-7 at kappa ~ 1e9)
+            use_refinement = True
         inner_tol = max(tol, floor)
-        max_outer = (30 if floor > 1e-3 else 8) if use_refinement else 1
+        max_outer = (
+            (30 if floor > 1e-3 else (8 if floor > 0 else 4))
+            if use_refinement
+            else 1
+        )
 
         if self._A64_dev is not None and use_refinement:
             x, info = self._solve_device_refined(

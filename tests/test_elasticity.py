@@ -117,10 +117,48 @@ def test_rbm_preserved_through_hierarchy():
 
 def test_elast_2d_jump():
     """Two-material beam (E jump 1e3) — reference elasticity jump tests
-    (tests/elasticity/mdim/jump). kappa(A) ~ 1e9, so the f64 PCG residual
-    floor sits near 1e-7; the budgeted tolerance reflects that."""
+    (tests/elasticity/mdim/jump; budget ms=60). Robust (EVP) matching is
+    on by default. kappa(A) ~ 1e9 puts the attainable TRUE-residual floor
+    at eps_f64 * kappa ~ 2e-7 — no solver beats that in f64; the reference
+    asserts the preconditioned CG error instead (amg_utils.py:361). The
+    oracle here: 1e-8 requested, iteration budget held, true residual at
+    the floor."""
+    import ngsamg_tpu
+
     p = fem.elasticity_2d(10, length=10, jump=True)
-    solve_and_check(p, ms=80, tol=1e-6, options=_opts(), energy="elasticity")
+    pc = ngsamg_tpu.AMGPreconditioner(
+        p.A, energy="elasticity", block_size=2, coords=p.coords,
+        options=_opts(),
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=60)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.iterations < 60, info.iterations
+    assert r < 1e-6, f"true relres {r:.2e} above the f64 kappa floor"
+
+
+def test_elast_3d_jump():
+    p = fem.elasticity_3d(4, length=8, jump=True)
+    solve_and_check(p, ms=60, tol=1e-8, options=_opts(), energy="elasticity")
+
+
+def test_robust_matching_default_and_device_wiring():
+    """Elasticity coarsening defaults to robust (EVP) matching, and large
+    batches route through the device pencil solver (ops/batched_la)."""
+    import ngsamg_tpu.apps.elasticity as el
+
+    assert el.ElasticityEnergy(2).default_robust
+    p = fem.elasticity_2d(6, length=6)
+    en = el.ElasticityEnergy(2)
+    mesh = en.build_finest_mesh(p.A, p.coords)
+    ref = en.soc_robust(mesh)
+    old = el.DEVICE_SOC_MIN_EDGES
+    try:
+        el.DEVICE_SOC_MIN_EDGES = 1  # force the device (batched_la) path
+        dev = en.soc_robust(mesh)
+    finally:
+        el.DEVICE_SOC_MIN_EDGES = old
+    scale = max(float(ref.max()), 1e-30)
+    np.testing.assert_allclose(dev / scale, ref / scale, atol=2e-5)
 
 
 def test_aaf_goal_driven_coarsening():
