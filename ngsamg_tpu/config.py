@@ -162,9 +162,13 @@ class ProlOptions:
     omega: SpecLike = 4.0 / 3.0  # sp_omega
     max_per_row: SpecLike = 4  # sp_max_per_row: fan-out bound (ELL width)
     min_frac: SpecLike = 0.04  # sp_min_frac: drop-tolerance for entries
+    # semi-aux choice: rows whose REAL-matrix coarse fan-out is <= this
+    # are smoothed with the real level matrix (sp_max_per_row_classic,
+    # vertex_factory_impl.hpp:71, default 5); 0 disables (pure aux)
+    max_classic: SpecLike = 5
 
     def __post_init__(self):
-        for f in ("type", "omega", "max_per_row", "min_frac"):
+        for f in ("type", "omega", "max_per_row", "min_frac", "max_classic"):
             setattr(self, f, as_spec(getattr(self, f)))
 
 

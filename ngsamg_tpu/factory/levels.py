@@ -158,8 +158,13 @@ def build_prolongation(
     v2agg: np.ndarray,
     opts: AMGOptions,
     level: int,
+    A: sp.spmatrix | None = None,
+    row_bs: int | None = None,
 ) -> sp.bsr_matrix:
-    """Piecewise or smoothed prolongation in the AMG (dpv) space."""
+    """Piecewise or smoothed prolongation in the AMG (dpv) space.
+
+    ``A``/``row_bs`` enable the semi-aux classic-row choice (rows smoothed
+    with the real level matrix where its coarse fan-out is bounded)."""
     P_pw = piecewise_prol(energy, mesh_f, mesh_c, v2agg)
     ptype = ProlType(opts.prol.type.get(level))
     if ptype == ProlType.PIECEWISE:
@@ -173,6 +178,9 @@ def build_prolongation(
         omega=float(opts.prol.omega.get(level)),
         max_per_row=int(opts.prol.max_per_row.get(level)),
         min_frac=float(opts.prol.min_frac.get(level)),
+        A=A,
+        row_bs=row_bs,
+        max_classic=int(opts.prol.max_classic.get(level)),
     )
 
 
@@ -506,7 +514,8 @@ def setup_levels(
             cur.lattice_transfer = meta
         else:
             P = build_prolongation(
-                energy, cur.mesh, mesh_c, v2agg, opts, lvl
+                energy, cur.mesh, mesh_c, v2agg, opts, lvl,
+                A=cur.A, row_bs=cur.row_bs,
             )
         E = energy.embedding_matrix(cur.mesh) if lvl == 0 else None
         if E is not None:

@@ -80,13 +80,20 @@ def smoothed_prol(
     omega: float = 4.0 / 3.0,
     max_per_row: int = 4,
     min_frac: float = 0.1,
+    A: sp.spmatrix | None = None,
+    row_bs: int | None = None,
+    max_classic: int = 5,
 ) -> sp.bsr_matrix:
-    """One damped-Jacobi smoothing step on P_pw using the aux matrix.
+    """One damped-Jacobi smoothing step on P_pw (semi-aux variant).
 
-    P = (I - (omega/rho) Dhat^-1 A-hat) P_pw, followed by fan-out-bounded,
+    The reference's default `SemiAuxSProlMap`
+    (vertex_factory_impl.hpp:1744-1831): rows whose REAL-matrix coarse
+    fan-out stays within ``max_classic`` (sp_max_per_row_classic, default
+    5) are smoothed with the actual level matrix ``A`` — it carries the
+    true couplings, e.g. coefficient jumps — and all other rows with the
+    replacement (aux) matrix A-hat. Followed by fan-out-bounded,
     kernel-preserving truncation (see module docstring). ``omega`` is in
-    units of 1/rho(Dhat^-1 A-hat); 4/3 is the classical SA optimum for a
-    single smoothing step.
+    units of 1/rho(D^-1 A); 4/3 is the classical SA optimum.
     """
     dpv = energy.dpv
     Ahat = energy.replacement_matrix(mesh_f).tocsr()
@@ -117,11 +124,68 @@ def smoothed_prol(
     rho = _rho_estimate(Dinv_op, Ahat)
     scale = omega / max(rho, 1e-12)
 
-    P = (P_pw - scale * (Dinv_mat @ (Ahat @ P_pw))).tobsr(blocksize=(dpv, dpv))
+    P = (P_pw - scale * (Dinv_mat @ (Ahat @ P_pw))).tocsr()
+
+    classic = None
+    if A is not None and row_bs == dpv and max_classic and max_classic > 1:
+        classic = _classic_rows(A, dpv, v2agg, P_pw.shape[1] // dpv,
+                                max_classic)
+    if classic is not None and classic.any():
+        from ..sparse.host import block_diagonal_fast
+
+        Ar = A.tocsr()
+        if dpv == 1:
+            da = Ar.diagonal()
+            dainv = np.where(da > 0, 1.0 / np.maximum(da, 1e-300), 0.0)
+            DinvA = sp.diags(dainv)
+        else:
+            DinvA = sp.bsr_matrix(
+                (
+                    np.linalg.pinv(block_diagonal_fast(Ar, dpv)),
+                    np.arange(nf, dtype=np.int32),
+                    np.arange(nf + 1),
+                ),
+                shape=(nf * dpv, nf * dpv),
+            )
+        rho_r = _rho_estimate(lambda x: DinvA @ x, Ar, seed=1)
+        scale_r = omega / max(rho_r, 1e-12)
+        P_real = (P_pw - scale_r * (DinvA @ (Ar @ P_pw))).tocsr()
+        sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
+        inv = sp.diags(np.repeat((~classic).astype(np.float64), dpv))
+        P = (sel @ P_real + inv @ P).tocsr()
+        P.eliminate_zeros()
+
+    P = P.tobsr(blocksize=(dpv, dpv))
     P.sort_indices()
     return truncate_prol(
         energy, mesh_c, P, max_per_row=max_per_row, min_frac=min_frac
     )
+
+
+def _classic_rows(
+    A: sp.spmatrix, dpv: int, v2agg: np.ndarray, nc: int, max_classic: int
+) -> np.ndarray:
+    """Rows whose real-matrix coarse image has <= max_classic columns.
+
+    The 'classic' eligibility of `SemiAuxSProlMap`
+    (vertex_factory_impl.hpp:1855 MAX_PER_ROW_CLASSIC)."""
+    from ..sparse.host import block_norm_graph
+
+    W, _d = block_norm_graph(A, dpv)
+    nf = W.shape[0]
+    rows = np.repeat(np.arange(nf, dtype=np.int64), np.diff(W.indptr))
+    aggs = v2agg[W.indices]
+    own = v2agg
+    # distinct coarse columns touched by each row, including its own agg
+    key = np.concatenate(
+        [
+            (rows * np.int64(nc) + aggs)[aggs >= 0],
+            (np.arange(nf, dtype=np.int64) * nc + own)[own >= 0],
+        ]
+    )
+    uniq = np.unique(key)
+    counts = np.bincount((uniq // nc).astype(np.int64), minlength=nf)
+    return (counts <= max_classic) & (v2agg >= 0)
 
 
 def truncate_prol(

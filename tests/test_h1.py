@@ -24,7 +24,9 @@ def test_2d_lo_bigger():
 
 
 def test_2d_jump():
-    solve_and_check(fem.poisson_2d(64, jump=True), ms=60)
+    # semi-aux smoothed prol (classic rows use the real matrix) holds jump
+    # problems well under the reference's 30-60 budget: measured 18 iters
+    solve_and_check(fem.poisson_2d(64, jump=True), ms=30)
 
 
 def test_3d_lo():
@@ -42,11 +44,13 @@ def test_3d_unstructured():
 
 
 def test_2d_unstructured_jump():
-    solve_and_check(fem.unstructured_poisson(48, dim=2, jump=True), ms=60)
+    solve_and_check(
+        fem.unstructured_poisson(48, dim=2, jump=True), ms=30
+    )  # measured 16
 
 
 def test_3d_jump():
-    solve_and_check(fem.poisson_3d(14, jump=True), ms=60)
+    solve_and_check(fem.poisson_3d(14, jump=True), ms=30)  # measured 11
 
 
 @pytest.mark.parametrize("bs", [2, 3])
