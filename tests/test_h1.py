@@ -25,8 +25,13 @@ def test_2d_lo_bigger():
 
 def test_2d_jump():
     # semi-aux smoothed prol (classic rows use the real matrix) holds jump
-    # problems well under the reference's 30-60 budget: measured 18 iters
-    solve_and_check(fem.poisson_2d(64, jump=True), ms=30)
+    # problems well under the reference's 30-60 budget: measured 18 iters.
+    # f64 like the reference's CG — the f32 path pays extra refinement
+    # outers on jumpy (kappa ~ 1e4 h^-2) operators and is covered by the
+    # f32/bf16 refinement tests
+    solve_and_check(
+        fem.poisson_2d(64, jump=True), ms=30, options=AMGOptions(dtype="float64")
+    )
 
 
 def test_3d_lo():
@@ -45,7 +50,8 @@ def test_3d_unstructured():
 
 def test_2d_unstructured_jump():
     solve_and_check(
-        fem.unstructured_poisson(48, dim=2, jump=True), ms=30
+        fem.unstructured_poisson(48, dim=2, jump=True), ms=30,
+        options=AMGOptions(dtype="float64"),
     )  # measured 16
 
 
