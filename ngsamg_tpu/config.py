@@ -228,6 +228,10 @@ class AMGOptions:
     # number of row shards the hierarchy should be divisible into
     # (multi-chip: pads every level to a multiple of 8*shards rows)
     shards: int = 1
+    # build the hierarchy with the DISTRIBUTED setup (parallel/dist_setup:
+    # shard-local matching/prolongation/RAP with halo exchanges) over this
+    # many row shards; 0/1 = serial setup. Scalar H1 energies only.
+    dist_setup: int = 0
     # log level (amg_pc.hpp:94-104 LOG_LEVEL_PC)
     log_level: int = 0
     # run the spectral self-test after setup (ngs_amg_do_test analog)

@@ -1,0 +1,690 @@
+"""Distributed (shard-local) AMG setup for row-sharded inputs.
+
+TPU-native counterpart of the reference's distributed setup stack: EQC row
+ownership (/root/reference/src/base/distributed/eqchierarchy.hpp:15-233),
+solid/ghost-vertex matching (spw_agg_impl.hpp:1512-1541), the ReduceTable
+gather-reduce-scatter collective (reducetable.hpp:22), and the distributed
+Galerkin product (utils_sparseMM.cpp).
+
+Ownership model: contiguous global row ranges per shard — the same 1-D row
+partition the sharded solve uses (parallel/shard.py). Every step computes
+ONLY on a shard's owned rows plus halo values fetched through the two
+exchange primitives below:
+
+* :func:`_gather` — fetch remote values at arbitrary global indices from
+  their owners (maps to an all-to-all / indexed all-gather over ICI),
+* :func:`_reduce_by_owner` — route (index, value) contributions to the
+  index's owner and sum (maps to a psum-scatter / ReduceTable).
+
+On one host both are index-gathers into the owners' arrays, but no step
+reads another shard's data except through them, so the control flow IS the
+multi-host program.
+
+Determinism / serial equality: handshake matching is a synchronous-rounds
+algorithm, so the shard-local formulation with per-round halo exchange of
+(rowmax, avail, best, partner) produces the SAME aggregates as the serial
+path (coarse numbering = representative order = shard-major, matching the
+serial np.unique compaction); coarse operators agree to fp roundoff
+(summation order differs). Asserted by tests/test_dist_setup.py.
+
+State carried level to level, all row-sharded: the level matrix rows, the
+edge-weight graph W (|a_ij| at the finest level, SUMS of fine cross-edge
+weights on coarse levels — the AttachedNodeData/map_data analog), and the
+per-vertex L2 weights. Replication of small coarse levels is a PLACEMENT
+decision (parallel/shard.py replicate_below), not a setup-algorithm switch.
+
+Scope: scalar H1 energies (dpv == 1), SPW coarsening, smoothed prolongation
+with kernel-preserving truncation and the semi-aux classic-row choice.
+Block energies (elasticity) keep the serial setup for now.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import AMGOptions
+from ..factory.levels import FactoryLog, SetupLevel
+from ..mesh.topo import AlgebraicMesh
+from ..sparse.host import csr_rowwise_argmax, csr_rowwise_max
+from ..transfer.prolongation import truncate_prol
+
+# ---------------------------------------------------------------------------
+# exchange primitives (the MPI/ICI boundary)
+# ---------------------------------------------------------------------------
+
+
+def split_rows(A: sp.spmatrix, n_shards: int):
+    """Contiguous row partition: (parts, starts)."""
+    A = A.tocsr()
+    n = A.shape[0]
+    starts = np.linspace(0, n, n_shards + 1).astype(np.int64)
+    parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
+    return parts, starts
+
+
+def _owner(starts: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    return np.searchsorted(starts, idx, side="right") - 1
+
+
+def _gather(parts: list, starts: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """values[idx] fetched from the owning shards (halo exchange)."""
+    first = np.asarray(parts[0])
+    if len(idx) == 0:
+        return np.empty((0,) + first.shape[1:], dtype=first.dtype)
+    own = _owner(starts, idx)
+    out = np.empty((len(idx),) + first.shape[1:], dtype=first.dtype)
+    for s in range(len(parts)):
+        m = own == s
+        if m.any():
+            out[m] = np.asarray(parts[s])[idx[m] - starts[s]]
+    return out
+
+
+def _reduce_by_owner(
+    starts: np.ndarray, idx: np.ndarray, vals: np.ndarray, n_local: list
+):
+    """Sum contributions onto their owners: per-shard dense arrays."""
+    out = [np.zeros(nl, dtype=np.float64) for nl in n_local]
+    own = _owner(starts, idx)
+    for s in range(len(out)):
+        m = own == s
+        if m.any():
+            np.add.at(out[s], idx[m] - starts[s], vals[m])
+    return out
+
+
+def _route_coo(starts_row, ri, cj, vv, ncols):
+    """Route COO triples to the row owners; per-shard CSR rows out."""
+    n_shards = len(starts_row) - 1
+    own = _owner(starts_row, ri)
+    out = []
+    for t in range(n_shards):
+        nloc = int(starts_row[t + 1] - starts_row[t])
+        m = own == t
+        if m.any():
+            M = sp.coo_matrix(
+                (vv[m], (ri[m] - starts_row[t], cj[m])), shape=(nloc, ncols)
+            ).tocsr()
+            M.sum_duplicates()
+        else:
+            M = sp.csr_matrix((nloc, ncols))
+        out.append(M)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shard-local H1 energy data (the AttachedNodeData analog)
+# ---------------------------------------------------------------------------
+
+
+def _finest_wl2(parts, starts):
+    """Per-shard (W rows, l2wt) from owned matrix rows.
+
+    W = |offdiag a_ij| (H1EData), l2 = clipped signed row sum (H1VData) —
+    the row-derivable form of apps/h1.build_finest_mesh.
+    """
+    W_parts, l2_parts = [], []
+    for s, Ap in enumerate(parts):
+        C = Ap.tocsr()
+        rows_l = np.repeat(
+            np.arange(C.shape[0], dtype=np.int64), np.diff(C.indptr)
+        )
+        offd = C.indices != (rows_l + starts[s])
+        w = np.abs(C.data) * offd
+        keep = offd & (w > 0)
+        W = sp.csr_matrix(
+            (w[keep], C.indices[keep], _recount(C.indptr, keep)),
+            shape=C.shape,
+        )
+        W_parts.append(W)
+        l2_parts.append(np.maximum(np.asarray(C.sum(axis=1)).ravel(), 0.0))
+    return W_parts, l2_parts
+
+
+def _recount(indptr, keep):
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(len(deg)), deg)
+    newdeg = np.bincount(
+        rows, weights=keep.astype(np.int64), minlength=len(deg)
+    ).astype(np.int64)
+    out = np.zeros(len(indptr), dtype=np.int64)
+    out[1:] = np.cumsum(newdeg)
+    return out
+
+
+def _aux_diag(W_parts, l2_parts):
+    """d = l2 + sum incident w per owned vertex (aux-matrix diagonal)."""
+    out = []
+    for s, W in enumerate(W_parts):
+        rows_l = np.repeat(
+            np.arange(W.shape[0], dtype=np.int64), np.diff(W.indptr)
+        )
+        d = l2_parts[s] + np.bincount(
+            rows_l, weights=W.data, minlength=W.shape[0]
+        )
+        out.append(np.maximum(d, 1e-300))
+    return out
+
+
+def _strength_parts(W_parts, d_parts, starts):
+    """soc rows: s_e = w_e (1/d_i + 1/d_j)/2 (apps/h1.soc, shard-local)."""
+    out = []
+    for s, W in enumerate(W_parts):
+        rows_l = np.repeat(
+            np.arange(W.shape[0], dtype=np.int64), np.diff(W.indptr)
+        )
+        dj = _gather(d_parts, starts, W.indices.astype(np.int64))
+        soc = W.data * 0.5 * (1.0 / d_parts[s][rows_l] + 1.0 / dj)
+        out.append(
+            sp.csr_matrix((soc, W.indices, W.indptr), shape=W.shape)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed handshake matching (synchronous rounds == serial result)
+# ---------------------------------------------------------------------------
+
+
+def _jitter(rows_g: np.ndarray, cols_g: np.ndarray, vals: np.ndarray):
+    """The serial tie-break hash (coarsen/pairwise.handshake_match)."""
+    lo = np.minimum(rows_g, cols_g)
+    hi = np.maximum(rows_g, cols_g)
+    h = (lo * np.int64(2654435761) + hi * np.int64(40503)) & np.int64(
+        0xFFFFFFFF
+    )
+    return vals * (1.0 + 1e-9 * (h.astype(np.float64) / 2**32))
+
+
+def _dist_handshake(S_parts, starts, theta: float):
+    """Mutual-proposal matching, shard-local rows + per-round halos."""
+    n_shards = len(S_parts)
+    rowmax_parts = [csr_rowwise_max(S.indptr, S.data) for S in S_parts]
+    jit_parts, strong_parts, rowsl_parts = [], [], []
+    for s, S in enumerate(S_parts):
+        rows_l = np.repeat(
+            np.arange(S.shape[0], dtype=np.int64), np.diff(S.indptr)
+        )
+        cols_g = S.indices.astype(np.int64)
+        vals = _jitter(rows_l + starts[s], cols_g, S.data)
+        rmax_j = _gather(rowmax_parts, starts, cols_g)
+        thresh = theta * np.minimum(rowmax_parts[s][rows_l], rmax_j)
+        strong_parts.append(vals >= np.maximum(thresh, 1e-300))
+        jit_parts.append(vals)
+        rowsl_parts.append(rows_l)
+
+    partner_parts = [
+        np.full(S.shape[0], -1, dtype=np.int64) for S in S_parts
+    ]
+    avail_parts = [np.ones(S.shape[0], dtype=bool) for S in S_parts]
+    for _round in range(8):
+        best_parts = []
+        for s, S in enumerate(S_parts):
+            cols_g = S.indices.astype(np.int64)
+            av_j = _gather(avail_parts, starts, cols_g)
+            valid = (
+                strong_parts[s] & avail_parts[s][rowsl_parts[s]] & av_j
+            )
+            best, _bv = csr_rowwise_argmax(
+                S.indptr, S.indices, jit_parts[s], valid=valid
+            )
+            best[~avail_parts[s]] = -1
+            best_parts.append(best)
+        any_new = False
+        accepts = []
+        for s in range(n_shards):
+            best = best_parts[s]
+            v_l = np.flatnonzero(best >= 0)
+            b = best[v_l]
+            bb = _gather(best_parts, starts, b)
+            mutual = bb == (v_l + starts[s])
+            accepts.append((v_l[mutual], b[mutual]))
+            any_new = any_new or bool(mutual.any())
+        for s, (v_l, b) in enumerate(accepts):
+            partner_parts[s][v_l] = b
+            avail_parts[s][v_l] = False
+        if not any_new:
+            break
+    return partner_parts
+
+
+def _dist_aggregates(partner_parts, starts):
+    """Compact aggregate ids; numbering == serial np.unique(rep) order."""
+    n_shards = len(partner_parts)
+    rep_parts, isrep_parts = [], []
+    for s, partner in enumerate(partner_parts):
+        v_g = np.arange(len(partner), dtype=np.int64) + starts[s]
+        rep = np.where(partner >= 0, np.minimum(v_g, partner), v_g)
+        rep_parts.append(rep)
+        isrep_parts.append(rep == v_g)
+    counts = np.array([m.sum() for m in isrep_parts], dtype=np.int64)
+    coarse_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    coarse_starts[1:] = np.cumsum(counts)
+    aggid_parts = []
+    for s in range(n_shards):
+        aid = np.full(len(rep_parts[s]), -1, dtype=np.int64)
+        aid[isrep_parts[s]] = coarse_starts[s] + np.arange(counts[s])
+        aggid_parts.append(aid)
+    v2agg_parts = []
+    for s in range(n_shards):
+        v2 = aggid_parts[s].copy()
+        need = v2 < 0
+        if need.any():
+            v2[need] = _gather(aggid_parts, starts, rep_parts[s][need])
+        v2agg_parts.append(v2)
+    return v2agg_parts, coarse_starts
+
+
+def _dist_collapse(G_parts, starts, v2agg_parts, coarse_starts):
+    """Coarse graph C^T G C (off-diagonal part), rows routed to owners."""
+    ri_l, cj_l, vv_l = [], [], []
+    for s, G in enumerate(G_parts):
+        rows_l = np.repeat(
+            np.arange(G.shape[0], dtype=np.int64), np.diff(G.indptr)
+        )
+        ci = v2agg_parts[s][rows_l]
+        cj = _gather(v2agg_parts, starts, G.indices.astype(np.int64))
+        keep = (ci >= 0) & (cj >= 0) & (ci != cj)
+        ri_l.append(ci[keep])
+        cj_l.append(cj[keep])
+        vv_l.append(G.data[keep])
+    nc = int(coarse_starts[-1])
+    return _route_coo(
+        coarse_starts,
+        np.concatenate(ri_l) if ri_l else np.zeros(0, np.int64),
+        np.concatenate(cj_l) if cj_l else np.zeros(0, np.int64),
+        np.concatenate(vv_l) if vv_l else np.zeros(0),
+        nc,
+    )
+
+
+def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
+    """Multi-round SPW on sharded strength rows (serial-equivalent)."""
+    theta = float(opts.coarsen.theta.get(level))
+    aaf = opts.coarsen.aaf.get(level)
+    rounds = (
+        10 if aaf is not None else int(opts.coarsen.spw_rounds.get(level))
+    )
+    n_shards = len(S_parts)
+    n0 = int(starts[-1])
+    v2c_parts = [
+        np.arange(starts[s], starts[s + 1], dtype=np.int64)
+        for s in range(n_shards)
+    ]
+    cur_S, cur_starts = S_parts, starts
+    n_cur = n0
+    for _round in range(rounds):
+        if aaf is not None and n_cur <= float(aaf) * n0:
+            break
+        partner_parts = _dist_handshake(cur_S, cur_starts, theta)
+        c2agg_parts, coarse_starts = _dist_aggregates(
+            partner_parts, cur_starts
+        )
+        n_agg = int(coarse_starts[-1])
+        if n_agg >= n_cur:
+            break
+        for s in range(n_shards):
+            v2c_parts[s] = _gather(c2agg_parts, cur_starts, v2c_parts[s])
+        cur_S = _dist_collapse(
+            cur_S, cur_starts, c2agg_parts, coarse_starts
+        )
+        cur_starts = coarse_starts
+        n_cur = n_agg
+    if bool(opts.coarsen.adopt_orphans.get(level)) and n_cur < n0:
+        v2c_parts, cur_starts = _dist_adopt_orphans(
+            cur_S, cur_starts, v2c_parts
+        )
+    return v2c_parts, cur_starts
+
+
+def _dist_adopt_orphans(Sc_parts, coarse_starts, v2c_parts):
+    """Serial _adopt_orphans, shard-local (sizes/argmax/renumber)."""
+    n_shards = len(Sc_parts)
+    all_v2c = np.concatenate(v2c_parts)
+    sizes_parts = _reduce_by_owner(
+        coarse_starts,
+        all_v2c[all_v2c >= 0],
+        np.ones(int((all_v2c >= 0).sum())),
+        [
+            int(coarse_starts[s + 1] - coarse_starts[s])
+            for s in range(n_shards)
+        ],
+    )
+    orphan_parts = [sz == 1 for sz in sizes_parts]
+    if not any(o.any() for o in orphan_parts):
+        return v2c_parts, coarse_starts
+    tgt_parts, surv_parts = [], []
+    for s, Sc in enumerate(Sc_parts):
+        nloc = Sc.shape[0]
+        best, _bv = csr_rowwise_argmax(Sc.indptr, Sc.indices, Sc.data)
+        c_g = np.arange(nloc, dtype=np.int64) + coarse_starts[s]
+        tgt = c_g.copy()
+        has = best >= 0
+        orphan_best = np.zeros(nloc, dtype=bool)
+        if has.any():
+            orphan_best[has] = _gather(
+                orphan_parts, coarse_starts, best[has]
+            )
+        ok = orphan_parts[s] & has & ~orphan_best
+        tgt[ok] = best[ok]
+        tgt_parts.append(tgt)
+        surv_parts.append(~ok)  # adopted-away ids vanish
+    counts = np.array([m.sum() for m in surv_parts], dtype=np.int64)
+    new_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    new_starts[1:] = np.cumsum(counts)
+    newid_parts = []
+    for s in range(n_shards):
+        nid = np.full(len(surv_parts[s]), -1, dtype=np.int64)
+        nid[surv_parts[s]] = new_starts[s] + np.arange(counts[s])
+        newid_parts.append(nid)
+    remap_parts = []
+    for s in range(n_shards):
+        rm = newid_parts[s].copy()
+        adopted = rm < 0
+        if adopted.any():
+            rm[adopted] = _gather(
+                newid_parts, coarse_starts, tgt_parts[s][adopted]
+            )
+        remap_parts.append(rm)
+    out_parts = []
+    for s in range(len(v2c_parts)):
+        v2 = v2c_parts[s].copy()
+        m = v2 >= 0
+        v2[m] = _gather(remap_parts, coarse_starts, v2[m])
+        out_parts.append(v2)
+    return out_parts, new_starts
+
+
+# ---------------------------------------------------------------------------
+# distributed prolongation + Galerkin product
+# ---------------------------------------------------------------------------
+
+
+def _dist_rho_aux(W_parts, d_parts, starts, iters=10):
+    """rho(Dhat^-1 A-hat), distributed power iteration (seed 0 like serial)."""
+    n = int(starts[-1])
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n)
+    lam = 1.0
+    for _ in range(iters):
+        y = np.empty(n)
+        for s, W in enumerate(W_parts):
+            nloc = W.shape[0]
+            rows_l = np.repeat(
+                np.arange(nloc, dtype=np.int64), np.diff(W.indptr)
+            )
+            xj = _gather([x[starts[t]:starts[t + 1]]
+                          for t in range(len(W_parts))],
+                         starts, W.indices.astype(np.int64))
+            off = np.bincount(rows_l, weights=-W.data * xj, minlength=nloc)
+            xo = x[starts[s] : starts[s + 1]]
+            y[starts[s] : starts[s + 1]] = (
+                d_parts[s] * xo + off
+            ) / d_parts[s]
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            return 2.0
+        lam = nrm
+        x = y / nrm
+    return float(lam)
+
+
+def _dist_rho_real(A_parts, starts, iters=10):
+    """rho(D_A^-1 A), distributed (seed 1 like the serial classic path)."""
+    n = int(starts[-1])
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    lam = 1.0
+    for _ in range(iters):
+        y = np.empty(n)
+        for s, Ap in enumerate(A_parts):
+            C = Ap.tocsr()
+            nloc = C.shape[0]
+            rows_l = np.repeat(
+                np.arange(nloc, dtype=np.int64), np.diff(C.indptr)
+            )
+            xj = _gather([x[starts[t]:starts[t + 1]]
+                          for t in range(len(A_parts))],
+                         starts, C.indices.astype(np.int64))
+            Ax = np.bincount(rows_l, weights=C.data * xj, minlength=nloc)
+            diagA = C.diagonal(k=int(starts[s]))[:nloc]
+            dinv = np.where(diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0)
+            y[starts[s] : starts[s + 1]] = dinv * Ax
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            return 2.0
+        lam = nrm
+        x = y / nrm
+    return float(lam)
+
+
+def _dist_prol(
+    A_parts, W_parts, d_parts, starts, v2agg_parts, coarse_starts,
+    opts, level, energy,
+):
+    """Smoothed H1 prolongation rows per shard (semi-aux classic choice)."""
+    n_shards = len(A_parts)
+    nc = int(coarse_starts[-1])
+    omega = float(opts.prol.omega.get(level))
+    rho = _dist_rho_aux(W_parts, d_parts, starts)
+    scale = omega / max(rho, 1e-12)
+    max_classic = int(opts.prol.max_classic.get(level))
+    rho_r = scale_r = None
+
+    P_parts = []
+    for s in range(n_shards):
+        W = W_parts[s]
+        nloc = W.shape[0]
+        rows_l = np.repeat(
+            np.arange(nloc, dtype=np.int64), np.diff(W.indptr)
+        )
+        agg_own = v2agg_parts[s]
+        agg_j = _gather(v2agg_parts, starts, W.indices.astype(np.int64))
+        dinv = 1.0 / d_parts[s]
+        rows = np.concatenate([np.arange(nloc), rows_l])
+        cols = np.concatenate([agg_own, agg_j])
+        # P row i = e_agg(i) - scale * dinv_i * (Ahat row i) P_pw with
+        # Ahat_ii = d_i, Ahat_ij = -w_ij (the H1 replacement matrix)
+        vals = np.concatenate(
+            [np.full(nloc, 1.0) - scale * dinv * d_parts[s],
+             scale * dinv[rows_l] * W.data]
+        )
+        keep = cols >= 0
+        P_s = sp.coo_matrix(
+            (vals[keep], (rows[keep], cols[keep])), shape=(nloc, nc)
+        ).tocsr()
+        P_s.sum_duplicates()
+        if max_classic and max_classic > 1:
+            C = A_parts[s].tocsr()
+            rows_a = np.repeat(
+                np.arange(nloc, dtype=np.int64), np.diff(C.indptr)
+            )
+            offd = C.indices != (rows_a + starts[s])
+            nzo = offd & (C.data != 0)
+            agg_aj = _gather(
+                v2agg_parts, starts, C.indices.astype(np.int64)
+            )
+            keys = np.concatenate(
+                [
+                    (rows_a * np.int64(nc) + agg_aj)[nzo & (agg_aj >= 0)],
+                    (np.arange(nloc, dtype=np.int64) * nc + agg_own)[
+                        agg_own >= 0
+                    ],
+                ]
+            )
+            uniqk = np.unique(keys)
+            counts = np.bincount(
+                (uniqk // nc).astype(np.int64), minlength=nloc
+            )
+            classic = (counts <= max_classic) & (agg_own >= 0)
+            if classic.any():
+                if scale_r is None:
+                    rho_r = _dist_rho_real(A_parts, starts)
+                    scale_r = omega / max(rho_r, 1e-12)
+                diagA = C.diagonal(k=int(starts[s]))[:nloc]
+                dinvA = np.where(
+                    diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0
+                )
+                rows2 = np.concatenate([np.arange(nloc), rows_a[offd]])
+                cols2 = np.concatenate([agg_own, agg_aj[offd]])
+                vals2 = np.concatenate(
+                    [
+                        1.0 - scale_r * dinvA * diagA,
+                        -scale_r * dinvA[rows_a[offd]] * C.data[offd],
+                    ]
+                )
+                k2 = cols2 >= 0
+                P_real = sp.coo_matrix(
+                    (vals2[k2], (rows2[k2], cols2[k2])), shape=(nloc, nc)
+                ).tocsr()
+                P_real.sum_duplicates()
+                selc = sp.diags(classic.astype(np.float64))
+                sela = sp.diags((~classic).astype(np.float64))
+                P_s = (selc @ P_real + sela @ P_s).tocsr()
+                P_s.eliminate_zeros()
+        mesh_c = AlgebraicMesh(
+            nv=nc, edges=np.zeros((0, 2), dtype=np.int64)
+        )
+        Pb = truncate_prol(
+            energy,
+            mesh_c,
+            P_s.tobsr(blocksize=(1, 1)),
+            max_per_row=int(opts.prol.max_per_row.get(level)),
+            min_frac=float(opts.prol.min_frac.get(level)),
+        )
+        P_parts.append(Pb.tocsr())
+    return P_parts
+
+
+def _gather_csr_rows(P_parts, starts, rows_g, ncols):
+    """Fetch CSR rows at global indices from their owners, stacked."""
+    own = _owner(starts, rows_g)
+    blocks, order = [], []
+    for s in range(len(P_parts)):
+        m = own == s
+        if m.any():
+            blocks.append(P_parts[s][rows_g[m] - starts[s]])
+            order.append(np.flatnonzero(m))
+    if not blocks:
+        return sp.csr_matrix((0, ncols))
+    stacked = sp.vstack(blocks, format="csr")
+    inv = np.argsort(np.concatenate(order), kind="stable")
+    return stacked[inv]
+
+
+def _dist_rap(A_parts, starts, P_parts, coarse_starts):
+    """A_c = P^T A P with per-shard products + owner-routed reduction."""
+    n_shards = len(A_parts)
+    nc = int(coarse_starts[-1])
+    ri_l, cj_l, vv_l = [], [], []
+    for s in range(n_shards):
+        A_s = A_parts[s].tocsr()
+        cols = np.unique(A_s.indices.astype(np.int64))
+        P_halo = _gather_csr_rows(P_parts, starts, cols, nc)
+        colmap = np.searchsorted(cols, A_s.indices)
+        A_c = sp.csr_matrix(
+            (A_s.data, colmap, A_s.indptr),
+            shape=(A_s.shape[0], len(cols)),
+        )
+        AP = A_c @ P_halo
+        M = (P_parts[s].T.tocsr() @ AP).tocoo()
+        ri_l.append(M.row.astype(np.int64))
+        cj_l.append(M.col.astype(np.int64))
+        vv_l.append(M.data)
+    return _route_coo(
+        coarse_starts,
+        np.concatenate(ri_l),
+        np.concatenate(cj_l),
+        np.concatenate(vv_l),
+        nc,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the distributed level loop
+# ---------------------------------------------------------------------------
+
+
+def dist_setup_levels(
+    A: sp.spmatrix,
+    energy,
+    opts: AMGOptions,
+    n_shards: int,
+) -> tuple[list[SetupLevel], FactoryLog]:
+    """Build the hierarchy from row-sharded inputs (H1 scalar energies).
+
+    The returned SetupLevel matrices are assembled global views of the
+    per-shard rows — the staging step before device placement, which
+    re-shards them via parallel/shard.py (small levels replicated there).
+    """
+    if getattr(energy, "dpv", None) != 1:
+        raise ValueError("distributed setup currently supports dpv == 1")
+    lc = opts.levels
+    log = FactoryLog()
+    parts, starts = split_rows(A.tocsr().astype(np.float64), n_shards)
+
+    def ph_mesh(n):
+        return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
+
+    n = int(starts[-1])
+    levels = [
+        SetupLevel(
+            index=0,
+            A=sp.vstack(parts, format="csr"),
+            row_bs=1,
+            mesh=ph_mesh(n),
+        )
+    ]
+    log.nvs.append(n)
+    log.nnzs.append(int(sum(p.nnz for p in parts)))
+    W_parts, l2_parts = _finest_wl2(parts, starts)
+    lvl = 0
+    while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
+        d_parts = _aux_diag(W_parts, l2_parts)
+        S_parts = _strength_parts(W_parts, d_parts, starts)
+        v2agg_parts, coarse_starts = _dist_spw(S_parts, starts, opts, lvl)
+        nc = int(coarse_starts[-1])
+        if nc >= lc.min_coarsen_ratio * n or nc == 0:
+            break
+        P_parts = _dist_prol(
+            parts, W_parts, d_parts, starts, v2agg_parts, coarse_starts,
+            opts, lvl, energy,
+        )
+        Ac_parts = _dist_rap(parts, starts, P_parts, coarse_starts)
+        # symmetrization (serial rap() parity) on the assembled view
+        Ac = sp.vstack(Ac_parts, format="csr")
+        Ac = ((Ac + Ac.T) * 0.5).tocsr()
+        Ac.sum_duplicates()
+        Ac.sort_indices()
+        levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
+            blocksize=(1, 1)
+        )
+        levels[-1].v2agg = np.concatenate(v2agg_parts)
+        levels.append(
+            SetupLevel(index=lvl + 1, A=Ac, row_bs=1, mesh=ph_mesh(nc))
+        )
+        log.nvs.append(nc)
+        log.nnzs.append(int(Ac.nnz))
+        # next-level sharded state (mesh map_data analog)
+        W_parts = _dist_collapse(W_parts, starts, v2agg_parts, coarse_starts)
+        all_v2 = np.concatenate(v2agg_parts)
+        all_l2 = np.concatenate(l2_parts)
+        m = all_v2 >= 0
+        l2_parts = _reduce_by_owner(
+            coarse_starts,
+            all_v2[m],
+            all_l2[m],
+            [
+                int(coarse_starts[t + 1] - coarse_starts[t])
+                for t in range(n_shards)
+            ],
+        )
+        parts = [
+            Ac[coarse_starts[t] : coarse_starts[t + 1]]
+            for t in range(n_shards)
+        ]
+        starts = coarse_starts
+        n = nc
+        lvl += 1
+    return levels, log

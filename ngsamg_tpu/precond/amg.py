@@ -179,10 +179,22 @@ class AMGPreconditioner:
     def setup(self) -> "AMGPreconditioner":
         t0 = time.perf_counter()
         _warm_transfer_path()
-        self.setup_levels_, self.log_ = setup_levels(
-            self.A_host, self.energy, self.options, self.coords,
-            finest_mesh=self._finest_mesh,
-        )
+        if (
+            self.options.dist_setup > 1
+            and getattr(self.energy, "dpv", 0) == 1
+            and self._finest_mesh is None
+        ):
+            from ..parallel.dist_setup import dist_setup_levels
+
+            self.setup_levels_, self.log_ = dist_setup_levels(
+                self.A_host, self.energy, self.options,
+                self.options.dist_setup,
+            )
+        else:
+            self.setup_levels_, self.log_ = setup_levels(
+                self.A_host, self.energy, self.options, self.coords,
+                finest_mesh=self._finest_mesh,
+            )
         t1 = time.perf_counter()
         self._compile_device()
         t2 = time.perf_counter()

@@ -207,7 +207,10 @@ def truncate_prol(
     nf = P.shape[0] // dpv
     data, cols = _bsr_to_padded(P, dpv)  # (nf, K, dpv, dpv), (nf, K) col=-1 pad
     K = data.shape[1]
-    if K <= max_per_row:
+    if K <= max_per_row and min_frac <= 0:
+        # row-local decision only: an early return for K <= max_per_row
+        # alone would make the result depend on OTHER rows' degrees
+        # (breaks shard-local == serial equality)
         return P
     norms = np.sqrt((data**2).sum(axis=(2, 3)))
     norms[cols < 0] = -1.0

@@ -1,0 +1,76 @@
+"""Distributed (shard-local) setup vs serial setup equality.
+
+VERDICT round-1 #2: the hierarchy built from row-sharded inputs must match
+the serial hierarchy — same aggregates, same coarse nnz (values to fp
+roundoff; summation orders differ).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ngsamg_tpu import AMGOptions, SpecOpt
+from ngsamg_tpu.apps.h1 import H1Energy
+from ngsamg_tpu.config import CoarsenType
+from ngsamg_tpu.factory.levels import setup_levels
+from ngsamg_tpu.parallel.dist_setup import dist_setup_levels
+from ngsamg_tpu.utils import fem
+
+
+def _opts():
+    # f64 so the serial Galerkin products match the distributed f64 ones
+    o = AMGOptions(dtype="float64")
+    o.coarsen.algo = SpecOpt(CoarsenType.SPW)  # force the algebraic path
+    o.levels.max_coarse_size = 40
+    return o
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 7])
+def test_dist_equals_serial_unstructured(n_shards):
+    prob = fem.unstructured_poisson(20, dim=2)
+    _check_equal(prob.A, n_shards)
+
+
+@pytest.mark.parametrize("n_shards", [4])
+def test_dist_equals_serial_structured(n_shards):
+    # structured grids have massively tied strengths — the hash tie-break
+    # must keep the shard-local matching identical to the serial one
+    prob = fem.poisson_3d(8)
+    _check_equal(sp.csr_matrix(prob.A), n_shards)
+
+
+def _check_equal(A, n_shards):
+    opts = _opts()
+    en = H1Energy(bs=1)
+    s_levels, s_log = setup_levels(A.tocsr(), en, opts)
+    d_levels, d_log = dist_setup_levels(A, en, opts, n_shards)
+    assert len(s_levels) == len(d_levels), (s_log.nvs, d_log.nvs)
+    assert s_log.nvs == d_log.nvs
+    for sl, dl in zip(s_levels[:-1], d_levels[:-1]):
+        np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        if i == 0:
+            continue
+        assert sl.A.nnz == dl.A.nnz, f"level {i} nnz"
+        diff = abs(sl.A - dl.A).max()
+        scale = abs(sl.A).max()
+        assert diff < 1e-10 * scale, f"level {i} values differ {diff:.2e}"
+
+
+def test_dist_hierarchy_solves():
+    """The distributed-setup hierarchy plugs into the device solve."""
+    from ngsamg_tpu import AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+
+    prob = fem.unstructured_poisson(24, dim=2)
+    opts = _opts()
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    pc = AMGPreconditioner(prob.A, coords=prob.coords, options=opts)
+    pc.setup_levels_, pc.log_ = dist_setup_levels(
+        prob.A, H1Energy(bs=1), opts, 4
+    )
+    pc._compile_device()
+    pc._is_setup = True
+    x, info = pc.solve(prob.b, tol=1e-8, maxiter=60)
+    r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
