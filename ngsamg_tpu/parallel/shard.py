@@ -26,7 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..solve.cycle import AMGOperator, DeviceLevel
 from ..smoothers.core import ChebyshevSmoother, GSSmoother, JacobiSmoother
 from ..sparse.bell import BlockELL
-from ..sparse.formats import DenseMatrix, DiaMatrix, SupernodeELL
+from ..sparse.formats import (
+    DenseMatrix,
+    DiaMatrix,
+    StencilDia,
+    SupernodeELL,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
@@ -81,6 +86,16 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
             nrows=A.nrows,
             nrows_pad=A.nrows_pad,
         )
+    if isinstance(A, StencilDia):
+        # scalar stencil values are tiny — replicate; the n-d shift matvec
+        # partitions over the leading lattice dim with x's row sharding
+        return StencilDia(
+            vals=_put(A.vals, repl),
+            offs=A.offs,
+            dims=A.dims,
+            nrows=A.nrows,
+            nrows_pad=A.nrows_pad,
+        )
     if isinstance(A, DenseMatrix):
         return DenseMatrix(
             data=_put(A.data, repl),
@@ -126,10 +141,17 @@ def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
             order=sm.order,
         )
     if isinstance(sm, GSSmoother):
-        # color slices do not align with row shards; keep GS levels
-        # replicated (use l1-Jacobi/Chebyshev for sharded levels instead)
+        # GS shards fine: the coloring is GLOBAL, so rows of one color are
+        # mutually independent across shards — simultaneous updates within
+        # a color slice need no interface modification (a stronger
+        # guarantee than the reference's l1-modified interface rows,
+        # hybrid_smoother.hpp CalcModDiag). GSPMD partitions each color
+        # slice across the row shards; the x gathers ride ICI. This is the
+        # TPU answer to the 3-stage interior/interface overlap of
+        # hybrid_base_smoother.hpp:56-61 — XLA overlaps the collective
+        # with the independent per-color compute.
         return GSSmoother(
-            Dinv=_put(sm.Dinv, repl),
+            Dinv=_put(sm.Dinv, rows3),
             color_bounds=sm.color_bounds,
             steps=sm.steps,
         )
@@ -156,7 +178,7 @@ def shard_operator(
 
     new_levels = []
     for lev in op.levels:
-        sa = shardable(lev.A) and not isinstance(lev.smoother, GSSmoother)
+        sa = shardable(lev.A)
         A_s = _shard_mat(lev.A, mesh, axis, sa)
         sm_s = _shard_smoother(lev.smoother, mesh, axis, sa)
         P_s = R_s = None

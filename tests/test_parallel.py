@@ -41,3 +41,38 @@ def test_shard_operator_solve():
     xr = np.asarray(st_ref[0])
     rel = np.abs(xs - xr).max() / max(np.abs(xr).max(), 1e-12)
     assert np.isfinite(rel) and rel < 1e-3
+
+
+def test_sharded_gs_matches_replicated():
+    """GS levels are row-sharded (no forced replication); the global
+    coloring makes cross-shard same-color updates dependency-free, so the
+    sharded sweep must match the replicated one (VERDICT r1 #5)."""
+    import numpy as np
+
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.parallel.shard import make_mesh, shard_operator
+    from ngsamg_tpu.smoothers.core import GSSmoother
+    from ngsamg_tpu.solve.pcg import _pcg_chunk, _pcg_init
+    from ngsamg_tpu.utils import fem
+
+    prob = fem.unstructured_poisson(16, dim=2)
+    opts = AMGOptions(shards=8)
+    opts.smoother = SmootherOptions(type=SmootherType.GS)
+    opts.levels.max_coarse_size = 40
+    pc = AMGPreconditioner(prob.A, coords=prob.coords, options=opts).setup()
+    assert isinstance(pc.op.levels[0].smoother, GSSmoother)
+    mesh = make_mesh(8)
+    op_s, A_s = shard_operator(pc.op, pc.A_dev, mesh, replicate_below=50)
+    # the finest GS level must actually be sharded
+    sh = op_s.levels[0].A.data.sharding
+    assert not sh.is_fully_replicated, "GS level still replicated"
+    b = pc._to_dev(prob.b)
+    tol2 = np.float32(1e-30)
+    st, st_ref = _pcg_init(b), _pcg_init(b)
+    for _ in range(3):
+        st = _pcg_chunk(op_s, A_s, st, tol2, chunk=4)
+        st_ref = _pcg_chunk(pc.op, pc.A_dev, st_ref, tol2, chunk=4)
+    xs, xr = np.asarray(st[0]), np.asarray(st_ref[0])
+    rel = np.abs(xs - xr).max() / max(np.abs(xr).max(), 1e-12)
+    assert np.isfinite(rel) and rel < 1e-4, rel
