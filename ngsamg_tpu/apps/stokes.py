@@ -237,25 +237,98 @@ def _spanning_forest(mesh, v2agg, interior_edges):
     return parent_edge, order
 
 
+def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+    """Fundamental-cycle curl basis from a BFS spanning forest (any mesh).
+
+    The discrete divergence D is the signed cell-facet incidence operator
+    of the dual graph, so ker(D) is EXACTLY the graph's cycle space; the
+    fundamental cycles of a spanning forest form a basis of it: one loop
+    per non-tree facet e=(a,b) — e followed by the tree path b -> a. BFS
+    keeps the paths (hence the potential-operator stencil) short. This is
+    the general-mesh replacement for the reference's geometric
+    `CalcFacetLoops` (src/stokes/common/stokes_pc.cpp): same span, built
+    from the algebraic dual graph alone — Hiptmair survives coarsening
+    and irregular meshes (VERDICT r1 #7).
+    """
+    from collections import deque
+
+    nv, ne = mesh.nv, mesh.ne
+    edges = mesh.edges
+    adj: list[list] = [[] for _ in range(nv)]
+    for e in range(ne):
+        i, j = int(edges[e, 0]), int(edges[e, 1])
+        adj[i].append((j, e))
+        adj[j].append((i, e))
+    parent = np.full(nv, -1, dtype=np.int64)
+    pedge = np.full(nv, -1, dtype=np.int64)
+    depth = np.zeros(nv, dtype=np.int64)
+    intree = np.zeros(ne, dtype=bool)
+    visited = np.zeros(nv, dtype=bool)
+    for root in range(nv):
+        if visited[root]:
+            continue
+        visited[root] = True
+        q = deque([root])
+        while q:
+            c = q.popleft()
+            for nb, e in adj[c]:
+                if not visited[nb]:
+                    visited[nb] = True
+                    parent[nb] = c
+                    pedge[nb] = e
+                    depth[nb] = depth[c] + 1
+                    intree[e] = True
+                    q.append(nb)
+    rows, cols, vals = [], [], []
+    nl = 0
+    for e in range(ne):
+        if intree[e]:
+            continue
+        a, b = int(edges[e, 0]), int(edges[e, 1])
+        coef: dict[int, float] = {e: 1.0}  # traversal a -> b
+        u, v = b, a  # climb b -> lca (forward) and a -> lca (reversed)
+        while u != v:
+            if depth[u] >= depth[v]:
+                ed = int(pedge[u])
+                s = 1.0 if int(edges[ed, 0]) == u else -1.0
+                coef[ed] = coef.get(ed, 0.0) + s
+                u = int(parent[u])
+            else:
+                ed = int(pedge[v])
+                s = 1.0 if int(edges[ed, 0]) == v else -1.0
+                coef[ed] = coef.get(ed, 0.0) - s
+                v = int(parent[v])
+        for ed, s in coef.items():
+            if s != 0.0:
+                rows.append(ed)
+                cols.append(nl)
+                vals.append(s)
+        nl += 1
+    if nl == 0:
+        return None
+    return sp.coo_matrix(
+        (vals, (rows, cols)), shape=(ne, nl)
+    ).tocsr()
+
+
 def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     """Curl matrix C: loops -> facet space (`CalcFacetLoops` analog).
 
-    Loops are the elementary 4-cycles of the dual lattice: in 2D one loop
-    per interior primal node, in 3D one per interior primal edge — i.e.
-    for every axis pair (a1, a2) the cycle c -> c+e1 -> c+e1+e2 -> c+e2.
-    They span ker(D) (a spanning set, not necessarily a basis in 3D).
-    Requires lattice cell positions; returns None otherwise (Hiptmair then
-    degrades to the plain range smoother).
+    On lattice dual meshes: the elementary 4-cycles (in 2D one loop per
+    interior primal node, in 3D one per interior primal edge) — short,
+    geometric, like the reference. Off-lattice (general/perturbed meshes,
+    SPW-coarsened levels): the spanning-forest fundamental cycle basis
+    (:func:`build_loops_tree`), which spans ker(D) on any dual graph.
     """
     from ..coarsen.lattice import detect_lattice
 
     det = detect_lattice(mesh.vertex_data["pos"])
     if det is None:
-        return None
+        return build_loops_tree(mesh)
     idx, dims = det
     d = idx.shape[1]
     if d < 2:
-        return None
+        return build_loops_tree(mesh)
     cell_of = -np.ones(tuple(int(x) for x in dims), dtype=np.int64)
     cell_of[tuple(idx.T)] = np.arange(mesh.nv)
     ekey = {}
@@ -307,7 +380,7 @@ def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
                     vals.append(s)
                 nl += 1
     if nl == 0:
-        return None
+        return build_loops_tree(mesh)
     return sp.coo_matrix(
         (vals, (rows, cols)), shape=(mesh.ne, nl)
     ).tocsr()

@@ -68,8 +68,10 @@ def detect_lattice(coords: np.ndarray | None):
         idx[:, k] = inv
         dims.append(len(u))
     dims = np.asarray(dims, dtype=np.int64)
-    if np.prod(dims.astype(np.float64)) > 64 * nv:
-        return None  # far from a filled lattice; keys would be meaningless
+    if np.prod(dims.astype(np.float64)) > 8 * nv:
+        # far from a filled lattice: keys would be meaningless (random
+        # point sets decode to nv x nv "lattices" under a laxer bound)
+        return None
     key = np.zeros(nv, dtype=np.int64)
     for k in range(d):
         key = key * dims[k] + idx[:, k]

@@ -82,6 +82,53 @@ def test_stokes_solve():
     assert pc.num_levels >= 3
 
 
+def test_tree_loops_span_kernel_off_lattice():
+    """Spanning-forest loops span ker(D) on a perturbed (non-lattice)
+    dual mesh — the general-mesh CalcFacetLoops replacement."""
+    p = stokes_mac_2d(8)
+    rng = np.random.default_rng(5)
+    pos = p.cell_pos + rng.uniform(-0.2, 0.2, p.cell_pos.shape) / 8
+    mesh, _ = st.build_dual_mesh(
+        pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    from ngsamg_tpu.coarsen.lattice import detect_lattice
+
+    assert detect_lattice(mesh.vertex_data["pos"]) is None
+    C = st.build_loops(mesh)
+    assert C is not None
+    assert np.abs(p.D @ C).max() == 0.0
+    ker_dim = p.n - np.linalg.matrix_rank(p.D.toarray())
+    assert np.linalg.matrix_rank(C.toarray()) == ker_dim
+
+
+def test_stokes_off_lattice_hiptmair_every_level():
+    """Perturbed-mesh Stokes converges with Hiptmair on EVERY smoothed
+    level (VERDICT r1 #7: loops must survive off-lattice + coarsening)."""
+    from ngsamg_tpu.smoothers.hiptmair import HiptmairSmoother
+
+    p = stokes_mac_2d(16, alpha=10.0)
+    rng = np.random.default_rng(7)
+    pos = p.cell_pos + rng.uniform(-0.25, 0.25, p.cell_pos.shape) / 16
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 60
+    pc = StokesAMG(
+        p.A,
+        cell_pos=pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    assert pc.num_levels >= 3
+    for lev in pc.op.levels[:-1]:
+        assert isinstance(lev.smoother, HiptmairSmoother), (
+            "Hiptmair must survive off-lattice coarsening"
+        )
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=200)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_stokes_solve_stiff_penalty():
     p = stokes_mac_2d(16, alpha=1000.0)
     opts = AMGOptions()
