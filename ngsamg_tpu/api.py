@@ -137,7 +137,30 @@ class h1_3d(_AMGClass):
         self.setup()
 
 
-class elast_2d(_AMGClass):
+class _ElastAMGClass(_AMGClass):
+    def GetRotationOfBF(self, level: int = 1, dof: int = 0, comp: int = 0):
+        """Rotational components of a coarse basis function.
+
+        The reference exposes this through the MultiDofMapStep secondary
+        map (python_elasticity.cpp:24-45): prolongate e_dof down to the
+        finest AMG (disp+rot) level using the PRE-embedding prolongation
+        and return the rotation coefficients per vertex."""
+        lev = self.setup_levels_[level]
+        v = np.zeros(lev.A.shape[0])
+        v[dof * lev.row_bs + comp] = 1.0
+        for li in range(level - 1, 0, -1):
+            v = self.setup_levels_[li].P @ v
+        P0 = self.setup_levels_[0].P_amg
+        if P0 is None:
+            raise RuntimeError("finest level has no AMG-space prolongation")
+        if level >= 1:
+            v = P0 @ v
+        dpv = self.energy.dpv
+        dim = self.energy.dim
+        return v.reshape(-1, dpv)[:, dim:]
+
+
+class elast_2d(_ElastAMGClass):
     """2D elasticity AMG (3 DOFs/vertex AMG space)."""
 
     _energy = "elasticity"
@@ -147,7 +170,7 @@ class elast_2d(_AMGClass):
         super().__init__(A, coords=coords, **flags)
 
 
-class elast_3d(_AMGClass):
+class elast_3d(_ElastAMGClass):
     """3D elasticity AMG (6 DOFs/vertex AMG space)."""
 
     _energy = "elasticity"

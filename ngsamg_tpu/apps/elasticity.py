@@ -121,8 +121,12 @@ class ElasticityEnergy(Energy):
         pos = np.asarray(coords, dtype=np.float64)
         # scalar connectivity: Frobenius norms of displacement blocks
         norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
+        # data must be COPIED too: scipy csr aliases it, and
+        # setdiag/eliminate_zeros compact W.data IN PLACE — which would
+        # scramble the `norms` used for the edge/block alignment below
         W = sp.csr_matrix(
-            (norms, B.indices.copy(), B.indptr.copy()), shape=(nv, nv)
+            (norms.copy(), B.indices.copy(), B.indptr.copy()),
+            shape=(nv, nv),
         )
         diag = W.diagonal().copy()
         W.setdiag(0.0)

@@ -56,6 +56,9 @@ class SetupLevel:
     # structured fast path: the level operator in stencil form
     # (transfer/stencil.LatticeOp); A may then be None except coarsest
     stencil: object | None = None
+    # the AMG-space prolongation BEFORE the finest-level embedding fold
+    # (the MultiDofMapStep secondary map: rotations of coarse BFs)
+    P_amg: sp.bsr_matrix | None = None
 
 
 @dataclass
@@ -519,6 +522,7 @@ def setup_levels(
             )
         E = energy.embedding_matrix(cur.mesh) if lvl == 0 else None
         if E is not None:
+            cur.P_amg = P  # pre-embedding (dpv-space) prol: GetRotationOfBF
             P = (E @ P).tobsr(blocksize=(cur.row_bs, energy.dpv))
 
         # Galerkin products in the solve dtype: f32 coarse operators serve

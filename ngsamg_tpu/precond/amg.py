@@ -118,6 +118,7 @@ class AMGPreconditioner:
         freedofs: np.ndarray | None = None,
         options: AMGOptions | None = None,
         elmat_data: tuple | None = None,
+        nodalp2: np.ndarray | None = None,
         **flags,
     ):
         if options is None:
@@ -134,13 +135,47 @@ class AMGPreconditioner:
                 f"matrix size {A.shape[0]} not divisible by "
                 f"block_size {block_size}"
             )
+        self._ext_free = None  # partial-Dirichlet external->internal map
         if self.freedofs is not None:
-            # subset selection (reference: DOF subsets, amg_pc_vertex.hpp:211)
-            idx = np.flatnonzero(self.freedofs)
-            A = A[idx][:, idx].tocsr()
+            fd = self.freedofs
+            vany = fd.reshape(-1, block_size).any(axis=1)
+            vall = fd.reshape(-1, block_size).all(axis=1)
+            if block_size > 1 and (vany & ~vall).any():
+                # partial Dirichlet (some components of a vertex fixed):
+                # keep ALL dofs of touched vertices and project the
+                # constrained components — rows/cols zeroed, diagonal kept
+                # (the reference's scalFreeRows projection,
+                # amg_pc_vertex_impl.hpp:693-733). Externally the
+                # preconditioner still exposes only the free dofs.
+                kept = np.flatnonzero(np.repeat(vany, block_size))
+                A = A[kept][:, kept].tocsr()
+                sub_free = fd[kept]
+                coo = A.tocoo()
+                keep_e = (sub_free[coo.row] & sub_free[coo.col]) | (
+                    coo.row == coo.col
+                )
+                A = sp.coo_matrix(
+                    (coo.data[keep_e], (coo.row[keep_e], coo.col[keep_e])),
+                    shape=A.shape,
+                ).tocsr()
+                self._ext_free = np.flatnonzero(sub_free)
+            else:
+                # subset selection (DOF subsets, amg_pc_vertex.hpp:211)
+                idx = np.flatnonzero(self.freedofs)
+                A = A[idx][:, idx].tocsr()
             if coords is not None:
-                vmask = self.freedofs.reshape(-1, block_size).any(axis=1)
-                coords = np.asarray(coords)[vmask]
+                coords = np.asarray(coords)[vany]
+        # nodal-P2 two-parent embedding (amg_pc_vertex.hpp:211-244,
+        # elasticity_pc_impl.hpp nodal-P2 rows): AMG coarsens the vertex
+        # subset; midnodes embed as the average of their two parents.
+        # ``nodalp2``: (m, 3) int (midnode, parent1, parent2) in BLOCK-node
+        # numbering over the (possibly freedofs-reduced) matrix; ``coords``
+        # then holds the VERTEX (parent) coordinates only.
+        self._nodalp2 = None
+        if nodalp2 is not None:
+            if self.freedofs is not None:
+                raise ValueError("nodalp2 with freedofs: eliminate first")
+            self._nodalp2 = np.asarray(nodalp2, dtype=np.int64)
         self.A_host = A if A.dtype == np.float64 else A.astype(np.float64)
         self.n = A.shape[0]
         self.coords = None if coords is None else np.asarray(coords, float)
@@ -179,7 +214,9 @@ class AMGPreconditioner:
     def setup(self) -> "AMGPreconditioner":
         t0 = time.perf_counter()
         _warm_transfer_path()
-        if (
+        if self._nodalp2 is not None:
+            self._setup_nodalp2_levels()
+        elif (
             self.options.dist_setup > 1
             and getattr(self.energy, "dpv", 0) == 1
             and self._finest_mesh is None
@@ -211,6 +248,82 @@ class AMGPreconditioner:
             lmin, lmax = self.test()
             print(f"eigenvalue bounds of M^-1 A: [{lmin:.4g}, {lmax:.4g}]")
         return self
+
+    def _setup_nodalp2_levels(self):
+        """Nodal-P2 hierarchy: midnodes embed into their parent vertices.
+
+        The full matrix stays the finest (smoothed) level; the AMG runs on
+        the vertex-subspace operator E^T A E with the two-parent embedding
+        E as the level-0 transfer (the reference's nodalp2 subset +
+        smooth_lo_only pattern, amg_pc_vertex.hpp:211-244)."""
+        from ..factory.levels import SetupLevel
+        from ..mesh.topo import AlgebraicMesh
+
+        bs = self._bs_guess()
+        A_full = self.A_host.tocsr()
+        E = self._nodalp2_embedding(bs)
+        A1 = (E.T @ A_full @ E).tocsr()
+        A1 = ((A1 + A1.T) * 0.5).tocsr()
+        levels1, log1 = setup_levels(
+            A1, self.energy, self.options, self.coords
+        )
+        for lev in levels1:
+            lev.index += 1
+        n_nodes = self.n // bs
+        lev0 = SetupLevel(
+            index=0,
+            A=A_full,
+            row_bs=bs,
+            mesh=AlgebraicMesh(
+                nv=n_nodes, edges=np.zeros((0, 2), dtype=np.int64)
+            ),
+            P=E.tobsr(blocksize=(bs, bs)),
+        )
+        self.setup_levels_ = [lev0] + levels1
+        log1.nvs.insert(0, n_nodes)
+        log1.nnzs.insert(0, int(A_full.nnz))
+        self.log_ = log1
+
+    def _bs_guess(self) -> int:
+        dpv = getattr(self.energy, "bs", None)
+        if dpv is not None:
+            return int(dpv)  # H1 scalar/vector
+        return int(getattr(self.energy, "dim", 1))  # elasticity: disp dofs
+
+    def _nodalp2_embedding(self, bs: int) -> sp.csr_matrix:
+        """E: vertex-space dofs -> full dofs; midnode = mean of parents."""
+        n_nodes = self.n // bs
+        trip = self._nodalp2
+        is_mid = np.zeros(n_nodes, dtype=bool)
+        is_mid[trip[:, 0]] = True
+        vnum = np.full(n_nodes, -1, dtype=np.int64)
+        verts = np.flatnonzero(~is_mid)
+        vnum[verts] = np.arange(len(verts))
+        if (vnum[trip[:, 1]] < 0).any() or (vnum[trip[:, 2]] < 0).any():
+            raise ValueError("nodalp2 parents must be vertex nodes")
+        k = np.arange(bs)
+        rows = [
+            (verts[:, None] * bs + k).ravel(),
+            (trip[:, :1] * bs + k).ravel(),
+            (trip[:, :1] * bs + k).ravel(),
+        ]
+        cols = [
+            (vnum[verts][:, None] * bs + k).ravel(),
+            (vnum[trip[:, 1]][:, None] * bs + k).ravel(),
+            (vnum[trip[:, 2]][:, None] * bs + k).ravel(),
+        ]
+        vals = [
+            np.ones(len(verts) * bs),
+            np.full(len(trip) * bs, 0.5),
+            np.full(len(trip) * bs, 0.5),
+        ]
+        return sp.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(self.n, len(verts) * bs),
+        ).tocsr()
 
     @property
     def _row_align(self) -> int:
@@ -296,7 +409,9 @@ class AMGPreconditioner:
         for i, lev in enumerate(self.setup_levels_):
             P_fmt = R_fmt = None
             if lev.P is not None or lev.lattice_transfer is not None:
-                dpv = self.energy.dpv
+                # column block size = the NEXT level's dofs per vertex
+                # (equals energy.dpv except for synthetic embedding levels)
+                dpv = self.setup_levels_[i + 1].row_bs
                 P = None
                 if lev.P is not None:
                     P = lev.P.tocsr()
@@ -496,10 +611,27 @@ class AMGPreconditioner:
             out = out[self._iperm0]
         return out
 
+    # partial-Dirichlet (scalFreeRows) external<->internal vector views
+    def _expand_ext(self, b: np.ndarray) -> np.ndarray:
+        if self._ext_free is None:
+            return b
+        out = np.zeros(self.n, dtype=np.float64)
+        out[self._ext_free] = b
+        return out
+
+    def _contract_ext(self, x: np.ndarray) -> np.ndarray:
+        return x if self._ext_free is None else x[self._ext_free]
+
+    def matvec_free(self, p: np.ndarray) -> np.ndarray:
+        """A @ p in the external (free-dof) space."""
+        return self._contract_ext(self.A_host @ self._expand_ext(p))
+
     def apply(self, r: np.ndarray) -> np.ndarray:
         """x = M^-1 r — one AMG cycle (the reference `Mult`)."""
         self._require_setup()
-        return self._from_dev(amg_apply(self.op, self._to_dev(r)))
+        r = self._expand_ext(np.asarray(r, dtype=np.float64))
+        out = self._from_dev(amg_apply(self.op, self._to_dev(r)))
+        return self._contract_ext(out)
 
     def solve(
         self,
@@ -515,10 +647,10 @@ class AMGPreconditioner:
         correction around the device PCG (inner tol bounded by f32 accuracy).
         """
         self._require_setup()
-        b = np.asarray(b, dtype=np.float64)
+        b = self._expand_ext(np.asarray(b, dtype=np.float64))
         bnorm = np.linalg.norm(b)
         if bnorm == 0:
-            return np.zeros_like(b), SolveInfo(0, 0.0)
+            return self._contract_ext(np.zeros_like(b)), SolveInfo(0, 0.0)
         # inner accuracy floor of the device dtype (defect correction
         # bridges the gap to the requested tolerance)
         floors = {jnp.float64: 0.0, jnp.float32: 2e-6, jnp.bfloat16: 3e-2}
@@ -539,7 +671,7 @@ class AMGPreconditioner:
             x, info = self._solve_device_refined(
                 b, bnorm, tol, inner_tol, max_outer, maxiter
             )
-            return x, info
+            return self._contract_ext(x), info
         x = np.zeros(self.n)
         total_it = 0
         history = []
@@ -571,7 +703,7 @@ class AMGPreconditioner:
             converged=relres <= tol,
             history=history,
         )
-        return x, info
+        return self._contract_ext(x), info
 
     def _solve_device_refined(
         self, b, bnorm, tol, inner_tol, max_outer, maxiter
@@ -647,14 +779,15 @@ class AMGPreconditioner:
         """
         self._require_setup()
         rng = np.random.default_rng(0)
-        r = rng.standard_normal(self.n)
+        n_ext = self.n if self._ext_free is None else len(self._ext_free)
+        r = rng.standard_normal(n_ext)
         alphas, betas = [], []
         z = self.apply(r)
         rz = r @ z
         p = z.copy()
         beta_prev = 0.0
         for _ in range(min(iters, self.n)):
-            q = self.A_host @ p
+            q = self.matvec_free(p)
             pq = p @ q
             if pq <= 0 or rz == 0:
                 break

@@ -120,13 +120,36 @@ class AMGSmoother:
         return x
 
 
-def _bs_cycle(op: AMGOperator, b: jax.Array) -> jax.Array:
-    """Braess-Sarazin-style cascade (`SmoothBS`, amg_matrix.cpp:110-158):
+def _cycle_from(op: AMGOperator, b: jax.Array, l: int) -> jax.Array:
+    """Full V-cycle rooted at level ``l`` (`SmoothVFromLevel`,
+    amg_matrix.cpp:310-374), zero initial guess."""
+    return _cycle(op, b, l)
 
-    x = V-cycle(b); then for each start level down the hierarchy, refresh the
-    residual and add a V-cycle correction started from that level projected
-    back up. Here: one extra full-depth correction pass.
+
+def _bs_cycle(op: AMGOperator, b: jax.Array) -> jax.Array:
+    """The reference's BS cascade (`SmoothBS`, amg_matrix.cpp:110-158).
+
+    Descending: each level runs a FULL V-cycle rooted there
+    (SmoothVFromLevel), then restricts its updated residual. Coarsest:
+    exact solve. Ascending: prolongate the coarse correction and run
+    another V-cycle rooted at each level (in correction form — exact for
+    linear smoothers with zero-start sweeps).
     """
-    x = _cycle(op, b, 0)
-    r = b - matvec(op.levels[0].A, x)
-    return x + _cycle(op, r, 0)
+    levels = op.levels
+    L = len(levels)
+    if L == 1:
+        return coarse_solve(op, b)
+    xs, bs_ = [], []
+    bl = b
+    for l in range(L - 1):
+        xl = _cycle_from(op, bl, l)
+        rl = bl - matvec(levels[l].A, xl)
+        xs.append(xl)
+        bs_.append(bl)
+        bl = matvec(levels[l].R, rl)
+    xc = coarse_solve(op, bl)
+    for l in range(L - 2, -1, -1):
+        xl = xs[l] + matvec(levels[l].P, xc)
+        rl = bs_[l] - matvec(levels[l].A, xl)
+        xc = xl + _cycle_from(op, rl, l)
+    return xc
