@@ -310,3 +310,18 @@ def CreateJacobiSmoother(mat, block_size=1, l1: bool = True, **kw):
 
 def CreateChebyshevSmoother(mat, block_size=1, **kw):
     return _standalone_smoother(mat, "chebyshev", block_size, **kw)
+
+
+def CreateDynBlockSmoother(mat, steps: int = 1, max_block: int = 8):
+    """Dyn-block GS: automatic variable-size structural blocking
+    (ref: CreateDynBlockSmoother, python_smoothers.cpp; dyn_block.hpp)."""
+    import jax.numpy as jnp
+
+    from .smoothers.block import build_dyn_block_gs
+
+    A = mat.tocsr()
+    Ad = bell.from_scipy(A, 1, 1)
+    sm = build_dyn_block_gs(
+        A, Ad.nrows_pad, jnp.float32, steps=steps, max_block=max_block
+    )
+    return _SmootherHandle(Ad, sm, None, mat.shape[0], 1)

@@ -85,6 +85,7 @@ class SmootherType(str, enum.Enum):
     L1_JACOBI = "l1_jacobi"  # l1-scaled Jacobi (provably convergent)
     CHEBYSHEV = "chebyshev"  # Chebyshev polynomial smoother
     HIPTMAIR = "hiptmair"  # two-space smoother (Stokes)
+    DYNBGS = "dyn_bgs"  # dyn-block GS (structural row fusion, dyn_block.hpp)
 
 
 class CoarsenType(str, enum.Enum):

@@ -140,6 +140,17 @@ def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
             lam_min=_put(sm.lam_min, repl),
             order=sm.order,
         )
+    from ..smoothers.block import BlockGSSmoother
+
+    if isinstance(sm, BlockGSSmoother):
+        # block sweeps gather arbitrary rows; keep the (small) block data
+        # replicated — the level matrix itself may still be sharded
+        return BlockGSSmoother(
+            blocks=_put(sm.blocks, repl),
+            Binv=_put(sm.Binv, repl),
+            color_bounds=sm.color_bounds,
+            steps=sm.steps,
+        )
     if isinstance(sm, GSSmoother):
         # GS shards fine: the coloring is GLOBAL, so rows of one color are
         # mutually independent across shards — simultaneous updates within

@@ -137,6 +137,60 @@ def build_block_gs(
     )
 
 
+def dyn_blocks(A: sp.spmatrix, max_block: int = 8) -> list[np.ndarray]:
+    """Variable-size blocks by structural row fusion (`DynVectorBlocking`,
+    /root/reference/src/base/linalg/dyn_block.hpp:14-109): runs of
+    consecutive rows with IDENTICAL column structure fuse into one block
+    (high-order FEM spaces produce many such runs), capped at
+    ``max_block`` rows. Hash-filtered, exactly verified."""
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    if n == 0:
+        return []
+    deg = np.diff(A.indptr)
+    # order-aware row hash of the column pattern
+    slot = np.arange(A.nnz, dtype=np.uint64) - np.repeat(
+        A.indptr[:-1].astype(np.uint64), deg
+    )
+    mix = (A.indices.astype(np.uint64) + np.uint64(1)) * (
+        np.uint64(2654435761) + slot * np.uint64(40503)
+    )
+    h = np.zeros(n, dtype=np.uint64)
+    ne = np.flatnonzero(deg > 0)
+    if len(ne):
+        h[ne] = np.add.reduceat(mix, A.indptr[:-1][ne])
+    cand = (deg[:-1] == deg[1:]) & (h[:-1] == h[1:]) if n > 1 else None
+    blocks = []
+    i = 0
+    while i < n:
+        j = i
+        while (
+            j + 1 < n
+            and j - i + 1 < max_block
+            and cand[j]
+            and np.array_equal(
+                A.indices[A.indptr[j] : A.indptr[j + 1]],
+                A.indices[A.indptr[j + 1] : A.indptr[j + 2]],
+            )
+        ):
+            j += 1
+        blocks.append(np.arange(i, j + 1))
+        i = j + 1
+    return blocks
+
+
+def build_dyn_block_gs(
+    A: sp.spmatrix, nrows_pad: int, dtype, steps: int = 1,
+    max_block: int = 8,
+) -> BlockGSSmoother:
+    """Dyn-block GS: automatic structural blocking + colored block sweeps
+    (`DynBlockSmoother`, dyn_block_smoother.hpp:16)."""
+    return build_block_gs(
+        A, dyn_blocks(A, max_block), nrows_pad, dtype, steps=steps
+    )
+
+
 def aggregate_blocks(v2agg: np.ndarray, n_agg: int) -> list[np.ndarray]:
     """Blocks from aggregation (a natural default block partition)."""
     order = np.argsort(v2agg, kind="stable")

@@ -27,6 +27,10 @@ def plan_row_order(A: sp.spmatrix, bs: int, opts: SmootherOptions, level: int):
     offsets of each color in the permuted ordering.
     """
     kind = SmootherType(opts.type.get(level))
+    if kind == SmootherType.DYNBGS:
+        # no permutation, but the level must stay in block-ELL (the block
+        # sweep gathers matrix rows); () marks that to the device compiler
+        return None, ()
     if kind != SmootherType.GS:
         return None, None
     W, _ = block_norm_graph(A, bs)
@@ -146,8 +150,16 @@ def build_smoother(
             lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
             order=int(opts.cheby_order.get(level)),
         )
+    if kind == SmootherType.DYNBGS:
+        from .block import build_dyn_block_gs
+
+        if bs != 1:
+            raise ValueError("dyn-block GS operates on scalar matrices")
+        return build_dyn_block_gs(
+            A, nrows_pad, dtype, steps=max(steps, 1)
+        )
     if kind == SmootherType.GS:
-        if color_bounds is None:
+        if color_bounds is None or color_bounds == ():
             raise ValueError("GS smoother requires a color-permuted level")
         Dinv = _pinv_blocks(D)
         return GSSmoother(
