@@ -219,6 +219,51 @@ class stokes_gg_3d(_StokesAMGClass):
     """3D grad-grad + div-penalty Stokes AMG (reference stokes_gg_3d)."""
 
 
+class _StokesHDivAMGClass:
+    """HDiv-variant Stokes AMG (reference stokes_hdiv_gg_*): variable
+    facet DOF counts + preserved vectors."""
+
+    def __init__(self, A, *, cell_pos, cell_vol, facet_cells, facet_flow,
+                 facet_dof_counts, preserved, options=None, **flags):
+        from .precond.stokes import StokesHDivAMG
+
+        if options is None:
+            options = options_from_flags(flags) if flags else AMGOptions()
+        self._pc = StokesHDivAMG(
+            A,
+            cell_pos=cell_pos,
+            cell_vol=cell_vol,
+            facet_cells=facet_cells,
+            facet_flow=facet_flow,
+            facet_dof_counts=facet_dof_counts,
+            preserved=preserved,
+            options=options,
+        ).setup()
+
+    def GetNLevels(self, rank: int = 0):
+        return self._pc.num_levels
+
+    def GetNDof(self, level: int = 0, rank: int = 0):
+        return self._pc.setup_levels_[level].A.shape[0]
+
+    def GetMeshDOFs(self, level: int = 0):
+        return self._pc.setup_levels_[level].dofs
+
+    def GetPreservedVectors(self, level: int = 0):
+        return self._pc.setup_levels_[level].pres
+
+    def solve(self, b, **kw):
+        return self._pc.solve(b, **kw)
+
+
+class stokes_hdiv_gg_2d(_StokesHDivAMGClass):
+    """2D HDiv-HDG-style Stokes AMG (reference stokes_hdiv_gg_2d)."""
+
+
+class stokes_hdiv_gg_3d(_StokesHDivAMGClass):
+    """3D HDiv-HDG-style Stokes AMG (reference stokes_hdiv_gg_3d)."""
+
+
 # ---------------------------------------------------------------------------
 # standalone smoothers (python_smoothers.cpp:144-391)
 # ---------------------------------------------------------------------------

@@ -39,6 +39,9 @@ class StokesLevel:
     P: sp.csr_matrix | None = None  # facet prolongation to this level
     C: sp.csr_matrix | None = None  # curl: loops -> facet space
     v2agg: np.ndarray | None = None
+    # HDiv variant: variable per-facet DOFs + preserved vectors
+    dofs: object | None = None  # apps.stokes_hdiv.MeshDOFs
+    pres: object | None = None  # apps.stokes_hdiv.PreservedVectors
 
 
 def build_dual_mesh(cell_pos, cell_vol, facet_cells, facet_flow, A=None):

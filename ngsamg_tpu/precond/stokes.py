@@ -231,3 +231,152 @@ class StokesAMG:
     @property
     def num_levels(self):
         return len(self.setup_levels_)
+
+
+class StokesHDivAMG:
+    """HDiv-variant Stokes AMG: variable facet DOFs + preserved vectors.
+
+    The reference's `HDivStokesAMGPC` (src/stokes/hdiv/) re-created over
+    the strict-algebraic facet inputs: per-facet DOF counts (`MeshDOFs`)
+    and a set of preserved vectors (constants / RT0) that stay exactly
+    representable on every coarse level (preserved_vectors.hpp). The
+    smoother is dyn-block GS over the variable per-facet DOF blocks (the
+    reference pairs HDiv with its dyn-block smoothers), falling back to
+    Chebyshev via options.
+    """
+
+    def __init__(
+        self,
+        A: sp.spmatrix,
+        *,
+        cell_pos,
+        cell_vol,
+        facet_cells,
+        facet_flow,
+        facet_dof_counts,
+        preserved,
+        options: AMGOptions | None = None,
+    ):
+        from ..apps.stokes_hdiv import MeshDOFs, PreservedVectors
+
+        self.options = options or AMGOptions()
+        self.A_host = A.tocsr().astype(np.float64)
+        self.n = A.shape[0]
+        mesh, interior = st.build_dual_mesh(
+            cell_pos, cell_vol, facet_cells, facet_flow
+        )
+        self.mesh0 = mesh
+        self.dofs0 = MeshDOFs.from_counts(
+            np.asarray(facet_dof_counts, dtype=np.int64)
+        )
+        if self.dofs0.ndof != self.n:
+            raise ValueError(
+                f"matrix has {self.n} dofs, facet counts sum to "
+                f"{self.dofs0.ndof}"
+            )
+        self.pres0 = PreservedVectors(
+            n_special=1, vectors=np.asarray(preserved, dtype=np.float64)
+        )
+        self.dtype = jnp.float32
+        self._is_setup = False
+
+    def setup(self) -> "StokesHDivAMG":
+        from ..apps.stokes_hdiv import preserved_prolongation
+        from ..mesh.topo import map_edges
+        from ..transfer.galerkin import rap
+
+        t0 = time.perf_counter()
+        lc = self.options.levels
+        levels = []
+        A, mesh, dofs, pres = self.A_host, self.mesh0, self.dofs0, self.pres0
+        lvl = 0
+        while True:
+            cap = st.StokesLevel(A=A, mesh=mesh)
+            cap.dofs = dofs
+            cap.pres = pres
+            levels.append(cap)
+            if (
+                lvl + 1 >= lc.max_levels
+                or dofs.ndof <= lc.max_coarse_size
+                or mesh.nv <= 8
+            ):
+                break
+            v2agg, n_agg = st.coarsen_cells(mesh)
+            if n_agg >= lc.min_coarsen_ratio * mesh.nv:
+                break
+            cedges, e2ce = map_edges(mesh, v2agg, n_agg)
+            cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, cedges, e2ce)
+            P_flux = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+            P, dofs_c, pres_c = preserved_prolongation(
+                mesh, cmesh, v2agg, e2ce, dofs, pres, P_flux
+            )
+            cap.P = P
+            cap.v2agg = v2agg
+            A = rap(A, P, dtype=np.float64)
+            mesh, dofs, pres = cmesh, dofs_c, pres_c
+            lvl += 1
+        self.setup_levels_ = levels
+        self._compile_device()
+        self.setup_time = time.perf_counter() - t0
+        self._is_setup = True
+        return self
+
+    def _compile_device(self):
+        from ..smoothers.block import build_block_gs
+
+        opts = self.options
+        nlev = len(self.setup_levels_)
+        dev_levels = []
+        for i, cap in enumerate(self.setup_levels_):
+            A_ell = bell.from_scipy(
+                cap.A, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
+                stage=True,
+            )
+            sm = None
+            if i < nlev - 1 or opts.coarse_solve != CoarseSolveType.INV:
+                # dyn-block GS over the variable per-facet dof blocks
+                off = cap.dofs.offsets
+                blocks = [
+                    np.arange(off[e], off[e + 1])
+                    for e in range(cap.dofs.ne)
+                    if off[e + 1] > off[e]
+                ]
+                sm = build_block_gs(
+                    cap.A, blocks, A_ell.nrows_pad, self.dtype
+                )
+            P_ell = R_ell = None
+            if cap.P is not None:
+                P_ell = bell.from_scipy(
+                    cap.P.tocsr(), 1, 1, dtype=self.dtype,
+                    row_align=ROW_ALIGN, stage=True,
+                )
+                R_ell = bell.from_scipy(
+                    cap.P.T.tocsr(), 1, 1, dtype=self.dtype,
+                    row_align=ROW_ALIGN, stage=True,
+                )
+            dev_levels.append(
+                DeviceLevel(A=A_ell, smoother=sm, P=P_ell, R=R_ell)
+            )
+        coarse_inv = None
+        if opts.coarse_solve == CoarseSolveType.INV:
+            Ad = self.setup_levels_[-1].A.toarray()
+            inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+            npad = dev_levels[-1].A.nrows_pad
+            out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
+            out[: inv.shape[0], : inv.shape[1]] = inv
+            coarse_inv = out
+        op_host = AMGOperator(
+            levels=tuple(dev_levels),
+            coarse_inv=coarse_inv,
+            cycle=opts.cycle.value,
+        )
+        self.op = jax.device_put(op_host)
+        self.A_dev = self.op.levels[0].A
+
+    _to_dev = StokesAMG._to_dev
+    _from_dev = StokesAMG._from_dev
+    solve = StokesAMG.solve
+
+    @property
+    def num_levels(self):
+        return len(self.setup_levels_)

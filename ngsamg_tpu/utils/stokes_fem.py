@@ -118,6 +118,87 @@ def stokes_mac_2d(n: int = 16, alpha: float = 10.0, nu: float = 1.0):
     )
 
 
+def stokes_mac_2d_hdiv(n: int = 16, alpha: float = 10.0, nu: float = 1.0):
+    """HDG-flavored facet space: normal flux + tangential trace per facet.
+
+    The test vehicle for the HDiv-variant AMG (reference src/stokes/hdiv):
+    every interior facet carries its MAC normal-flux dof; facets away from
+    the domain boundary additionally carry a tangential-trace dof
+    (boundary-adjacent tangential traces are eliminated by no-slip), so
+    the per-facet DOF counts are VARIABLE. The operator is the MAC
+    velocity block on the flux dofs plus a facet-lattice Laplacian on the
+    tangential dofs (the two families decouple, as in an HDG aux space).
+
+    Returns (StokesProblem over the joint dof space, dof_counts (nf_int,),
+    preserved (ndof, 2): the facet coordinates of the constant velocity
+    fields e_x, e_y).
+    """
+    base = stokes_mac_2d(n, alpha=alpha, nu=nu)
+    nf = base.A.shape[0]
+    h = 1.0 / n
+    interior = (base.facet_cells >= 0).all(axis=1)
+    assert interior.all()  # stokes_mac_2d already eliminates boundary
+    # tangential dofs only away from the boundary (variable counts)
+    p = base.facet_pos
+    has_t = (p.min(axis=1) > 1.1 * h) & (p.max(axis=1) < 1.0 - 1.1 * h)
+    counts = 1 + has_t.astype(np.int64)
+    off = np.zeros(nf + 1, dtype=np.int64)
+    off[1:] = np.cumsum(counts)
+    ndof = int(off[-1])
+    # scatter maps: flux dof = off[e], tangential dof = off[e]+1
+    flux_dofs = off[:-1]
+    tang_dofs = off[:-1][has_t] + 1
+    Sf = sp.coo_matrix(
+        (np.ones(nf), (flux_dofs, np.arange(nf))), shape=(ndof, nf)
+    ).tocsr()
+    nt = int(has_t.sum())
+    St = sp.coo_matrix(
+        (np.ones(nt), (tang_dofs, np.arange(nt))), shape=(ndof, nt)
+    ).tocsr()
+    # tangential operator: graph Laplacian over same-family facet adjacency
+    # (facets sharing a cell), restricted to tangential-carrying facets
+    i, j = base.facet_cells[:, 0], base.facet_cells[:, 1]
+    inc = sp.coo_matrix(
+        (
+            np.ones(2 * nf),
+            (np.concatenate([i, j]), np.concatenate([np.arange(nf)] * 2)),
+        ),
+        shape=(len(base.cell_vol), nf),
+    ).tocsr()
+    Adj = (inc.T @ inc).tolil()
+    Adj.setdiag(0)
+    Adj = Adj.tocsr()
+    Adj.eliminate_zeros()
+    Adj = Adj[has_t][:, has_t]
+    deg = np.asarray(Adj.sum(axis=1)).ravel()
+    Lt = (sp.diags(deg + 1.0) - Adj) * nu  # +1: no-slip boundary weight
+    A = (Sf @ base.A @ Sf.T + St @ Lt @ St.T).tocsr()
+    A = (A + A.T) * 0.5
+    # preserved vectors: constant fields e_x, e_y in facet coordinates
+    vertical = base.facet_cells[:, 1] == base.facet_cells[:, 0] + n
+    V = np.zeros((ndof, 2))
+    V[flux_dofs[vertical], 0] = base.facet_flow[vertical]  # ex normal flux
+    V[flux_dofs[~vertical], 1] = base.facet_flow[~vertical]
+    vt = vertical[has_t]
+    V[tang_dofs[vt], 1] = 1.0  # vertical facet tangent = e_y
+    V[tang_dofs[~vt], 0] = 1.0
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(ndof)
+    b -= b.mean()
+    prob = StokesProblem(
+        A=A,
+        b=b,
+        D=base.D @ Sf.T,  # divergence acts on the flux components
+        cell_pos=base.cell_pos,
+        cell_vol=base.cell_vol,
+        facet_cells=base.facet_cells,
+        facet_flow=base.facet_flow,
+        facet_pos=base.facet_pos,
+        alpha=alpha,
+    )
+    return prob, counts, V
+
+
 def stokes_mac_3d(n: int = 8, alpha: float = 10.0, nu: float = 1.0):
     """3D MAC Stokes velocity block on an n^3 unit-cube grid."""
     h = 1.0 / n

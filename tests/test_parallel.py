@@ -43,6 +43,34 @@ def test_shard_operator_solve():
     assert np.isfinite(rel) and rel < 1e-3
 
 
+def test_sharded_solve_to_tolerance():
+    """Full sharded PCG converges to 1e-8 with the same iteration count
+    as the unsharded solve (VERDICT r1 weak #3)."""
+    import numpy as np
+
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.parallel.shard import make_mesh, shard_operator
+    from ngsamg_tpu.solve.pcg import pcg
+    from ngsamg_tpu.utils import fem
+
+    prob = fem.poisson_3d(12)
+    opts = AMGOptions(dtype="float64", shards=8)
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    opts.levels.max_coarse_size = 60
+    pc = AMGPreconditioner(prob.A, coords=prob.coords, options=opts).setup()
+    mesh = make_mesh(8)
+    op_s, A_s = shard_operator(pc.op, pc.A_dev, mesh, replicate_below=100)
+    b = pc._to_dev(prob.b)
+    res_s = pcg(op_s, A_s, b, tol=1e-8, maxiter=60)
+    res_r = pcg(pc.op, pc.A_dev, b, tol=1e-8, maxiter=60)
+    assert float(res_s.relres) < 1e-8
+    assert int(res_s.iterations) == int(res_r.iterations)
+    xs = pc._from_dev(res_s.x)
+    r = np.linalg.norm(prob.A @ xs - prob.b) / np.linalg.norm(prob.b)
+    assert r < 1e-7, r
+
+
 def test_sharded_gs_matches_replicated():
     """GS levels are row-sharded (no forced replication); the global
     coloring makes cross-shard same-color updates dependency-free, so the

@@ -168,6 +168,89 @@ def test_stokes_3d():
     assert info.converged and info.iterations < 120
 
 
+def test_hdiv_preserved_vectors_exact():
+    """Preserved vectors stay exactly representable: P @ V_c == V_f
+    (preserved_vectors.hpp computeCoarseBasis semantics)."""
+    from ngsamg_tpu.apps.stokes_hdiv import (
+        MeshDOFs,
+        PreservedVectors,
+        preserved_prolongation,
+    )
+    from ngsamg_tpu.mesh.topo import map_edges
+    from ngsamg_tpu.utils.stokes_fem import stokes_mac_2d_hdiv
+
+    p, counts, V = stokes_mac_2d_hdiv(12)
+    mesh, _ = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    dofs = MeshDOFs.from_counts(counts)
+    pres = PreservedVectors(n_special=1, vectors=V)
+    v2agg, n_agg = st.coarsen_cells(mesh)
+    ce, e2ce = map_edges(mesh, v2agg, n_agg)
+    cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, ce, e2ce)
+    P_flux = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+    P, dofs_c, pres_c = preserved_prolongation(
+        mesh, cmesh, v2agg, e2ce, dofs, pres, P_flux
+    )
+    assert P.shape == (dofs.ndof, dofs_c.ndof)
+    # variable coarse counts: flux-only facets vs flux+preserved blocks
+    assert dofs_c.counts().min() >= 1
+    assert dofs_c.counts().max() >= 2
+    E = np.abs(P @ pres_c.vectors - V)
+    # Exact preservation everywhere a div-preserving prolongation CAN
+    # deliver it: all higher (tangential) dofs, all cross-facet fluxes,
+    # and interior fluxes of divergence-balanced aggregates. Aggregates
+    # touching the no-slip boundary see the constant fields violate the
+    # eliminated BC (their div-inconsistent component is unreachable for
+    # ANY div-preserving P); the deviation is confined there and O(h).
+    h = 1.0 / 12
+    cellpos = mesh.vertex_data["pos"]
+    bnd_cell = (cellpos.min(axis=1) < 1.1 * h) | (
+        cellpos.max(axis=1) > 1 - 1.1 * h
+    )
+    agg_bnd = np.zeros(n_agg, dtype=bool)
+    np.maximum.at(agg_bnd, v2agg, bnd_cell)
+    fac = np.searchsorted(dofs.offsets, np.arange(dofs.ndof), "right") - 1
+    excusable = (
+        (e2ce[fac] < 0)
+        & agg_bnd[v2agg[mesh.edges[fac, 0]]]
+        & np.isin(np.arange(dofs.ndof), dofs.offsets[:-1])
+    )
+    assert E[~excusable].max() < 1e-10, E[~excusable].max()
+    assert E.max() < 2 * h  # boundary deviation stays O(h)
+    # divergence preservation survives: dof-0 columns carry the flows
+    Cc = st.build_loops(cmesh)
+    rng = np.random.default_rng(0)
+    Uc = np.zeros(dofs_c.ndof)
+    Uc[dofs_c.offsets[:-1]] = Cc @ rng.standard_normal(Cc.shape[1])
+    div = p.D @ (P @ Uc)
+    assert np.abs(div).max() < 1e-10
+
+
+def test_hdiv_stokes_solve():
+    """HDiv-variant AMG converges on the variable-dof facet system."""
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_mac_2d_hdiv
+
+    p, counts, V = stokes_mac_2d_hdiv(16, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 120
+    pc = NgsAMG.stokes_hdiv_gg_2d(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        facet_dof_counts=counts,
+        preserved=V,
+        options=opts,
+    )
+    assert pc.GetNLevels() >= 2
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=200)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_stokes_api_export():
     import ngsamg_tpu.api as NgsAMG
     from ngsamg_tpu.utils.stokes_fem import stokes_mac_2d
