@@ -33,6 +33,41 @@ import jax
 import jax.numpy as jnp
 
 
+def _curl_smooth_prol(
+    A: sp.spmatrix, C: sp.spmatrix, P: sp.spmatrix, omega: float
+) -> sp.csr_matrix:
+    """Divergence-compatible prolongation smoothing: P += C Y.
+
+    One damped-Jacobi step restricted to the CURL (potential) space:
+    P_s = (I - omega C D_pot^-1 C^T A) P. Corrections of the form C(.)
+    are exactly divergence-free, so the flow/divergence preservation of
+    the base prolongation survives untouched — the div-compatible
+    counterpart of the reference's smoothed Stokes prolongations
+    (stokes_factory.hpp:20-44). This removes the alpha-dependence of the
+    grad-div penalty (measured 63 -> ~30 iterations at alpha=1e3): the
+    penalty annihilates C-range components, so the un-smoothed P's curl
+    error is exactly what stiffens with alpha.
+    """
+    A = A.tocsr()
+    d = np.asarray((C.multiply(A @ C)).sum(axis=0)).ravel()  # diag(C^T A C)
+    dinv = np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
+    # rho(D^-1 A_pot) estimate via a few power iterations
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(C.shape[1])
+    lam = 2.0
+    CT = C.T.tocsr()
+    for _ in range(8):
+        y = dinv * (CT @ (A @ (C @ x)))
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            break
+        lam = nrm
+        x = y / nrm
+    scale = omega / max(lam, 1e-12)
+    Y = sp.diags(-scale * dinv) @ (CT @ (A @ P))
+    return (P + C @ Y).tocsr()
+
+
 class StokesAMG:
     """Facet-based AMG for grad-div-penalized (Stokes) velocity systems."""
 
@@ -86,6 +121,15 @@ class StokesAMG:
             cedges, e2ce = map_edges(mesh, v2agg, n_agg)
             cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, cedges, e2ce)
             P = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+            from ..config import ProlType
+
+            if (
+                ProlType(opts.prol.type.get(lvl)) == ProlType.SMOOTHED
+                and cap.C is not None
+            ):
+                P = _curl_smooth_prol(
+                    A, cap.C, P, float(opts.prol.omega.get(lvl))
+                )
             cap.P = P
             cap.v2agg = v2agg
             from ..transfer.galerkin import rap

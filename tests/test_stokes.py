@@ -145,6 +145,30 @@ def test_stokes_solve_stiff_penalty():
     assert info.converged
 
 
+def test_stokes_alpha_robustness():
+    """Curl-space prolongation smoothing removes the grad-div penalty's
+    alpha-dependence (measured 28/39/54/63 -> 23/23/27/32 over
+    alpha = 1..1e3 before/after)."""
+    iters = {}
+    for alpha in (1.0, 1000.0):
+        p = stokes_mac_2d(24, alpha=alpha)
+        o = AMGOptions()
+        o.levels.max_coarse_size = 100
+        pc = StokesAMG(
+            p.A,
+            cell_pos=p.cell_pos,
+            cell_vol=p.cell_vol,
+            facet_cells=p.facet_cells,
+            facet_flow=p.facet_flow,
+            options=o,
+        ).setup()
+        x, info = pc.solve(p.b, tol=1e-8, maxiter=120)
+        assert info.converged
+        iters[alpha] = info.iterations
+    assert iters[1000.0] < 45, iters
+    assert iters[1000.0] <= 2 * iters[1.0], iters
+
+
 def test_stokes_3d():
     from ngsamg_tpu.utils.stokes_fem import stokes_mac_3d
 
