@@ -96,6 +96,21 @@ def _refine_accumulate(x64, dx32, rn):
     return x64 + dx32.astype(jnp.float64) * rn
 
 
+def _spd_inverse(Ad: np.ndarray) -> np.ndarray:
+    """Dense inverse of an SPD matrix: Cholesky (4x faster than the
+    eigh-based pinv at ~3000 rows), pseudo-inverse fallback for the
+    singular/regularized cases (`RegularizeMatrix` analog)."""
+    try:
+        import scipy.linalg as sla
+
+        cf = sla.cho_factor(Ad, lower=True, check_finite=False)
+        return sla.cho_solve(
+            cf, np.eye(Ad.shape[0]), check_finite=False
+        )
+    except Exception:
+        return np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+
+
 @dataclass
 class SolveInfo:
     iterations: int
@@ -577,7 +592,7 @@ class AMGPreconditioner:
         """
         lev = self.setup_levels_[-1]
         Ad = (lev.A if A_coarsest is None else A_coarsest).toarray()
-        inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+        inv = _spd_inverse(Ad)
         npad = _scalar_pad(dev_coarsest.A, lev.row_bs)
         out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
         out[: inv.shape[0], : inv.shape[1]] = inv

@@ -173,7 +173,9 @@ class StokesAMG:
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
             Ad = self.setup_levels_[-1].A.toarray()
-            inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+            from .amg import _spd_inverse
+
+            inv = _spd_inverse(Ad)
             npad = dev_levels[-1].A.nrows_pad
             out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
             out[: inv.shape[0], : inv.shape[1]] = inv
@@ -404,7 +406,9 @@ class StokesHDivAMG:
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
             Ad = self.setup_levels_[-1].A.toarray()
-            inv = np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+            from .amg import _spd_inverse
+
+            inv = _spd_inverse(Ad)
             npad = dev_levels[-1].A.nrows_pad
             out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
             out[: inv.shape[0], : inv.shape[1]] = inv
