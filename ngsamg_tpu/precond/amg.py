@@ -73,6 +73,9 @@ def _warm_transfer_path():
         for sz in (1 << 12, 1 << 20, 1 << 23):
             d = jax.device_put(np.zeros(sz, np.float32))
             jax.block_until_ready(d)
+            # device->host is cold-penalized too (measured 78s for the
+            # first sizeable readback vs ~1s warm) — warm both directions
+            jax.device_get(d)
     except Exception:
         pass
 
