@@ -137,12 +137,30 @@ class AMGPreconditioner:
         options: AMGOptions | None = None,
         elmat_data: tuple | None = None,
         nodalp2: np.ndarray | None = None,
+        dof_layout: str = "interleaved",
         **flags,
     ):
         if options is None:
             options = options_from_flags(flags) if flags else AMGOptions()
         self.options = options
         self.freedofs = None if freedofs is None else np.asarray(freedofs, bool)
+        self._ext_free = None  # external->internal dof map (perm/subset)
+        if dof_layout == "compound":
+            # component-major user layout [x0..xn, y0..yn, ...] permuted to
+            # the interleaved internal layout (the reference's compound
+            # FESpace tests, tests/h1/simple/test_vec.py)
+            if self.freedofs is not None:
+                raise ValueError("compound layout: pre-eliminate freedofs")
+            A = A.tocsr()
+            nv = A.shape[0] // block_size
+            p = (
+                np.arange(block_size)[None, :] * nv
+                + np.arange(nv)[:, None]
+            ).ravel()  # internal = external[p]
+            A = A[p][:, p].tocsr()
+            self._ext_free = np.argsort(p)
+        elif dof_layout != "interleaved":
+            raise ValueError(f"unknown dof_layout {dof_layout!r}")
         if not (isinstance(A, sp.dia_matrix) and self.freedofs is None):
             # DIA input feeds the structured fast path without a CSR detour
             A = A.tocsr()
@@ -153,7 +171,6 @@ class AMGPreconditioner:
                 f"matrix size {A.shape[0]} not divisible by "
                 f"block_size {block_size}"
             )
-        self._ext_free = None  # partial-Dirichlet external->internal map
         if self.freedofs is not None:
             fd = self.freedofs
             vany = fd.reshape(-1, block_size).any(axis=1)

@@ -486,6 +486,30 @@ def vector_poisson(base: Problem, bs: int) -> Problem:
     )
 
 
+def unstructured_elasticity(n: int = 12, dim: int = 2, E=1e3, nu=0.3,
+                            load=1.0, seed: int = 0) -> Problem:
+    """P1 elasticity on a perturbed Delaunay mesh, clamped at x=0."""
+    verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    Ke, vol = _elasticity_elem(verts, elems, E, nu)
+    nl = elems.shape[1]
+    dof = (elems[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(
+        len(elems), nl * dim
+    )
+    nv = len(verts)
+    rows = np.repeat(dof, nl * dim, axis=1).ravel()
+    cols = np.tile(dof, (1, nl * dim)).ravel()
+    A = sp.coo_matrix(
+        (Ke.ravel(), (rows, cols)), shape=(nv * dim, nv * dim)
+    ).tocsr()
+    A.sum_duplicates()
+    b = np.zeros(nv * dim)
+    w = np.repeat(load * vol / nl, nl)
+    np.add.at(b, (elems.ravel() * dim + (dim - 1)), -w)
+    fixed = verts[:, 0] == 0.0
+    A, b, coords = _eliminate_dirichlet(A, b, verts, fixed, block_size=dim)
+    return Problem(A=A, b=b, coords=coords, dim=dim, block_size=dim)
+
+
 def elasticity_2d(n: int = 8, length: int = 10, E=1e3, nu=0.3, load=1.0,
                   jump: bool = False):
     """2D plane-stress cantilever beam (cf. tests/elasticity mdim 2D)."""

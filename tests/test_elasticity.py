@@ -136,6 +136,13 @@ def test_elast_2d_jump():
     assert r < 1e-6, f"true relres {r:.2e} above the f64 kappa floor"
 
 
+def test_elast_2d_unstructured():
+    """Irregular (perturbed Delaunay) elasticity: SPW + robust EVP matching
+    + rigid transport off any structured grid."""
+    p = fem.unstructured_elasticity(12, dim=2)
+    solve_and_check(p, ms=60, options=_opts(), energy="elasticity")
+
+
 def test_elast_3d_jump():
     p = fem.elasticity_3d(4, length=8, jump=True)
     solve_and_check(p, ms=60, tol=1e-8, options=_opts(), energy="elasticity")

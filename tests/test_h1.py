@@ -66,6 +66,31 @@ def test_vec_h1(bs):
     solve_and_check(prob, ms=30)
 
 
+def test_vec_h1_compound_layout():
+    """Component-major (compound FESpace) dof ordering — the reference's
+    compound vector-H1 tests (tests/h1/simple/test_vec.py)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ngsamg_tpu import AMGPreconditioner
+
+    base = fem.poisson_2d(24)
+    bs, nv = 2, base.n
+    # compound layout: A_comp = Perm^T A_inter Perm with external order
+    # [x_0..x_n, y_0..y_n]
+    prob = fem.vector_poisson(base, bs)
+    p = (np.arange(bs)[None, :] * nv + np.arange(nv)[:, None]).ravel()
+    inv = np.argsort(p)
+    A_comp = prob.A[inv][:, inv].tocsr()
+    b_comp = prob.b[inv]
+    pc = AMGPreconditioner(
+        A_comp, block_size=bs, coords=prob.coords, dof_layout="compound"
+    ).setup()
+    x, info = pc.solve(b_comp, tol=1e-8, maxiter=30)
+    r = np.linalg.norm(A_comp @ x - b_comp) / np.linalg.norm(b_comp)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_w_cycle():
     opts = AMGOptions(cycle=CycleType.W)
     solve_and_check(fem.poisson_2d(48), ms=30, options=opts)
