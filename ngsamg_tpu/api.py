@@ -88,9 +88,17 @@ class _AMGClass(AMGPreconditioner):
     def GetAMGMatrix(self):
         return self.op
 
-    def GetMap(self):
-        """List of prolongation matrices (the DOFMap analog)."""
-        return [lev.P for lev in self.setup_levels_ if lev.P is not None]
+    def GetMap(self) -> "DOFMap":
+        """The DOF map: transfer steps with TransferF2C/TransferC2F
+        (reference `DOFMap`/`BaseDOFMapStep` py-exports,
+        src/base/coarsening/python_coarse.cpp:15,58)."""
+        return DOFMap(
+            [
+                TransferStep(lev.P)
+                for lev in self.setup_levels_
+                if lev.P is not None
+            ]
+        )
 
     def GetOC(self) -> float:
         return self.operator_complexity
@@ -262,6 +270,114 @@ class stokes_hdiv_gg_2d(_StokesHDivAMGClass):
 
 class stokes_hdiv_gg_3d(_StokesHDivAMGClass):
     """3D HDiv-HDG-style Stokes AMG (reference stokes_hdiv_gg_3d)."""
+
+
+# ---------------------------------------------------------------------------
+# DOF-map steps + utils exports (python_coarse.cpp, python_utils.cpp)
+# ---------------------------------------------------------------------------
+
+
+class TransferStep:
+    """One fine<->coarse transfer (`BaseDOFMapStep` py-surface)."""
+
+    def __init__(self, P):
+        self.P = P.tocsr()
+
+    def TransferF2C(self, vf: np.ndarray) -> np.ndarray:
+        """Restrict a fine vector: v_c = P^T v_f."""
+        return self.P.T @ np.asarray(vf)
+
+    def TransferC2F(self, vc: np.ndarray) -> np.ndarray:
+        """Prolongate a coarse vector: v_f = P v_c."""
+        return self.P @ np.asarray(vc)
+
+    def AddC2F(self, scale: float, vf: np.ndarray, vc: np.ndarray):
+        """v_f += scale * P v_c (the reference's AddC2F)."""
+        vf += scale * (self.P @ np.asarray(vc))
+        return vf
+
+
+class DOFMap:
+    """Chain of transfer steps (`DOFMap` py-export); iterable for the
+    raw prolongation matrices."""
+
+    def __init__(self, steps):
+        self.steps = list(steps)
+
+    def GetNSteps(self) -> int:
+        return len(self.steps)
+
+    def GetStep(self, k: int) -> TransferStep:
+        return self.steps[k]
+
+    def TransferF2C(self, level: int, vf: np.ndarray) -> np.ndarray:
+        return self.steps[level].TransferF2C(vf)
+
+    def TransferC2F(self, level: int, vc: np.ndarray) -> np.ndarray:
+        return self.steps[level].TransferC2F(vc)
+
+    def __len__(self):
+        return len(self.steps)
+
+    def __iter__(self):
+        return (s.P for s in self.steps)
+
+    def __getitem__(self, k):
+        return self.steps[k].P
+
+
+def SparseMM(A, B):
+    """Sparse matrix-matrix product (reference `SparseMM`,
+    python_utils.cpp:32)."""
+    return (sp.csr_matrix(A) @ sp.csr_matrix(B)).tocsr()
+
+
+def ToSparseMatrix(A) -> sp.csr_matrix:
+    """Convert framework device/host operator formats to scipy CSR
+    (reference `ToSparseMatrix`, python_utils.cpp:38)."""
+    if sp.issparse(A):
+        return A.tocsr()
+    from .sparse.bell import BlockELL, to_scipy as _bell_to_scipy
+    from .sparse.formats import DenseMatrix, DiaMatrix, StencilDia
+
+    if isinstance(A, DiaMatrix):
+        data = np.asarray(A.data, dtype=np.float64)[:, : A.nrows]
+        return sp.dia_matrix(
+            (data, np.asarray(A.offsets)), shape=(A.nrows, A.nrows)
+        ).tocsr()
+    if isinstance(A, StencilDia):
+        from .transfer.stencil import LatticeOp, synth_uniform, to_csr
+
+        offs = np.asarray(A.offs, dtype=np.int64)
+        vals = np.asarray(A.vals, dtype=np.float64)
+        return to_csr(synth_uniform(A.dims, offs, vals))
+    if isinstance(A, DenseMatrix):
+        d = np.asarray(A.data, dtype=np.float64)
+        nsc = A.nrows * A.bs
+        return sp.csr_matrix(d[:nsc, :nsc])
+    if isinstance(A, BlockELL):
+        return _bell_to_scipy(A)
+    raise TypeError(type(A))
+
+
+def AMGBFCheck(A, M, thresh: float = 1e-10, verbose: bool = True):
+    """Per-dof sqrt-diagonal energy-ratio diagnostic (reference
+    `AMGBFCheck`, utils_sparseLA.cpp:32-120): compares sqrt(diag(A)) /
+    sqrt(diag(M)) per dof; returns (avg_ratio, worst_ratio, worst_dof)."""
+    dA = np.sqrt(np.maximum(ToSparseMatrix(A).diagonal(), 0.0))
+    dM = np.sqrt(np.maximum(ToSparseMatrix(M).diagonal(), 0.0))
+    ok = dM > thresh
+    rel = dA[ok] / dM[ok]
+    if len(rel) == 0:
+        return 0.0, 0.0, -1
+    worst = int(np.argmax(rel))
+    worst_dof = int(np.flatnonzero(ok)[worst])
+    if verbose:
+        print(
+            f"AMGBFCheck: avg rel {rel.mean():.4g}, worst "
+            f"{rel[worst]:.4g} at dof {worst_dof}"
+        )
+    return float(rel.mean()), float(rel[worst]), worst_dof
 
 
 # ---------------------------------------------------------------------------

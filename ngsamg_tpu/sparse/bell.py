@@ -28,6 +28,27 @@ import numpy as np
 from . import host as _host
 
 
+def to_scipy(A: "BlockELL"):
+    """Padded block-ELL -> scipy BSR->CSR (introspection/debugging)."""
+    import scipy.sparse as sp
+
+    data = np.asarray(A.data, dtype=np.float64)[: A.nrows]
+    cols = np.asarray(A.cols)[: A.nrows]
+    n, K, br, bc = data.shape
+    rows = np.repeat(np.arange(n), K)
+    B = sp.bsr_matrix(
+        (
+            data.reshape(n * K, br, bc),
+            cols.reshape(-1),
+            np.arange(n + 1) * K,
+        ),
+        shape=(n * br, A.ncols * bc),
+    )
+    C = B.tocsr()
+    C.eliminate_zeros()  # padding slots are all-zero blocks at col 0
+    return C
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "cols"],

@@ -128,6 +128,40 @@ def test_deep_f32_hierarchy():
     assert info.converged and r < 1e-7, (info.iterations, r)
 
 
+def test_utils_and_map_exports():
+    """SparseMM / ToSparseMatrix / AMGBFCheck / DOFMap step objects
+    (reference python_utils.cpp + python_coarse.cpp surface)."""
+    import ngsamg_tpu.api as NgsAMG
+
+    p = fem.poisson_2d(24)
+    pc = NgsAMG.h1_scal(p.A, coords=p.coords)
+    # SparseMM
+    M = NgsAMG.SparseMM(p.A, p.A)
+    assert abs(M - p.A @ p.A).max() < 1e-12
+    # ToSparseMatrix on every device format in the hierarchy
+    for lev in pc.op.levels:
+        C = NgsAMG.ToSparseMatrix(lev.A)
+        assert C.shape[0] == C.shape[1]
+    A0 = NgsAMG.ToSparseMatrix(pc.op.levels[0].A)[: p.n, : p.n]
+    # level 0 is stored in the color-sorted (GS) row order
+    perm = pc._perm0 if pc._perm0 is not None else np.arange(p.n)
+    ref = p.A[perm][:, perm]
+    x = np.ones(p.n)
+    err = np.abs(A0 @ x - ref @ x).max()
+    assert err < 1e-4 * np.abs(ref @ x).max() + 1e-6, err
+    # AMGBFCheck
+    avg, worst, dof = NgsAMG.AMGBFCheck(p.A, p.A, verbose=False)
+    assert abs(avg - 1.0) < 1e-12 and abs(worst - 1.0) < 1e-12
+    # DOFMap transfer steps
+    dmap = pc.GetMap()
+    assert dmap.GetNSteps() == pc.GetNLevels() - 1
+    vf = np.ones(p.n)
+    vc = dmap.TransferF2C(0, vf)
+    assert vc.shape[0] == pc.GetNDof(1)
+    vf2 = dmap.GetStep(0).TransferC2F(vc)
+    assert vf2.shape == vf.shape
+
+
 def test_get_rotation_of_bf():
     """Coarse-BF rotations via the pre-embedding prolongation."""
     import ngsamg_tpu.api as NgsAMG
