@@ -25,8 +25,6 @@ import scipy.sparse as sp
 from .config import AMGOptions, SmootherType, options_from_flags
 from .precond.amg import AMGPreconditioner
 from .sparse import bell
-from .solve.cycle import amg_apply
-from .solve.pcg import amg_iteration
 
 
 class _AMGClass(AMGPreconditioner):
@@ -346,7 +344,7 @@ def ToSparseMatrix(A) -> sp.csr_matrix:
             (data, np.asarray(A.offsets)), shape=(A.nrows, A.nrows)
         ).tocsr()
     if isinstance(A, StencilDia):
-        from .transfer.stencil import LatticeOp, synth_uniform, to_csr
+        from .transfer.stencil import synth_uniform, to_csr
 
         offs = np.asarray(A.offs, dtype=np.int64)
         vals = np.asarray(A.vals, dtype=np.float64)

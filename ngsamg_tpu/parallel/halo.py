@@ -18,7 +18,6 @@ O(n), exactly like the reference's interface-only DCC exchanges.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

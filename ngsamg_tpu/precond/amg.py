@@ -30,7 +30,7 @@ import scipy.sparse as sp
 from ..apps.base import Energy
 from ..apps.h1 import H1Energy
 from ..config import AMGOptions, CoarseSolveType, options_from_flags
-from ..factory.levels import FactoryLog, setup_levels
+from ..factory.levels import setup_levels
 from ..smoothers.build import build_smoother, plan_row_order
 from ..solve.cycle import AMGOperator, DeviceLevel, amg_apply
 from ..solve.pcg import SolveResult, pcg

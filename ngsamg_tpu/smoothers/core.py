@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..sparse.bell import BlockELL, spmv_rows
+from ..sparse.bell import BlockELL
 from ..sparse.formats import matvec
 
 

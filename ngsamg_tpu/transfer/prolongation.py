@@ -25,7 +25,6 @@ import scipy.sparse as sp
 
 from ..apps.base import Energy
 from ..mesh.topo import AlgebraicMesh
-from ..sparse.host import pad_to_ell
 
 
 def piecewise_prol(
