@@ -29,6 +29,31 @@ def greedy_color(indptr, indices) -> np.ndarray | None:
     )
 
 
+def rap_csr(A, P):
+    """Fused P^T A P; returns a scipy CSR or None (extension absent).
+
+    Accumulates in f64; the caller handles symmetrization/dtype."""
+    if not HAVE_NATIVE:
+        return None
+    import scipy.sparse as sp
+
+    A = A.tocsr()
+    P = P.tocsr()
+    nc = P.shape[1]
+    indptr, indices, data = _nat.rap_csr(
+        np.ascontiguousarray(A.indptr, dtype=np.int64),
+        np.ascontiguousarray(A.indices, dtype=np.int64),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        np.ascontiguousarray(P.indptr, dtype=np.int64),
+        np.ascontiguousarray(P.indices, dtype=np.int64),
+        np.ascontiguousarray(P.data, dtype=np.float64),
+        int(nc),
+    )
+    return sp.csr_matrix(
+        (data, indices.astype(np.int32), indptr), shape=(nc, nc)
+    )
+
+
 def handshake_match(indptr, indices, weights, can_match, theta, iters=8):
     if not HAVE_NATIVE:
         return None

@@ -16,14 +16,24 @@ import scipy.sparse as sp
 def rap(A: sp.spmatrix, P: sp.spmatrix, dtype=None) -> sp.csr_matrix:
     """Coarse operator A_c = P^T A P (symmetrized).
 
-    ``dtype`` controls the product precision: coarse operators only serve
-    the (f32) preconditioner, so float32 halves the memory traffic of the
-    dominant setup cost (csr matmat) without affecting the f64 outer solve.
+    Uses the fused native Gustavson kernel (native/kernels.cpp rap_csr,
+    f64 accumulation, one pass per product — the reference's
+    `RestrictMatrix`, utils_sparseMM.hpp:94-108) when the extension is
+    built; scipy matmats otherwise. ``dtype`` controls the emitted
+    precision: coarse operators only serve the (f32) preconditioner, so
+    float32 halves their memory without affecting the f64 outer solve.
     """
-    if dtype is not None:
-        A = A.astype(dtype)
-        P = P.astype(dtype)
-    Ac = (P.T.tocsr() @ (A.tocsr() @ P.tocsr())).tocsr()
+    from ..native import rap_csr as _native_rap
+
+    Ac = _native_rap(A, P)
+    if Ac is not None:
+        if dtype is not None:
+            Ac = Ac.astype(dtype)
+    else:
+        if dtype is not None:
+            A = A.astype(dtype)
+            P = P.astype(dtype)
+        Ac = (P.T.tocsr() @ (A.tocsr() @ P.tocsr())).tocsr()
     Ac = (Ac + Ac.T) * 0.5
     Ac = Ac.tocsr()
     Ac.sum_duplicates()

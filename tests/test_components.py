@@ -190,6 +190,35 @@ def test_smoothed_prol_preserves_constants_after_truncation():
     )
 
 
+def test_native_rap_matches_scipy():
+    """Fused native Gustavson P^T A P == scipy products (f64 exact)."""
+    import ngsamg_tpu.native as nat
+
+    if not nat.HAVE_NATIVE:
+        import pytest
+
+        pytest.skip("native extension not built")
+    import scipy.sparse as sp
+
+    from ngsamg_tpu.utils import fem
+
+    p = fem.unstructured_poisson(16, dim=3)
+    rng = np.random.default_rng(0)
+    nc = p.n // 6
+    Pm = sp.coo_matrix(
+        (
+            rng.standard_normal(p.n),
+            (np.arange(p.n), rng.integers(0, nc, p.n)),
+        ),
+        shape=(p.n, nc),
+    ).tocsr()
+    C1 = nat.rap_csr(p.A, Pm)
+    C2 = (Pm.T @ (p.A @ Pm)).tocsr()
+    d = abs(C1 - C2)
+    assert (d.max() if d.nnz else 0.0) < 1e-12 * abs(C2).max()
+    assert C1.nnz == C2.nnz
+
+
 def test_rap_matches_dense():
     A = _rand_spd(40)
     P = sp.random(40, 12, density=0.3, random_state=0).tocsr()
