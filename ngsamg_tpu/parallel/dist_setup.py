@@ -606,20 +606,153 @@ def _dist_rap(A_parts, starts, P_parts, coarse_starts):
 # ---------------------------------------------------------------------------
 
 
+def _dist_setup_vector(
+    A: sp.spmatrix, energy, opts: AMGOptions, n_shards: int, bs: int
+) -> tuple[list[SetupLevel], FactoryLog]:
+    """Vector (multidim) H1 distributed setup.
+
+    Matching/prolongation run shard-locally on the TRACE-condensed vertex
+    graph (the serial vector-H1 semantics: all energy data is the block
+    trace, transport is the identity); per-shard prolongations expand by
+    kron with I_bs and the Galerkin product runs on the full block rows.
+    Aggregates are identical to the serial path; values agree up to the
+    rho-estimate (power iteration runs in the vertex space here).
+    """
+    from ..apps.h1 import H1Energy
+
+    lc = opts.levels
+    log = FactoryLog()
+    A = A.tocsr().astype(np.float64)
+    nv = A.shape[0] // bs
+    v_starts = np.linspace(0, nv, n_shards + 1).astype(np.int64)
+    starts = v_starts * bs
+    parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
+
+    def ph_mesh(n):
+        return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
+
+    levels = [
+        SetupLevel(
+            index=0,
+            A=sp.vstack(parts, format="csr"),
+            row_bs=bs,
+            mesh=ph_mesh(nv),
+        )
+    ]
+    log.nvs.append(nv)
+    log.nnzs.append(int(sum(p.nnz for p in parts)))
+    T_parts, vst = _condense_block_rows(parts, starts, bs)
+    W_parts, l2_parts = _finest_wl2(T_parts, vst)
+    en1 = H1Energy(bs=1)
+    n = nv
+    lvl = 0
+    while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
+        d_parts = _aux_diag(W_parts, l2_parts)
+        S_parts = _strength_parts(W_parts, d_parts, vst)
+        v2agg_parts, c_vst = _dist_spw(S_parts, vst, opts, lvl)
+        ncv = int(c_vst[-1])
+        if ncv >= lc.min_coarsen_ratio * n or ncv == 0:
+            break
+        Pv_parts = _dist_prol(
+            T_parts, W_parts, d_parts, vst, v2agg_parts, c_vst, opts,
+            lvl, en1,
+        )
+        P_parts = [
+            sp.kron(Pv, sp.eye(bs), format="csr") for Pv in Pv_parts
+        ]
+        c_starts = c_vst * bs
+        Ac_parts = _dist_rap(parts, starts, P_parts, c_starts)
+        Ac = sp.vstack(Ac_parts, format="csr")
+        Ac = ((Ac + Ac.T) * 0.5).tocsr()
+        Ac.sum_duplicates()
+        Ac.sort_indices()
+        levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
+            blocksize=(bs, bs)
+        )
+        levels[-1].v2agg = np.concatenate(v2agg_parts)
+        levels.append(
+            SetupLevel(index=lvl + 1, A=Ac, row_bs=bs, mesh=ph_mesh(ncv))
+        )
+        log.nvs.append(ncv)
+        log.nnzs.append(int(Ac.nnz))
+        W_parts = _dist_collapse(W_parts, vst, v2agg_parts, c_vst)
+        all_v2 = np.concatenate(v2agg_parts)
+        all_l2 = np.concatenate(l2_parts)
+        m = all_v2 >= 0
+        l2_parts = _reduce_by_owner(
+            c_vst,
+            all_v2[m],
+            all_l2[m],
+            [int(c_vst[t + 1] - c_vst[t]) for t in range(n_shards)],
+        )
+        parts = [
+            Ac[c_starts[t] : c_starts[t + 1]] for t in range(n_shards)
+        ]
+        starts, vst = c_starts, c_vst
+        T_parts, _ = _condense_block_rows(parts, starts, bs)
+        n = ncv
+        lvl += 1
+    return levels, log
+
+
+def _condense_block_rows(parts, starts, bs: int):
+    """Per-shard TRACE condensation of block rows to the vertex graph.
+
+    The vector-H1 analog of apps/h1.build_finest_mesh: vertex-graph entry
+    (v, w) = sum_k a[v*bs+k, w*bs+k]. Owned block rows condense locally
+    (vertex ownership = block-row ownership). Returns per-shard vertex
+    CSR rows (global vertex columns) + vertex starts.
+    """
+    n_shards = len(parts)
+    v_starts = starts // bs
+    out = []
+    for s in range(n_shards):
+        C = parts[s].tocsr()
+        nloc = C.shape[0]
+        rows_l = np.repeat(
+            np.arange(nloc, dtype=np.int64), np.diff(C.indptr)
+        )
+        comp_r = (rows_l + starts[s]) % bs
+        comp_c = C.indices % bs
+        m = comp_r == comp_c  # block-diagonal components carry the trace
+        vr = rows_l[m] // bs
+        vc = C.indices[m] // bs
+        nv = int(v_starts[-1])
+        T = sp.coo_matrix(
+            (C.data[m], (vr, vc)), shape=(nloc // bs, nv)
+        ).tocsr()
+        T.sum_duplicates()
+        out.append(T)
+    return out, v_starts
+
+
 def dist_setup_levels(
     A: sp.spmatrix,
     energy,
     opts: AMGOptions,
     n_shards: int,
 ) -> tuple[list[SetupLevel], FactoryLog]:
-    """Build the hierarchy from row-sharded inputs (H1 scalar energies).
+    """Build the hierarchy from row-sharded inputs (H1 energies).
 
-    The returned SetupLevel matrices are assembled global views of the
-    per-shard rows — the staging step before device placement, which
-    re-shards them via parallel/shard.py (small levels replicated there).
+    Scalar H1 runs the shard-local machinery directly; vector H1
+    (dpv == bs > 1, identity transport) condenses block rows to the
+    vertex trace graph per shard, coarsens/smooths there, and expands the
+    prolongations by kron with I_bs — exactly the serial vector-H1
+    semantics (apps/h1.py). The returned SetupLevel matrices are
+    assembled global views of the per-shard rows — the staging step
+    before device placement, which re-shards them via parallel/shard.py
+    (small levels replicated there).
     """
-    if getattr(energy, "dpv", None) != 1:
-        raise ValueError("distributed setup currently supports dpv == 1")
+    bs = getattr(energy, "dpv", None)
+    from ..apps.h1 import H1Energy
+
+    if not isinstance(energy, H1Energy):
+        raise ValueError(
+            "distributed setup currently supports H1 energies "
+            "(block energies/elasticity build serially)"
+        )
+    if bs != 1:
+        return _dist_setup_vector(A, energy, opts, n_shards, bs)
     lc = opts.levels
     log = FactoryLog()
     parts, starts = split_rows(A.tocsr().astype(np.float64), n_shards)

@@ -253,7 +253,7 @@ class AMGPreconditioner:
             self._setup_nodalp2_levels()
         elif (
             self.options.dist_setup > 1
-            and getattr(self.energy, "dpv", 0) == 1
+            and isinstance(self.energy, H1Energy)
             and self._finest_mesh is None
         ):
             from ..parallel.dist_setup import dist_setup_levels

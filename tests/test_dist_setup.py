@@ -57,6 +57,36 @@ def _check_equal(A, n_shards):
         assert diff < 1e-10 * scale, f"level {i} values differ {diff:.2e}"
 
 
+def test_dist_vector_h1_matches_serial_aggregates():
+    """Vector (bs=2) H1 distributed setup: same aggregates and coarse nnz
+    as the serial path (values agree up to the vertex-space rho estimate)."""
+    base = fem.poisson_2d(20)
+    prob = fem.vector_poisson(base, 2)
+    opts = _opts()
+    en = H1Energy(bs=2)
+    s_levels, s_log = setup_levels(prob.A.tocsr(), en, opts)
+    d_levels, d_log = dist_setup_levels(prob.A, en, opts, 4)
+    assert s_log.nvs == d_log.nvs
+    for sl, dl in zip(s_levels[:-1], d_levels[:-1]):
+        np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        if i:
+            assert sl.A.nnz == dl.A.nnz, f"level {i}"
+    # and the hierarchy solves
+    from ngsamg_tpu import AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+
+    opts2 = _opts()
+    opts2.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    opts2.dist_setup = 4
+    pc = AMGPreconditioner(
+        prob.A, block_size=2, coords=prob.coords, options=opts2
+    ).setup()
+    x, info = pc.solve(prob.b, tol=1e-8, maxiter=40)
+    r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_dist_hierarchy_solves():
     """The distributed-setup hierarchy plugs into the device solve."""
     from ngsamg_tpu import AMGPreconditioner
