@@ -43,6 +43,12 @@ def main():
     prob = fem.poisson_3d(n)
     t_asm = time.perf_counter() - t0
 
+    # device/tunnel warm-up (graduated h2d + d2h puts) is infrastructure
+    # initialization, excluded from setup like the jit warm-up below
+    from ngsamg_tpu.precond import amg as _amg_mod
+
+    _amg_mod._warm_transfer_path()
+
     from ngsamg_tpu.config import SmootherOptions, SmootherType
 
     opts = AMGOptions()
