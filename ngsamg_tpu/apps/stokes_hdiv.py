@@ -96,9 +96,12 @@ def preserved_prolongation(
     least squares over their aggregate's incident coarse dofs.
     """
     ne_f, ne_c = mesh_f.ne, mesh_c.ne
+    if dofs_f.ne != ne_f:
+        raise ValueError(
+            f"MeshDOFs covers {dofs_f.ne} facets, dual mesh has {ne_f}"
+        )
     V = pres.vectors
     m = V.shape[1]
-    cnt_f = dofs_f.counts()
 
     # --- coarse facet bases over member higher dofs -----------------------
     rows_l, cols_l, vals_l = [], [], []

@@ -72,6 +72,8 @@ def _gather(parts: list, starts: np.ndarray, idx: np.ndarray) -> np.ndarray:
     first = np.asarray(parts[0])
     if len(idx) == 0:
         return np.empty((0,) + first.shape[1:], dtype=first.dtype)
+    # ownerless indices would return uninitialized memory silently
+    assert idx.min() >= 0 and idx.max() < starts[-1], "unowned index"
     own = _owner(starts, idx)
     out = np.empty((len(idx),) + first.shape[1:], dtype=first.dtype)
     for s in range(len(parts)):
@@ -325,7 +327,9 @@ def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
         if n_agg >= n_cur:
             break
         for s in range(n_shards):
-            v2c_parts[s] = _gather(c2agg_parts, cur_starts, v2c_parts[s])
+            v2 = v2c_parts[s]
+            m = v2 >= 0  # dropped vertices stay -1 (serial mask rule)
+            v2[m] = _gather(c2agg_parts, cur_starts, v2[m])
         cur_S = _dist_collapse(
             cur_S, cur_starts, c2agg_parts, coarse_starts
         )
@@ -401,62 +405,74 @@ def _dist_adopt_orphans(Sc_parts, coarse_starts, v2c_parts):
 # ---------------------------------------------------------------------------
 
 
-def _dist_rho_aux(W_parts, d_parts, starts, iters=10):
-    """rho(Dhat^-1 A-hat), distributed power iteration (seed 0 like serial)."""
+def _dist_power_rho(matvec_rows, starts, seed: int, iters=10):
+    """Distributed power iteration for rho(D^-1 M).
+
+    ``matvec_rows(s, x)`` returns (D^-1 M x) on shard s's owned rows; the
+    random start vector uses the serial seeds (0 = aux, 1 = real matrix)."""
     n = int(starts[-1])
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     x = rng.standard_normal(n)
     lam = 1.0
+    n_shards = len(starts) - 1
     for _ in range(iters):
         y = np.empty(n)
-        for s, W in enumerate(W_parts):
-            nloc = W.shape[0]
-            rows_l = np.repeat(
-                np.arange(nloc, dtype=np.int64), np.diff(W.indptr)
-            )
-            xj = _gather([x[starts[t]:starts[t + 1]]
-                          for t in range(len(W_parts))],
-                         starts, W.indices.astype(np.int64))
-            off = np.bincount(rows_l, weights=-W.data * xj, minlength=nloc)
-            xo = x[starts[s] : starts[s + 1]]
-            y[starts[s] : starts[s + 1]] = (
-                d_parts[s] * xo + off
-            ) / d_parts[s]
+        for s in range(n_shards):
+            y[starts[s] : starts[s + 1]] = matvec_rows(s, x)
         nrm = np.linalg.norm(y)
         if nrm == 0:
             return 2.0
         lam = nrm
         x = y / nrm
     return float(lam)
+
+
+def _safe_inv(d: np.ndarray) -> np.ndarray:
+    """The serial zero-diagonal rule: dinv = 0 where d is (clamped) zero."""
+    return np.where(d > 1e-299, 1.0 / np.maximum(d, 1e-300), 0.0)
+
+
+def _dist_rho_aux(W_parts, d_parts, starts, iters=10):
+    """rho(Dhat^-1 A-hat) (seed 0 like serial smoothed_prol)."""
+
+    def mv(s, x):
+        W = W_parts[s]
+        nloc = W.shape[0]
+        rows_l = np.repeat(
+            np.arange(nloc, dtype=np.int64), np.diff(W.indptr)
+        )
+        xj = _gather(
+            [x[starts[t] : starts[t + 1]] for t in range(len(W_parts))],
+            starts,
+            W.indices.astype(np.int64),
+        )
+        off = np.bincount(rows_l, weights=-W.data * xj, minlength=nloc)
+        xo = x[starts[s] : starts[s + 1]]
+        dinv = _safe_inv(d_parts[s])
+        return dinv * (d_parts[s] * xo + off)
+
+    return _dist_power_rho(mv, starts, seed=0, iters=iters)
 
 
 def _dist_rho_real(A_parts, starts, iters=10):
-    """rho(D_A^-1 A), distributed (seed 1 like the serial classic path)."""
-    n = int(starts[-1])
-    rng = np.random.default_rng(1)
-    x = rng.standard_normal(n)
-    lam = 1.0
-    for _ in range(iters):
-        y = np.empty(n)
-        for s, Ap in enumerate(A_parts):
-            C = Ap.tocsr()
-            nloc = C.shape[0]
-            rows_l = np.repeat(
-                np.arange(nloc, dtype=np.int64), np.diff(C.indptr)
-            )
-            xj = _gather([x[starts[t]:starts[t + 1]]
-                          for t in range(len(A_parts))],
-                         starts, C.indices.astype(np.int64))
-            Ax = np.bincount(rows_l, weights=C.data * xj, minlength=nloc)
-            diagA = C.diagonal(k=int(starts[s]))[:nloc]
-            dinv = np.where(diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0)
-            y[starts[s] : starts[s + 1]] = dinv * Ax
-        nrm = np.linalg.norm(y)
-        if nrm == 0:
-            return 2.0
-        lam = nrm
-        x = y / nrm
-    return float(lam)
+    """rho(D_A^-1 A) (seed 1 like the serial classic path)."""
+
+    def mv(s, x):
+        C = A_parts[s].tocsr()
+        nloc = C.shape[0]
+        rows_l = np.repeat(
+            np.arange(nloc, dtype=np.int64), np.diff(C.indptr)
+        )
+        xj = _gather(
+            [x[starts[t] : starts[t + 1]] for t in range(len(A_parts))],
+            starts,
+            C.indices.astype(np.int64),
+        )
+        Ax = np.bincount(rows_l, weights=C.data * xj, minlength=nloc)
+        diagA = C.diagonal(k=int(starts[s]))[:nloc]
+        return _safe_inv(diagA) * Ax
+
+    return _dist_power_rho(mv, starts, seed=1, iters=iters)
 
 
 def _dist_prol(
@@ -481,7 +497,7 @@ def _dist_prol(
         )
         agg_own = v2agg_parts[s]
         agg_j = _gather(v2agg_parts, starts, W.indices.astype(np.int64))
-        dinv = 1.0 / d_parts[s]
+        dinv = _safe_inv(d_parts[s])  # serial rule: zero rows -> dinv 0
         rows = np.concatenate([np.arange(nloc), rows_l])
         cols = np.concatenate([agg_own, agg_j])
         # P row i = e_agg(i) - scale * dinv_i * (Ahat row i) P_pw with
@@ -525,7 +541,7 @@ def _dist_prol(
                 diagA = C.diagonal(k=int(starts[s]))[:nloc]
                 dinvA = np.where(
                     diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0
-                )
+                )  # serial classic-row rule (raw diagonal)
                 rows2 = np.concatenate([np.arange(nloc), rows_a[offd]])
                 cols2 = np.concatenate([agg_own, agg_aj[offd]])
                 vals2 = np.concatenate(

@@ -312,17 +312,26 @@ class StokesHDivAMG:
             cell_pos, cell_vol, facet_cells, facet_flow
         )
         self.mesh0 = mesh
-        self.dofs0 = MeshDOFs.from_counts(
-            np.asarray(facet_dof_counts, dtype=np.int64)
-        )
+        counts_all = np.asarray(facet_dof_counts, dtype=np.int64)
+        pres_all = np.asarray(preserved, dtype=np.float64)
+        if len(interior) != len(counts_all):
+            # boundary facets present in the input: dofs/preserved are
+            # indexed over ALL facets but the dual mesh keeps interior
+            # facets only — re-index both (a silent misalignment would
+            # corrupt every subsequent facet's DOF block)
+            all_dofs = MeshDOFs.from_counts(counts_all)
+            sel = np.concatenate(
+                [all_dofs.dofs(int(e)) for e in interior]
+            ) if len(interior) else np.zeros(0, dtype=np.int64)
+            counts_all = counts_all[interior]
+            pres_all = pres_all[sel]
+        self.dofs0 = MeshDOFs.from_counts(counts_all)
         if self.dofs0.ndof != self.n:
             raise ValueError(
-                f"matrix has {self.n} dofs, facet counts sum to "
-                f"{self.dofs0.ndof}"
+                f"matrix has {self.n} dofs, interior facet counts sum "
+                f"to {self.dofs0.ndof}"
             )
-        self.pres0 = PreservedVectors(
-            n_special=1, vectors=np.asarray(preserved, dtype=np.float64)
-        )
+        self.pres0 = PreservedVectors(n_special=1, vectors=pres_all)
         self.dtype = jnp.float32
         self._is_setup = False
 

@@ -27,10 +27,12 @@ let K be the fine stencil offsets. With agg(x) = floor(x/2):
 Every factor is a coarse-shaped array; shifts are zero-filled slices.
 
 Stencil pruning (`prune`) bounds the coarse-stencil growth (measured
-7 -> 33 -> 179 -> 603 offsets unpruned) with an SPD-safe absolute-value
-lumping: dropping the symmetric offset pair (e, -e) and adding |value| to
-both diagonals adds a weighted graph Laplacian, so A_pruned >= A in the
-Loewner order — positive definiteness is preserved by construction.
+7 -> 33 -> 179 -> 603 offsets unpruned) with SIGNED row-sum-preserving
+diagonal lumping: every dropped entry is added to its row's diagonal, so
+the coarse near-kernel (constant-vector) energies are exact. The SPD
+perturbation is a graph Laplacian of the dropped weights, bounded by the
+cumulative budget 2*tol*min(diag) — small against coarse-level
+lambda_min; the PCG/self-tests catch violations (see prune's docstring).
 """
 
 from __future__ import annotations
@@ -160,7 +162,8 @@ def from_csr(A: sp.spmatrix, dims) -> LatticeOp | None:
         return None
     slot = np.searchsorted(uniq, off_lin)  # uniq is sorted
     data = np.zeros((len(uniq), n), dtype=np.float64)
-    data[slot, coo.row] = coo.data
+    # accumulate: non-canonical CSR may store duplicate (row, col) entries
+    np.add.at(data, (slot, coo.row), coo.data)
     data = data.reshape((len(uniq),) + dims)
     op = LatticeOp(dims=dims, offs=vecs, data=data)
     # validate: entries whose decoded column is out of lattice must be zero
@@ -369,14 +372,22 @@ def smoothed_rap(op: LatticeOp, omega: float):
     valid = {s: _poly(ones_f, s, mc) for s in parities}
     dpoly = {s: _poly(dinv, s, mc) for s in parities}
 
+    # polyphase extractions of the stencil data, shared by both loops
+    # (one strided copy per (offset, parity); None marks all-zero slices)
+    apolys: dict = {}
+    for t in range(len(op.offs)):
+        for s in parities:
+            a = _poly(op.data[t], s, mc)
+            apolys[(t, s)] = a if a.any() else None
+
     # phi_{s,w}: P's polyphase components
     phi = {s: {zero: valid[s].copy()} for s in parities}
     for t in range(len(op.offs)):
         k = op.offs[t]
         for s in parities:
             w = tuple(int((s[i] + k[i]) // 2) for i in range(d))
-            apoly = _poly(op.data[t], s, mc)
-            if not apoly.any():
+            apoly = apolys[(t, s)]
+            if apoly is None:
                 continue
             tgt = phi[s].setdefault(w, np.zeros(mc))
             tgt -= omega * dpoly[s] * apoly
@@ -386,8 +397,8 @@ def smoothed_rap(op: LatticeOp, omega: float):
     for t in range(len(op.offs)):
         k = op.offs[t]
         for s in parities:
-            apoly = _poly(op.data[t], s, mc)
-            if not apoly.any():
+            apoly = apolys[(t, s)]
+            if apoly is None:
                 continue
             s2 = tuple((s[i] + int(k[i])) % 2 for i in range(d))
             h = tuple(int((s[i] + k[i]) // 2) for i in range(d))
@@ -574,19 +585,24 @@ def _maps_from_bands(n_full: int, n_patch: int, bn: int, bf: int):
 
 
 def _widen_middle(op: LatticeOp, grow: tuple) -> LatticeOp:
-    """Widen the constant middle of each dim by ``grow[k]`` cells."""
+    """Widen the constant middle of each dim by ``grow[k]`` cells.
+
+    Dims with grow[k] == 0 keep an identity map — they need no constant
+    middle (small/identity dims have none at coarse levels)."""
     if all(g == 0 for g in grow):
         return op
-    bands = []
+    maps = []
     for k in range(len(op.dims)):
+        if grow[k] == 0:
+            maps.append(np.arange(op.dims[k], dtype=np.int64))
+            continue
         b = _detect_bands_1d(op.data, k)
         if b is None:
             raise ValueError("cannot widen: no constant middle")
-        bands.append(b)
-    maps = tuple(
-        _maps_from_bands(op.dims[k] + grow[k], op.dims[k], *bands[k])
-        for k in range(len(op.dims))
-    )
+        maps.append(
+            _maps_from_bands(op.dims[k] + grow[k], op.dims[k], *b)
+        )
+    maps = tuple(maps)
     data = np.stack(
         [op.data[t][np.ix_(*maps)] for t in range(len(op.offs))]
     )
@@ -647,7 +663,14 @@ def rap_clamped(cop: ClampedOp, omega: float, prune_tol: float):
         min(g, cop.dims[k] - cop.patch.dims[k]) // 2 * 2
         for k, g in enumerate(grow)
     )
-    patch = _widen_middle(cop.patch, grow)
+    try:
+        patch = _widen_middle(cop.patch, grow)
+    except ValueError:
+        # correctness guard (e.g. anisotropic lattices whose small dims
+        # lose their constant middle): exact full-lattice fallback
+        full = expand(cop)
+        opc, _ = smoothed_rap(full, omega)
+        return prune(opc, prune_tol)
 
     opc_p, _ = smoothed_rap(patch, omega)
     opc_p = prune(opc_p, prune_tol)

@@ -133,6 +133,61 @@ def test_fast_path_matches_generic_iterations():
     assert abs(iters[True] - iters[False]) <= 3, iters
 
 
+def test_anisotropic_lattice_no_crash():
+    """Review finding: rap_clamped must fall back (not crash) when small
+    identity dims lose their constant middle at coarse levels."""
+    import scipy.sparse as sp2
+
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+
+    m0, m1 = 4, 12000  # n > 32768 enters the clamped path
+    T = lambda k: sp2.diags(
+        [-np.ones(k - 1), 2.0 * np.ones(k), -np.ones(k - 1)], [-1, 0, 1]
+    )
+    A = (sp2.kron(T(m0), sp2.eye(m1)) + sp2.kron(sp2.eye(m0), T(m1))).tocsr()
+    X, Y = np.meshgrid(np.arange(m0), np.arange(m1), indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1).astype(float)
+    opts = AMGOptions()
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    pc = AMGPreconditioner(A, coords=coords, options=opts).setup()
+    b = np.ones(A.shape[0])
+    x, info = pc.solve(b, tol=1e-8, maxiter=120)
+    r = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
+def test_from_csr_sums_duplicates():
+    """Review finding: non-canonical CSR duplicates must sum, not
+    last-write-win."""
+    prob = fem.poisson_2d(9)
+    _idx, dims = detect_lattice(prob.coords)
+    A = prob.A.tocsr()
+    # split one off-diagonal entry into two stored duplicates
+    coo = A.tocoo()
+    k = int(np.flatnonzero(coo.row != coo.col)[0])
+    r, c, v = int(coo.row[k]), int(coo.col[k]), float(coo.data[k])
+    rows = np.concatenate([coo.row, [r]])
+    cols = np.concatenate([coo.col, [c]])
+    data = np.concatenate([coo.data, [0.4 * v]])
+    data[k] = 0.6 * v
+    Adup = sp.csr_matrix(
+        sp.coo_matrix((data, (rows, cols)), shape=A.shape)
+    )
+    # force duplicate retention: construct CSR directly from COO arrays
+    order = np.lexsort((cols, rows))
+    indptr = np.zeros(A.shape[0] + 1, dtype=np.int64)
+    np.add.at(indptr, rows[order] + 1, 1)
+    Adup = sp.csr_matrix(
+        (data[order], cols[order], np.cumsum(indptr)), shape=A.shape
+    )
+    assert Adup.nnz == A.nnz + 1  # duplicate really stored
+    op = st.from_csr(Adup, dims)
+    d0 = (st.to_csr(op) - A).tocsr()
+    d0.eliminate_zeros()
+    assert d0.nnz == 0
+
+
 def test_fast_path_gating():
     """Jumpy coefficients and GS smoothers must avoid the fast path."""
     from ngsamg_tpu import AMGOptions, AMGPreconditioner
