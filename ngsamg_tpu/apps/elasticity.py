@@ -33,6 +33,22 @@ from ..sparse.host import to_bsr
 from .base import Energy
 
 
+def _frob2T(B: np.ndarray) -> np.ndarray:
+    """Transpose-invariant batched Frobenius norm^2 (bitwise).
+
+    Sums the squared entries in an orientation-canonical order (diagonal
+    first, then unordered off-diagonal pairs), so the owner of row (i,j)
+    and the owner of row (j,i) — who holds the TRANSPOSED block — compute
+    bitwise-identical weights. Required for the distributed setup's
+    serial-equality guarantee (parallel/dist_elast.py).
+    """
+    sq = B * B
+    d = np.einsum("...ii->...i", sq).sum(axis=-1)
+    s = sq + np.swapaxes(sq, -1, -2)  # commutative add: transpose-invariant
+    iu, ju = np.triu_indices(B.shape[-1], k=1)
+    return d + s[..., iu, ju].sum(axis=-1)
+
+
 def _skew(d: np.ndarray) -> np.ndarray:
     """Batched 3D skew matrices: skew(d) @ v = d x v. d: (m, 3)."""
     m = len(d)
@@ -120,7 +136,8 @@ class ElasticityEnergy(Energy):
             )
         pos = np.asarray(coords, dtype=np.float64)
         # scalar connectivity: Frobenius norms of displacement blocks
-        norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
+        # (orientation-canonical summation: see _frob2T)
+        norms = np.sqrt(_frob2T(B.data.astype(np.float64)))
         # data must be COPIED too: scipy csr aliases it, and
         # setdiag/eliminate_zeros compact W.data IN PLACE — which would
         # scramble the `norms` used for the edge/block alignment below
@@ -159,7 +176,11 @@ class ElasticityEnergy(Energy):
             # rotations measured in units of h: couplings d * s stay O(1)
             self._s = 1.0 / max(float(np.median(lens)), 1e-300)
         t /= np.maximum(lens[:, None], 1e-300)
-        fac = np.abs(np.einsum("ei,eij,ej->e", t, -blocks, t))
+        # symmetrize before the quadratic form (t^T B t == t^T B_sym t in
+        # exact arithmetic) so both edge orientations compute bitwise-equal
+        # tangential stiffnesses (distributed-setup serial equality)
+        blocks_sym = 0.5 * (blocks + np.transpose(blocks, (0, 2, 1)))
+        fac = np.abs(np.einsum("ei,eij,ej->e", t, -blocks_sym, t))
         emat = np.zeros((mesh.ne, dpv, dpv))
         emat[:, :dim, :dim] = fac[:, None, None] * np.einsum(
             "ei,ej->eij", t, t

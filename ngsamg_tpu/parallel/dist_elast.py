@@ -1,0 +1,841 @@
+"""Distributed (shard-local) AMG setup for block (elasticity) energies.
+
+Extends the scalar/vector-H1 distributed setup (parallel/dist_setup.py) to
+energies with non-identity rigid-body transports — the TPU-native
+counterpart of the reference's distributed elasticity stack: EQC-consistent
+robust coarsening (/root/reference/src/elasticity/elasticity.hpp:58-98 with
+spw_agg_impl.hpp:1512-1541 solid/ghost matching), transported nodal-data
+cumulation (`AttachedEVD/AttachedEED` + ReduceTable, elasticity_mesh.hpp),
+and the distributed Galerkin product (utils_sparseMM.cpp).
+
+Ownership model: contiguous global VERTEX ranges per shard (matrix rows =
+vertex range x block size). Every step computes only on a shard's owned
+rows plus halos through the two dist_setup exchange primitives
+(`_gather` / `_reduce_by_owner` — indexed all-gather / psum-scatter).
+
+State carried per level, all row-sharded (the AttachedNodeData analog):
+
+* adjacency rows ``G`` (scalar edge weights, owned rows x global cols),
+* per-entry edge matrices ``E`` (dpv x dpv, expressed at the edge-midpoint
+  frame — orientation-free, so the two owners of an edge hold the SAME
+  matrix),
+* per-vertex position and L2 weight.
+
+Serial equality: every per-edge quantity is computed in a CANONICAL
+(lo, hi) orientation with commutative-only reorderings, so the owner of
+row (i, j) and the owner of row (j, i) produce bitwise-identical values,
+and those equal the serial path's per-edge values (apps/elasticity.py
+symmetrizes its tangential extraction for exactly this reason). Matching
+is the same synchronous-rounds handshake as dist_setup, so aggregates are
+identical to the serial `spw_aggregate_energy`; coarse operators agree to
+fp roundoff (summation orders differ in the RAP). Asserted by
+tests/test_dist_setup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..apps.elasticity import _frob2T, _pencil_extreme_eig
+from ..config import AMGOptions, ProlType
+from ..factory.levels import FactoryLog, SetupLevel
+from ..mesh.topo import AlgebraicMesh
+from ..transfer.prolongation import truncate_prol
+from .dist_setup import (
+    _dist_adopt_orphans,
+    _dist_aggregates,
+    _dist_handshake,
+    _dist_rap,
+    _gather,
+    _gather_csr_rows,
+    _owner,
+    _reduce_by_owner,
+)
+
+
+class _Rows:
+    """One shard's mesh rows: adjacency + attached edge/vertex data."""
+
+    __slots__ = ("G", "E", "pos", "l2")
+
+    def __init__(self, G, E, pos, l2):
+        self.G = G  # csr (n_own, nv_glob), data = scalar edge weight
+        self.E = E  # (G.nnz, dpv, dpv) edge matrices (midpoint frame)
+        self.pos = pos  # (n_own, dim)
+        self.l2 = l2  # (n_own,)
+
+
+def _row_locals(G: sp.csr_matrix):
+    return np.repeat(np.arange(G.shape[0], dtype=np.int64), np.diff(G.indptr))
+
+
+def _serial_order(G: sp.csr_matrix, own0: int):
+    """Entry permutation matching the serial two-pass accumulation order.
+
+    The serial path accumulates per-vertex sums in two `np.add.at` passes:
+    first all edges where the vertex is the LO endpoint (neighbors > v,
+    ascending), then edges where it is HI (neighbors < v, ascending). CSR
+    rows are ascending-by-column, so per row: take the (col > own) tail
+    first, then the (col < own) head.
+    """
+    rows_l = _row_locals(G)
+    cols = G.indices.astype(np.int64)
+    hi_first = cols > (rows_l + own0)
+    idx = np.arange(G.nnz)
+    return np.concatenate([idx[hi_first], idx[~hi_first]]), rows_l
+
+
+# ---------------------------------------------------------------------------
+# finest-level rows (apps/elasticity.build_finest_mesh, shard-local)
+# ---------------------------------------------------------------------------
+
+
+def _rows_finest(A: sp.csr_matrix, coords, energy, vst):
+    """Per-shard finest rows; also sets energy._s (rot_scale auto)."""
+    dim, dpv = energy.dim, energy.dpv
+    n_shards = len(vst) - 1
+    pos_parts = [
+        np.asarray(coords[vst[s] : vst[s + 1]], dtype=np.float64)
+        for s in range(n_shards)
+    ]
+    rows_list = []
+    all_lens = []
+    for s in range(n_shards):
+        own0 = int(vst[s])
+        nloc = int(vst[s + 1] - vst[s])
+        B = sp.bsr_matrix(
+            A[own0 * dim : (own0 + nloc) * dim], blocksize=(dim, dim)
+        )
+        norms = np.sqrt(_frob2T(B.data.astype(np.float64)))
+        rows_l = _row_locals_b(B)
+        cols = B.indices.astype(np.int64)
+        offd = (cols != (rows_l + own0)) & (norms > 0)
+        # diagonal-block norms (for the vertex weight)
+        diag_m = cols == (rows_l + own0)
+        diag = np.zeros(nloc)
+        diag[rows_l[diag_m]] = norms[diag_m]
+        # canonical tangential stiffness per off-diagonal entry
+        r_l = rows_l[offd]
+        c_g = cols[offd]
+        blocks = B.data[offd].astype(np.float64)
+        pos_own = pos_parts[s][r_l]
+        pos_oth = _gather(pos_parts, vst, c_g)
+        own_is_lo = (r_l + own0) < c_g
+        # canonical direction lo -> hi
+        t = np.where(own_is_lo[:, None], pos_oth - pos_own, pos_own - pos_oth)
+        lens = np.linalg.norm(t, axis=1)
+        all_lens.append(lens)
+        t = t / np.maximum(lens[:, None], 1e-300)
+        # the serial path holds the UPPER (lo, hi) block; the hi-owner's
+        # row block is its transpose — symmetrizing makes both bitwise equal
+        blocks_sym = 0.5 * (blocks + np.transpose(blocks, (0, 2, 1)))
+        fac = np.abs(np.einsum("ei,eij,ej->e", t, -blocks_sym, t))
+        E = np.zeros((len(r_l), dpv, dpv))
+        E[:, :dim, :dim] = fac[:, None, None] * np.einsum("ei,ej->eij", t, t)
+        wt = norms[offd]
+        G = sp.csr_matrix(
+            (wt, c_g, _recount_keep(B.indptr, offd)), shape=(nloc, A.shape[0] // dim)
+        )
+        # vertex L2 weight: diag norm minus incident couplings, serial order
+        vwt = diag.copy()
+        order, _rl = _serial_order(G, own0)
+        np.subtract.at(vwt, _row_locals(G)[order], G.data[order])
+        rows_list.append(
+            _Rows(G, E, pos_parts[s], np.maximum(vwt, 0.0))
+        )
+    if energy.rot_scale == "auto":
+        lens_all = np.concatenate(all_lens) if all_lens else np.zeros(0)
+        if len(lens_all):
+            # every edge appears exactly twice (once per endpoint owner):
+            # the median of the duplicated multiset equals the serial median
+            energy._s = 1.0 / max(float(np.median(lens_all)), 1e-300)
+    return rows_list
+
+
+def _row_locals_b(B: sp.bsr_matrix):
+    nb = B.shape[0] // B.blocksize[0]
+    return np.repeat(np.arange(nb, dtype=np.int64), np.diff(B.indptr))
+
+
+def _recount_keep(indptr, keep):
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(len(deg)), deg)
+    newdeg = np.bincount(rows, weights=keep.astype(np.int64), minlength=len(deg))
+    out = np.zeros(len(indptr), dtype=np.int64)
+    out[1:] = np.cumsum(newdeg.astype(np.int64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# energy kernels on rows (aux diagonal, replacement blocks, robust SOC)
+# ---------------------------------------------------------------------------
+
+
+def _rows_aux_diag(rows_list, vst, energy):
+    """Per-shard (n_own, dpv, dpv) aux diagonals, serial accumulation order.
+
+    Serial `aux_diagonal`: D_v = sum of Q(v->mid)^T E Q(v->mid) over
+    incident edges (lo-pass then hi-pass) + l2 * I_disp.
+    """
+    dpv, dim = energy.dpv, energy.dim
+    pos_parts = [r.pos for r in rows_list]
+    out = []
+    for s, rows in enumerate(rows_list):
+        own0 = int(vst[s])
+        nloc = rows.G.shape[0]
+        order, rows_l = _serial_order(rows.G, own0)
+        cols = rows.G.indices.astype(np.int64)
+        pos_own = rows.pos[rows_l]
+        pos_oth = _gather(pos_parts, vst, cols)
+        mid = 0.5 * (pos_own + pos_oth)
+        Qvm = energy.transport(pos_own, mid)
+        E = rows.E
+        EQ = np.einsum("ekl,eli->eki", E, Qvm)
+        Bvv = np.einsum("eki,ekj->eij", Qvm, EQ)
+        D = np.zeros((nloc, dpv, dpv))
+        np.add.at(D, rows_l[order], Bvv[order])
+        idx = np.arange(dim)
+        D[:, idx, idx] += rows.l2[:, None]
+        out.append(D)
+    return out
+
+
+def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
+    """Per-shard strength rows (same sparsity as G).
+
+    robust: the serial `soc_robust` pencil per entry, computed in the
+    canonical (lo, hi) orientation so both owners agree bitwise.
+    scalar: wt * (1/d_i + 1/d_j)/2, d = l2 + incident wt (serial `soc`).
+    """
+    pos_parts = [r.pos for r in rows_list]
+    n_shards = len(rows_list)
+    if not robust:
+        d_parts = []
+        for s, rows in enumerate(rows_list):
+            own0 = int(vst[s])
+            d = rows.l2.copy()
+            order, rows_l = _serial_order(rows.G, own0)
+            np.add.at(d, rows_l[order], rows.G.data[order])
+            d_parts.append(np.maximum(d, 1e-300))
+        out = []
+        for s, rows in enumerate(rows_list):
+            rows_l = _row_locals(rows.G)
+            dj = _gather(d_parts, vst, rows.G.indices.astype(np.int64))
+            soc = rows.G.data * 0.5 * (1.0 / d_parts[s][rows_l] + 1.0 / dj)
+            out.append(
+                sp.csr_matrix(
+                    (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
+                )
+            )
+        return out
+    if D_parts is None:
+        D_parts = _rows_aux_diag(rows_list, vst, energy)
+    out = []
+    for s, rows in enumerate(rows_list):
+        own0 = int(vst[s])
+        rows_l = _row_locals(rows.G)
+        cols = rows.G.indices.astype(np.int64)
+        own_g = rows_l + own0
+        lo = np.minimum(own_g, cols)
+        hi = np.maximum(own_g, cols)
+        pos_lo = _gather(pos_parts, vst, lo)
+        pos_hi = _gather(pos_parts, vst, hi)
+        D_lo = _gather(D_parts, vst, lo)
+        D_hi = _gather(D_parts, vst, hi)
+        mid = 0.5 * (pos_lo + pos_hi)
+        # serial soc_robust with i = lo, j = hi
+        Qmi = energy.transport(mid, pos_lo)
+        Qmj = energy.transport(mid, pos_hi)
+        di = np.einsum("eki,ekl,elj->eij", Qmi, D_lo, Qmi)
+        dj = np.einsum("eki,ekl,elj->eij", Qmj, D_hi, Qmj)
+        dsum_inv = np.linalg.pinv(di + dj, rcond=1e-12, hermitian=True)
+        C = np.einsum("eik,ekl,elj->eij", di, dsum_inv, dj)
+        C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
+        soc = _pencil_extreme_eig(rows.E, C, reduction="max")
+        out.append(
+            sp.csr_matrix(
+                (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# coarse-rows mapping (energy.map_data, shard-local + owner routing)
+# ---------------------------------------------------------------------------
+
+
+def _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy):
+    """Coarse rows from fine rows under an aggregation (serial map_data).
+
+    Coarse positions are member averages; coarse edge matrices are
+    Q(mid_c -> mid_f)-transported sums over the mapped fine edges, routed
+    to the coarse-row owners and accumulated in the serial fine-edge order.
+    """
+    n_shards = len(rows_list)
+    dpv = energy.dpv
+    nv_c = int(c_vst[-1])
+    nv_f = int(vst[-1])
+    nloc_c = [int(c_vst[t + 1] - c_vst[t]) for t in range(n_shards)]
+    dim = rows_list[0].pos.shape[1]
+
+    # coarse pos (count average) + l2 sums: ascending-vertex reductions
+    cnt_parts = _reduce_by_owner(
+        c_vst,
+        np.concatenate([v[v >= 0] for v in v2agg_parts]),
+        np.ones(int(sum((v >= 0).sum() for v in v2agg_parts))),
+        nloc_c,
+    )
+    cpos_parts = [np.zeros((nl, dim)) for nl in nloc_c]
+    for k in range(dim):
+        col = _reduce_by_owner(
+            c_vst,
+            np.concatenate([v[v >= 0] for v in v2agg_parts]),
+            np.concatenate(
+                [r.pos[v >= 0, k] for r, v in zip(rows_list, v2agg_parts)]
+            ),
+            nloc_c,
+        )
+        for t in range(n_shards):
+            cpos_parts[t][:, k] = col[t]
+    for t in range(n_shards):
+        cpos_parts[t] /= np.maximum(cnt_parts[t], 1.0)[:, None]
+    cl2_parts = _reduce_by_owner(
+        c_vst,
+        np.concatenate([v[v >= 0] for v in v2agg_parts]),
+        np.concatenate(
+            [r.l2[v >= 0] for r, v in zip(rows_list, v2agg_parts)]
+        ),
+        nloc_c,
+    )
+
+    # transported cross-edge contributions, routed to coarse-row owners
+    ri_l, cj_l, key_l, E_l, w_l = [], [], [], [], []
+    pos_parts = [r.pos for r in rows_list]
+    for s, rows in enumerate(rows_list):
+        own0 = int(vst[s])
+        rows_l = _row_locals(rows.G)
+        cols = rows.G.indices.astype(np.int64)
+        own_g = rows_l + own0
+        ci = v2agg_parts[s][rows_l]
+        cj = _gather(v2agg_parts, vst, cols)
+        keep = (ci >= 0) & (cj >= 0) & (ci != cj)
+        if not keep.any():
+            continue
+        own_g, cols = own_g[keep], cols[keep]
+        ci, cj = ci[keep], cj[keep]
+        lo_f = np.minimum(own_g, cols)
+        hi_f = np.maximum(own_g, cols)
+        pos_lo = _gather(pos_parts, vst, lo_f)
+        pos_hi = _gather(pos_parts, vst, hi_f)
+        mid_f = 0.5 * (pos_lo + pos_hi)
+        lo_c = np.minimum(ci, cj)
+        hi_c = np.maximum(ci, cj)
+        cpos_lo = _gather(cpos_parts, c_vst, lo_c)
+        cpos_hi = _gather(cpos_parts, c_vst, hi_c)
+        mid_c = 0.5 * (cpos_lo + cpos_hi)
+        Q = energy.transport(mid_c, mid_f)
+        Ef = rows.E[keep]
+        Et = np.einsum("eki,ekl,elj->eij", Q, Ef, Q)
+        ri_l.append(ci)
+        cj_l.append(cj)
+        key_l.append(lo_f * nv_f + hi_f)  # serial fine-edge order key
+        E_l.append(Et)
+        w_l.append(rows.G.data[keep])
+    if ri_l:
+        ri = np.concatenate(ri_l)
+        cj = np.concatenate(cj_l)
+        fkey = np.concatenate(key_l)
+        Em = np.concatenate(E_l)
+        wm = np.concatenate(w_l)
+    else:
+        ri = cj = fkey = np.zeros(0, dtype=np.int64)
+        Em = np.zeros((0, dpv, dpv))
+        wm = np.zeros(0)
+
+    own = _owner(c_vst, ri) if len(ri) else np.zeros(0, dtype=np.int64)
+    out = []
+    for t in range(n_shards):
+        m = own == t
+        nl = nloc_c[t]
+        if not m.any():
+            G = sp.csr_matrix((nl, nv_c))
+            out.append(
+                _Rows(G, np.zeros((0, dpv, dpv)), cpos_parts[t], cl2_parts[t])
+            )
+            continue
+        r = ri[m] - c_vst[t]
+        c = cj[m]
+        k = fkey[m]
+        Eb = Em[m]
+        wb = wm[m]
+        # accumulate per (row, col) in the serial fine-edge order
+        order = np.lexsort((k, c, r))
+        r, c, Eb, wb = r[order], c[order], Eb[order], wb[order]
+        key = r * nv_c + c
+        uniq, inv = np.unique(key, return_inverse=True)
+        Es = np.zeros((len(uniq), dpv, dpv))
+        np.add.at(Es, inv, Eb)
+        ws = np.zeros(len(uniq))
+        np.add.at(ws, inv, wb)
+        ur = (uniq // nv_c).astype(np.int64)
+        uc = (uniq % nv_c).astype(np.int32)
+        indptr = np.zeros(nl + 1, dtype=np.int64)
+        np.add.at(indptr, ur + 1, 1)
+        indptr = np.cumsum(indptr)
+        G = sp.csr_matrix((ws, uc, indptr), shape=(nl, nv_c))
+        out.append(_Rows(G, Es, cpos_parts[t], cl2_parts[t]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# matching loop (serial spw_aggregate_energy, shard-local)
+# ---------------------------------------------------------------------------
+
+
+def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
+    """Multi-round SPW with per-round energy re-evaluation (robust)."""
+    c = opts.coarsen
+    theta = float(c.theta.get(level))
+    aaf = c.aaf.get(level)
+    rounds = 10 if aaf is not None else int(c.spw_rounds.get(level))
+    r = c.robust.get(level)
+    use_robust = (
+        getattr(energy, "default_robust", False) if r is None else bool(r)
+    )
+    n_shards = len(rows_list)
+    n0 = int(vst[-1])
+    v2c_parts = [
+        np.arange(vst[s], vst[s + 1], dtype=np.int64)
+        for s in range(n_shards)
+    ]
+    cur_rows, cur_vst = rows_list, vst
+    n_cur = n0
+    for _round in range(rounds):
+        if aaf is not None and n_cur <= float(aaf) * n0:
+            break
+        S_parts = _rows_soc(cur_rows, cur_vst, energy, use_robust)
+        partner_parts = _dist_handshake(S_parts, cur_vst, theta)
+        c2agg_parts, c_starts = _dist_aggregates(partner_parts, cur_vst)
+        n_agg = int(c_starts[-1])
+        if n_agg >= n_cur or n_agg == 0:
+            break
+        for s in range(n_shards):
+            v2 = v2c_parts[s]
+            m = v2 >= 0
+            v2[m] = _gather(c2agg_parts, cur_vst, v2[m])
+        cur_rows = _rows_map_data(
+            cur_rows, cur_vst, c2agg_parts, c_starts, energy
+        )
+        cur_vst = c_starts
+        n_cur = n_agg
+    if bool(c.adopt_orphans.get(level)) and n_cur:
+        S_parts = _rows_soc(cur_rows, cur_vst, energy, use_robust)
+        v2c_parts, cur_vst = _dist_adopt_orphans(
+            S_parts, cur_vst, v2c_parts
+        )
+    return v2c_parts, cur_vst
+
+
+# ---------------------------------------------------------------------------
+# block prolongation (serial smoothed_prol, shard-local rows)
+# ---------------------------------------------------------------------------
+
+
+def _all_pos(rows_list):
+    return [r.pos for r in rows_list]
+
+
+def _dist_rho(yfun, n_scal: int, seed: int, iters=10):
+    """Serial `_rho_estimate` with per-shard owned-row matvecs.
+
+    The start vector uses the serial seed; every shard holds the full
+    iterate (models a replicated small state + allgather of shard rows).
+    """
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n_scal)
+    lam = 1.0
+    for _ in range(iters):
+        x = yfun(x)
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            return 2.0
+        lam = nrm
+        x = x / nrm
+    return float(lam)
+
+
+def _halo_rows_csr(P_parts, scal_starts, need_rows, n_rows, n_cols):
+    """Global-shaped CSR holding only the gathered halo rows."""
+    sub = _gather_csr_rows(P_parts, scal_starts, need_rows, n_cols)
+    sub = sub.tocoo()
+    return sp.csr_matrix(
+        (sub.data, (need_rows[sub.row], sub.col)), shape=(n_rows, n_cols)
+    )
+
+
+def _dist_prol_elast(
+    rows_list,
+    vst,
+    v2agg_parts,
+    c_vst,
+    cpos_parts,
+    opts: AMGOptions,
+    level: int,
+    energy,
+    A_parts=None,
+    row_bs=None,
+):
+    """Per-shard smoothed block prolongation (semi-aux classic choice).
+
+    Mirrors transfer/prolongation.smoothed_prol row-for-row: piecewise
+    Q-transport rows, one damped-Jacobi step with the aux (replacement)
+    matrix rows, real-matrix rows where the coarse fan-out is bounded
+    (level matrices with row_bs == dpv only), kernel-preserving truncation.
+    """
+    dpv, dim = energy.dpv, energy.dim
+    n_shards = len(rows_list)
+    nv = int(vst[-1])
+    nc = int(c_vst[-1])
+    omega = float(opts.prol.omega.get(level))
+    max_per_row = int(opts.prol.max_per_row.get(level))
+    min_frac = float(opts.prol.min_frac.get(level))
+    max_classic = int(opts.prol.max_classic.get(level))
+    ptype = ProlType(opts.prol.type.get(level))
+    pos_parts = _all_pos(rows_list)
+
+    # --- piecewise rows ----------------------------------------------------
+    Ppw_parts = []
+    for s, rows in enumerate(rows_list):
+        nloc = rows.G.shape[0]
+        v2 = v2agg_parts[s]
+        act = np.flatnonzero(v2 >= 0)
+        cpos_act = _gather(cpos_parts, c_vst, v2[act])
+        Q = energy.transport(cpos_act, rows.pos[act])
+        indptr = np.zeros(nloc + 1, dtype=np.int64)
+        indptr[1:] = np.cumsum(v2 >= 0)
+        Ppw_parts.append(
+            sp.bsr_matrix(
+                (Q.astype(np.float64), v2[act].astype(np.int32), indptr),
+                shape=(nloc * dpv, nc * dpv),
+            )
+        )
+    if ptype == ProlType.PIECEWISE:
+        return Ppw_parts
+
+    D_parts = _rows_aux_diag(rows_list, vst, energy)
+
+    # --- aux (replacement-matrix) rows as BSR with global columns ----------
+    Ahat_parts, Dinv_parts = [], []
+    for s, rows in enumerate(rows_list):
+        own0 = int(vst[s])
+        nloc = rows.G.shape[0]
+        rows_l = _row_locals(rows.G)
+        cols = rows.G.indices.astype(np.int64)
+        pos_own = rows.pos[rows_l]
+        pos_oth = _gather(pos_parts, vst, cols)
+        mid = 0.5 * (pos_own + pos_oth)
+        Qim = energy.transport(pos_own, mid)
+        Qjm = energy.transport(pos_oth, mid)
+        EQj = np.einsum("ekl,eli->eki", rows.E, Qjm)
+        Bij = -np.einsum("eki,ekj->eij", Qim, EQj)
+        # assemble the owned rows (diag block = aux diagonal)
+        r_all = np.concatenate([rows_l, np.arange(nloc, dtype=np.int64)])
+        c_all = np.concatenate([cols, np.arange(nloc, dtype=np.int64) + own0])
+        blocks = np.concatenate([Bij, D_parts[s]], axis=0)
+        order = np.lexsort((c_all, r_all))
+        r_all, c_all, blocks = r_all[order], c_all[order], blocks[order]
+        indptr = np.zeros(nloc + 1, dtype=np.int64)
+        np.add.at(indptr, r_all + 1, 1)
+        indptr = np.cumsum(indptr)
+        Ahat_parts.append(
+            sp.bsr_matrix(
+                (blocks, c_all.astype(np.int32), indptr),
+                shape=(nloc * dpv, nv * dpv),
+            ).tocsr()
+        )
+        Dinv_b = np.linalg.pinv(D_parts[s])
+        Dinv_parts.append(
+            sp.bsr_matrix(
+                (
+                    Dinv_b,
+                    np.arange(nloc, dtype=np.int32),
+                    np.arange(nloc + 1),
+                ),
+                shape=(nloc * dpv, nloc * dpv),
+            )
+        )
+
+    def rho_mv(x):
+        y = np.empty(nv * dpv)
+        for s in range(n_shards):
+            lo, hi = int(vst[s]) * dpv, int(vst[s + 1]) * dpv
+            y[lo:hi] = Dinv_parts[s] @ (Ahat_parts[s] @ x)
+        return y
+
+    rho = _dist_rho(rho_mv, nv * dpv, seed=0)
+    scale = omega / max(rho, 1e-12)
+
+    scal_starts = vst * dpv
+    Ppw_scal = [P.tocsr() for P in Ppw_parts]
+    P_parts = []
+    classic_sel = [None] * n_shards
+    for s in range(n_shards):
+        # halo piecewise rows referenced by this shard's aux rows
+        need_v = np.unique(Ahat_parts[s].indices // dpv).astype(np.int64)
+        need_rows = (need_v[:, None] * dpv + np.arange(dpv)).ravel()
+        Phalo = _halo_rows_csr(
+            Ppw_scal, scal_starts, need_rows, nv * dpv, nc * dpv
+        )
+        P_s = (
+            Ppw_scal[s] - scale * (Dinv_parts[s] @ (Ahat_parts[s] @ Phalo))
+        ).tocsr()
+        P_parts.append(P_s)
+
+    # --- classic (real-matrix) rows where the coarse fan-out is bounded ----
+    if (
+        A_parts is not None
+        and row_bs == dpv
+        and max_classic
+        and max_classic > 1
+    ):
+        scale_r = None
+        A_csr = [Ap.tocsr() for Ap in A_parts]
+        for s, rows in enumerate(rows_list):
+            nloc = rows.G.shape[0]
+            B = sp.bsr_matrix(A_csr[s], blocksize=(dpv, dpv))
+            norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
+            rows_b = _row_locals_b(B)
+            colsb = B.indices.astype(np.int64)
+            offd = (colsb != (rows_b + int(vst[s]))) & (norms > 0)
+            agg_j = _gather(v2agg_parts, vst, colsb)
+            own_agg = v2agg_parts[s]
+            keys = np.concatenate(
+                [
+                    (rows_b * np.int64(nc) + agg_j)[offd & (agg_j >= 0)],
+                    (np.arange(nloc, dtype=np.int64) * nc + own_agg)[
+                        own_agg >= 0
+                    ],
+                ]
+            )
+            uniqk = np.unique(keys)
+            counts = np.bincount(
+                (uniqk // nc).astype(np.int64), minlength=nloc
+            )
+            classic = (counts <= max_classic) & (own_agg >= 0)
+            classic_sel[s] = classic
+            if not classic.any():
+                continue
+            if scale_r is None:
+                DinvA_parts = []
+                for t in range(n_shards):
+                    nl_t = rows_list[t].G.shape[0]
+                    Db = block_diagonal_fast_rows(
+                        A_csr[t], dpv, int(vst[t])
+                    )
+                    DinvA_parts.append(
+                        sp.bsr_matrix(
+                            (
+                                np.linalg.pinv(Db),
+                                np.arange(nl_t, dtype=np.int32),
+                                np.arange(nl_t + 1),
+                            ),
+                            shape=(nl_t * dpv, nl_t * dpv),
+                        )
+                    )
+
+                def rho_mv_r(x):
+                    y = np.empty(nv * dpv)
+                    for t in range(n_shards):
+                        lo, hi = int(vst[t]) * dpv, int(vst[t + 1]) * dpv
+                        y[lo:hi] = DinvA_parts[t] @ (A_csr[t] @ x)
+                    return y
+
+                rho_r = _dist_rho(rho_mv_r, nv * dpv, seed=1)
+                scale_r = omega / max(rho_r, 1e-12)
+            need_v = np.unique(A_csr[s].indices // dpv).astype(np.int64)
+            need_rows = (need_v[:, None] * dpv + np.arange(dpv)).ravel()
+            Phalo = _halo_rows_csr(
+                Ppw_scal, scal_starts, need_rows, nv * dpv, nc * dpv
+            )
+            P_real = (
+                Ppw_scal[s]
+                - scale_r * (DinvA_parts[s] @ (A_csr[s] @ Phalo))
+            ).tocsr()
+            sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
+            inv = sp.diags(np.repeat((~classic).astype(np.float64), dpv))
+            P_s = (sel @ P_real + inv @ P_parts[s]).tocsr()
+            P_s.eliminate_zeros()
+            P_parts[s] = P_s
+
+    # --- kernel-preserving truncation (row-local) ---------------------------
+    out = []
+    for s in range(n_shards):
+        Pb = P_parts[s].tobsr(blocksize=(dpv, dpv))
+        Pb.sort_indices()
+        need_c = np.unique(Pb.indices).astype(np.int64)
+        pos_c = np.zeros((nc, cpos_parts[0].shape[1]))
+        if len(need_c):
+            pos_c[need_c] = _gather(cpos_parts, c_vst, need_c)
+        mesh_c = AlgebraicMesh(nv=nc, edges=np.zeros((0, 2), dtype=np.int64))
+        mesh_c.vertex_data["pos"] = pos_c
+        out.append(
+            truncate_prol(
+                energy,
+                mesh_c,
+                Pb,
+                max_per_row=max_per_row,
+                min_frac=min_frac,
+            )
+        )
+    return out
+
+
+def block_diagonal_fast_rows(A_rows: sp.csr_matrix, bs: int, own0: int):
+    """(n_own, bs, bs) diagonal blocks of a shard's global-column rows."""
+    B = sp.bsr_matrix(A_rows, blocksize=(bs, bs))
+    nloc = B.shape[0] // bs
+    rows = _row_locals_b(B)
+    isdiag = B.indices == (rows + own0)
+    out = np.zeros((nloc, bs, bs), dtype=np.float64)
+    out[rows[isdiag]] = B.data[isdiag]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the distributed elasticity level loop
+# ---------------------------------------------------------------------------
+
+
+def dist_setup_levels_elast(
+    A: sp.spmatrix,
+    energy,
+    opts: AMGOptions,
+    n_shards: int,
+    coords: np.ndarray,
+) -> tuple[list[SetupLevel], FactoryLog]:
+    """Build the elasticity hierarchy from row-sharded inputs.
+
+    Mirrors the serial factory loop (factory/levels.setup_levels) with
+    every step shard-local: robust SPW matching with per-round transported
+    coarse energies, block smoothed prolongation, the finest-level
+    embedding fold, and the owner-routed distributed RAP. Aggregates equal
+    the serial path; operators agree to fp roundoff.
+    """
+    if coords is None:
+        raise ValueError("elasticity needs vertex coordinates")
+    dim, dpv = energy.dim, energy.dpv
+    lc = opts.levels
+    log = FactoryLog()
+    A = A.tocsr().astype(np.float64)
+    nv = A.shape[0] // dim
+    vst = np.linspace(0, nv, n_shards + 1).astype(np.int64)
+
+    rows_list = _rows_finest(A, np.asarray(coords, float), energy, vst)
+
+    def ph_mesh(n, pos=None, l2=None):
+        m = AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
+        if pos is not None:
+            m.vertex_data["pos"] = pos
+            m.vertex_data["l2wt"] = l2
+        return m
+
+    row_bs = dim
+    starts = vst * row_bs
+    A_parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
+    levels = [
+        SetupLevel(
+            index=0,
+            A=A,
+            row_bs=dim,
+            mesh=ph_mesh(
+                nv,
+                np.concatenate([r.pos for r in rows_list]),
+                np.concatenate([r.l2 for r in rows_list]),
+            ),
+        )
+    ]
+    log.nvs.append(nv)
+    log.nnzs.append(int(A.nnz))
+
+    n = nv
+    lvl = 0
+    while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
+        v2agg_parts, c_vst = _dist_spw_energy(
+            rows_list, vst, opts, lvl, energy
+        )
+        n_agg = int(c_vst[-1])
+        if n_agg >= lc.min_coarsen_ratio * n or n_agg == 0:
+            break
+        # coarse mesh data from the LEVEL's fine rows + composed aggregates
+        # (the serial loop rebuilds mesh_c from the composed v2agg too)
+        rows_c = _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy)
+        cpos_parts = [r.pos for r in rows_c]
+        P_parts = _dist_prol_elast(
+            rows_list,
+            vst,
+            v2agg_parts,
+            c_vst,
+            cpos_parts,
+            opts,
+            lvl,
+            energy,
+            A_parts=A_parts if row_bs == dpv else None,
+            row_bs=row_bs,
+        )
+        P_scal = [P.tocsr() for P in P_parts]
+        if lvl == 0:
+            # pre-embedding prol (MultiDofMapStep secondary map)
+            levels[0].P_amg = sp.vstack(P_scal, format="csr").tobsr(
+                blocksize=(dpv, dpv)
+            )
+            # fold the disp-only embedding E_v = [I_dim | 0] per shard
+            folded = []
+            for s, P_s in enumerate(P_scal):
+                nloc = rows_list[s].G.shape[0]
+                Eb = energy.embed_blocks(nloc)
+                E_s = sp.bsr_matrix(
+                    (
+                        Eb,
+                        np.arange(nloc, dtype=np.int32),
+                        np.arange(nloc + 1),
+                    ),
+                    shape=(nloc * dim, nloc * dpv),
+                )
+                folded.append((E_s @ P_s).tocsr())
+            P_scal = folded
+        c_starts = c_vst * dpv
+        Ac_parts = _dist_rap(A_parts, starts, P_scal, c_starts)
+        Ac = sp.vstack(Ac_parts, format="csr")
+        Ac = ((Ac + Ac.T) * 0.5).tocsr()
+        Ac.sum_duplicates()
+        Ac.sort_indices()
+        levels[-1].P = sp.vstack(P_scal, format="csr").tobsr(
+            blocksize=(row_bs, dpv)
+        )
+        levels[-1].v2agg = np.concatenate(v2agg_parts)
+        levels.append(
+            SetupLevel(
+                index=lvl + 1,
+                A=Ac,
+                row_bs=dpv,
+                mesh=ph_mesh(
+                    n_agg,
+                    np.concatenate(cpos_parts),
+                    np.concatenate([r.l2 for r in rows_c]),
+                ),
+            )
+        )
+        log.nvs.append(n_agg)
+        log.nnzs.append(int(Ac.nnz))
+        rows_list = rows_c
+        vst = c_vst
+        row_bs = dpv
+        starts = c_starts
+        A_parts = [
+            Ac[starts[t] : starts[t + 1]] for t in range(n_shards)
+        ]
+        n = n_agg
+        lvl += 1
+    return levels, log

@@ -747,25 +747,45 @@ def dist_setup_levels(
     energy,
     opts: AMGOptions,
     n_shards: int,
+    coords: np.ndarray | None = None,
 ) -> tuple[list[SetupLevel], FactoryLog]:
-    """Build the hierarchy from row-sharded inputs (H1 energies).
+    """Build the hierarchy from row-sharded inputs.
 
     Scalar H1 runs the shard-local machinery directly; vector H1
     (dpv == bs > 1, identity transport) condenses block rows to the
     vertex trace graph per shard, coarsens/smooths there, and expands the
     prolongations by kron with I_bs — exactly the serial vector-H1
-    semantics (apps/h1.py). The returned SetupLevel matrices are
-    assembled global views of the per-shard rows — the staging step
-    before device placement, which re-shards them via parallel/shard.py
-    (small levels replicated there).
+    semantics (apps/h1.py). Elasticity (non-identity rigid-body
+    transports) runs the block machinery in parallel/dist_elast.py.
+    The returned SetupLevel matrices are assembled global views of the
+    per-shard rows — the staging step before device placement, which
+    re-shards them via parallel/shard.py (small levels replicated there).
     """
     bs = getattr(energy, "dpv", None)
+    from ..apps.elasticity import ElasticityEnergy
     from ..apps.h1 import H1Energy
 
+    if isinstance(energy, ElasticityEnergy):
+        from ..config import CoarsenType
+        from ..factory.levels import setup_levels
+
+        algo = CoarsenType(opts.coarsen.algo.get(0))
+        if algo == CoarsenType.AUTO and coords is not None:
+            from ..coarsen.lattice import lattice_aggregate
+
+            if lattice_aggregate(np.asarray(coords, float)) is not None:
+                # serial AUTO would take the lattice coarsener here
+                # (structured beams); keep serial parity
+                return setup_levels(A, energy, opts, coords=coords)
+        if algo not in (CoarsenType.AUTO, CoarsenType.SPW):
+            return setup_levels(A, energy, opts, coords=coords)
+        from .dist_elast import dist_setup_levels_elast
+
+        return dist_setup_levels_elast(A, energy, opts, n_shards, coords)
     if not isinstance(energy, H1Energy):
         raise ValueError(
-            "distributed setup currently supports H1 energies "
-            "(block energies/elasticity build serially)"
+            "distributed setup supports H1 and elasticity energies "
+            "(other block energies build serially)"
         )
     if bs != 1:
         return _dist_setup_vector(A, energy, opts, n_shards, bs)

@@ -28,6 +28,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..apps.base import Energy
+from ..apps.elasticity import ElasticityEnergy
 from ..apps.h1 import H1Energy
 from ..config import AMGOptions, CoarseSolveType, options_from_flags
 from ..factory.levels import setup_levels
@@ -253,14 +254,14 @@ class AMGPreconditioner:
             self._setup_nodalp2_levels()
         elif (
             self.options.dist_setup > 1
-            and isinstance(self.energy, H1Energy)
+            and isinstance(self.energy, (H1Energy, ElasticityEnergy))
             and self._finest_mesh is None
         ):
             from ..parallel.dist_setup import dist_setup_levels
 
             self.setup_levels_, self.log_ = dist_setup_levels(
                 self.A_host, self.energy, self.options,
-                self.options.dist_setup,
+                self.options.dist_setup, coords=self.coords,
             )
         else:
             self.setup_levels_, self.log_ = setup_levels(

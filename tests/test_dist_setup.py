@@ -87,6 +87,54 @@ def test_dist_vector_h1_matches_serial_aggregates():
     assert info.converged and r < 1e-7, (info.iterations, r)
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_dist_elasticity_equals_serial(n_shards):
+    """Block-energy (elasticity) distributed setup: robust per-round
+    matching, transported coarse energies, block smoothed prolongation and
+    the embedding fold must reproduce the serial hierarchy — same
+    aggregates per level, coarse operators to fp roundoff."""
+    from ngsamg_tpu.apps.elasticity import ElasticityEnergy
+
+    prob = fem.unstructured_elasticity(10, dim=2)
+    opts = _opts()
+    en_s = ElasticityEnergy(dim=2)
+    s_levels, s_log = setup_levels(
+        prob.A.tocsr(), en_s, opts, coords=prob.coords
+    )
+    en_d = ElasticityEnergy(dim=2)
+    d_levels, d_log = dist_setup_levels(
+        prob.A, en_d, opts, n_shards, coords=prob.coords
+    )
+    assert en_d._s == en_s._s  # rot_scale auto median parity
+    assert s_log.nvs == d_log.nvs, (s_log.nvs, d_log.nvs)
+    for sl, dl in zip(s_levels[:-1], d_levels[:-1]):
+        np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        if i == 0:
+            continue
+        assert sl.A.nnz == dl.A.nnz, f"level {i} nnz"
+        diff = abs(sl.A - dl.A).max()
+        scale = abs(sl.A).max()
+        assert diff < 1e-9 * scale, f"level {i} values differ {diff:.2e}"
+
+
+def test_dist_elasticity_hierarchy_solves():
+    """The distributed elasticity hierarchy plugs into the device solve."""
+    from ngsamg_tpu import AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+
+    prob = fem.unstructured_elasticity(9, dim=2)
+    opts = _opts()
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    opts.dist_setup = 4
+    pc = AMGPreconditioner(
+        prob.A, coords=prob.coords, options=opts
+    ).setup()
+    x, info = pc.solve(prob.b, tol=1e-8, maxiter=80)
+    r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_dist_hierarchy_solves():
     """The distributed-setup hierarchy plugs into the device solve."""
     from ngsamg_tpu import AMGPreconditioner
