@@ -309,9 +309,8 @@ def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
         nl += 1
     if nl == 0:
         return None
-    return sp.coo_matrix(
-        (vals, (rows, cols)), shape=(ne, nl)
-    ).tocsr()
+    C = sp.coo_matrix((vals, (rows, cols)), shape=(ne, nl)).tocsr()
+    return _flow_scale(mesh) @ C
 
 
 def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
@@ -384,6 +383,21 @@ def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
                 nl += 1
     if nl == 0:
         return build_loops_tree(mesh)
-    return sp.coo_matrix(
-        (vals, (rows, cols)), shape=(mesh.ne, nl)
-    ).tocsr()
+    C = sp.coo_matrix((vals, (rows, cols)), shape=(mesh.ne, nl)).tocsr()
+    return _flow_scale(mesh) @ C
+
+
+def _flow_scale(mesh: AlgebraicMesh) -> sp.dia_matrix:
+    """diag(1/flow): converts incidence-cycle fields into ker(D) fields.
+
+    The divergence is FLOW-weighted (flux through facet e = flow_e * u_e),
+    so a cycle y of the unweighted incidence becomes the divergence-free
+    dof field u_e = y_e / flow_e. On constant-flow (MAC) lattices this is
+    a harmless global scale; on simplicial meshes (varying facet areas)
+    and coarse levels (summed flows) it is required for D @ C == 0.
+    Zero-flow facets (cancelling oriented sums on coarse levels) carry no
+    flux for any dof value and keep scale 1.
+    """
+    flow = mesh.edge_data["flow"]
+    s = np.where(np.abs(flow) > 1e-300, 1.0 / np.where(flow == 0, 1.0, flow), 1.0)
+    return sp.diags(s)

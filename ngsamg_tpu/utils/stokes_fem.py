@@ -199,6 +199,216 @@ def stokes_mac_2d_hdiv(n: int = 16, alpha: float = 10.0, nu: float = 1.0):
     return prob, counts, V
 
 
+def stokes_tri(
+    n: int = 12,
+    dim: int = 2,
+    alpha: float = 10.0,
+    nu: float = 1.0,
+    seed: int = 0,
+):
+    """Unstructured SIMPLICIAL facet-flux Stokes velocity block.
+
+    The unstructured counterpart of the MAC problems above and the test
+    vehicle for the reference's facet-based Stokes AMG on real simplicial
+    meshes (the reference's NC/HDiv spaces put velocity DOFs on mesh
+    facets; /root/reference/src/stokes/): one normal-velocity DOF per
+    interior facet of a perturbed Delaunay triangulation (triangles in 2D,
+    tets in 3D), no-slip boundary facets eliminated.
+
+        K = nu * L + alpha * D^T W D
+
+    D is the exact geometric divergence (signed facet areas over cells),
+    W = diag(1/vol), and L the cell-wise facet-coupling Laplacian: for
+    every cell and every pair of its facets (e, e'), the SPD pair stencil
+    w [[1,-1],[-1,1]] with w = area_e * area_e' / vol — the P0-HDG
+    grad-grad analog; pairs with an eliminated boundary facet contribute
+    +w to the interior facet's diagonal (the no-slip wall term).
+
+    Returns (StokesProblem, normals (nf_int, dim) unit facet normals in
+    the cell0 -> cell1 orientation).
+    """
+    from .fem import _unstructured_mesh
+
+    verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    ncell = len(elems)
+    nl = dim + 1
+
+    # --- facet extraction (unique sorted vertex tuples) --------------------
+    # facet k of a simplex = all vertices but the k-th
+    faces = np.stack(
+        [np.delete(elems, k, axis=1) for k in range(nl)], axis=1
+    )  # (ncell, nl, dim)
+    faces_flat = np.sort(faces.reshape(-1, dim), axis=1)
+    uniq, inv = np.unique(faces_flat, axis=0, return_inverse=True)
+    nf_all = len(uniq)
+    cells_of = np.repeat(np.arange(ncell, dtype=np.int64), nl)
+    fc_all = np.full((nf_all, 2), -1, dtype=np.int64)
+    # first-come cell0, second cell1 (each facet appears <= 2 times)
+    order = np.argsort(inv, kind="stable")
+    f_sorted = inv[order]
+    c_sorted = cells_of[order]
+    first = np.r_[True, f_sorted[1:] != f_sorted[:-1]]
+    fc_all[f_sorted[first], 0] = c_sorted[first]
+    fc_all[f_sorted[~first], 1] = c_sorted[~first]
+
+    # --- geometry -----------------------------------------------------------
+    X = verts[elems]  # (ncell, nl, dim)
+    Dm = X[:, 1:, :] - X[:, :1, :]
+    vol = np.abs(np.linalg.det(Dm)) / np.prod(np.arange(1, dim + 1))
+    cpos = X.mean(axis=1)
+
+    fx = verts[uniq]  # (nf_all, dim, dim) facet vertex coords
+    fpos = fx.mean(axis=1)
+    if dim == 2:
+        tvec = fx[:, 1] - fx[:, 0]
+        area = np.linalg.norm(tvec, axis=1)
+        normal = np.stack([tvec[:, 1], -tvec[:, 0]], axis=1)
+    else:
+        e1 = fx[:, 1] - fx[:, 0]
+        e2 = fx[:, 2] - fx[:, 0]
+        normal = 0.5 * np.cross(e1, e2)
+        area = np.linalg.norm(normal, axis=1)
+    normal = normal / np.maximum(area[:, None], 1e-300)
+    # orient cell0 -> cell1: flip where the normal points INTO cell0
+    d0 = fpos - cpos[fc_all[:, 0]]
+    flip = (normal * d0).sum(axis=1) < 0
+    normal[flip] *= -1.0
+
+    interior = fc_all[:, 1] >= 0
+    fi = np.flatnonzero(interior)
+    nf = len(fi)
+    fidx = np.full(nf_all, -1, dtype=np.int64)
+    fidx[fi] = np.arange(nf)
+    fc = fc_all[fi]
+    flow = area[fi]
+
+    # --- exact divergence ----------------------------------------------------
+    rows = np.concatenate([fc[:, 0], fc[:, 1]])
+    cols = np.concatenate([np.arange(nf), np.arange(nf)])
+    data = np.concatenate([flow, -flow])
+    D = sp.coo_matrix((data, (rows, cols)), shape=(ncell, nf)).tocsr()
+
+    # --- cell-wise facet-pair Laplacian --------------------------------------
+    f_of_cell = fidx[inv.reshape(ncell, nl)]  # (ncell, nl), -1 = boundary
+    a_of_cell = area[inv.reshape(ncell, nl)]
+    li, lj, lv = [], [], []
+    for a in range(nl):
+        for b2 in range(a + 1, nl):
+            ea, eb = f_of_cell[:, a], f_of_cell[:, b2]
+            w = nu * a_of_cell[:, a] * a_of_cell[:, b2] / vol
+            both = (ea >= 0) & (eb >= 0)
+            li.extend([ea[both], eb[both], ea[both], eb[both]])
+            lj.extend([ea[both], eb[both], eb[both], ea[both]])
+            lv.extend([w[both], w[both], -w[both], -w[both]])
+            onlya = (ea >= 0) & (eb < 0)  # wall pair: diagonal only
+            li.append(ea[onlya])
+            lj.append(ea[onlya])
+            lv.append(w[onlya])
+            onlyb = (eb >= 0) & (ea < 0)
+            li.append(eb[onlyb])
+            lj.append(eb[onlyb])
+            lv.append(w[onlyb])
+    L = sp.coo_matrix(
+        (np.concatenate(lv), (np.concatenate(li), np.concatenate(lj))),
+        shape=(nf, nf),
+    ).tocsr()
+
+    W = sp.diags(1.0 / vol)
+    K = (L + alpha * (D.T @ W @ D)).tocsr()
+    K = (K + K.T) * 0.5
+
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(nf)
+    b -= b.mean()
+    prob = StokesProblem(
+        A=K.tocsr(),
+        b=b,
+        D=D,
+        cell_pos=cpos,
+        cell_vol=vol,
+        facet_cells=fc,
+        facet_flow=flow,
+        facet_pos=fpos[fi],
+        alpha=alpha,
+    )
+    return prob, normal[fi]
+
+
+def stokes_tri_hdiv(
+    n: int = 12, alpha: float = 10.0, nu: float = 1.0, seed: int = 0
+):
+    """HDG-flavored facet space on an unstructured TRIANGLE mesh.
+
+    The simplicial counterpart of :func:`stokes_mac_2d_hdiv` (the test
+    vehicle for the HDiv-variant AMG, reference src/stokes/hdiv): every
+    interior facet carries its normal-flux dof; facets whose both cells
+    are interior (no boundary facet) additionally carry a tangential-trace
+    dof, so per-facet DOF counts are VARIABLE. Preserved vectors are the
+    constant velocity fields e_x, e_y expressed in the facet frames
+    (normal velocity n.e_k on flux dofs, tangential t.e_k on trace dofs).
+
+    Returns (StokesProblem over the joint space, dof counts (nf,),
+    preserved (ndof, 2)).
+    """
+    base, normal = stokes_tri(n, dim=2, alpha=alpha, nu=nu, seed=seed)
+    nf = base.n
+    # a cell is boundary-adjacent iff it has fewer than 3 interior facets
+    ncell = len(base.cell_vol)
+    cnt = np.bincount(base.facet_cells.ravel(), minlength=ncell)
+    cell_interior = cnt == 3
+    has_t = cell_interior[base.facet_cells].all(axis=1)
+    counts = 1 + has_t.astype(np.int64)
+    off = np.zeros(nf + 1, dtype=np.int64)
+    off[1:] = np.cumsum(counts)
+    ndof = int(off[-1])
+    flux_dofs = off[:-1]
+    tang_dofs = off[:-1][has_t] + 1
+    Sf = sp.coo_matrix(
+        (np.ones(nf), (flux_dofs, np.arange(nf))), shape=(ndof, nf)
+    ).tocsr()
+    nt = int(has_t.sum())
+    St = sp.coo_matrix(
+        (np.ones(nt), (tang_dofs, np.arange(nt))), shape=(ndof, nt)
+    ).tocsr()
+    # tangential operator: cell-shared facet adjacency graph Laplacian
+    i, j = base.facet_cells[:, 0], base.facet_cells[:, 1]
+    inc = sp.coo_matrix(
+        (
+            np.ones(2 * nf),
+            (np.concatenate([i, j]), np.concatenate([np.arange(nf)] * 2)),
+        ),
+        shape=(ncell, nf),
+    ).tocsr()
+    Adj = (inc.T @ inc).tolil()
+    Adj.setdiag(0)
+    Adj = Adj.tocsr()
+    Adj.eliminate_zeros()
+    Adj = Adj[has_t][:, has_t]
+    deg = np.asarray(Adj.sum(axis=1)).ravel()
+    Lt = (sp.diags(deg + 1.0) - Adj) * nu
+    A = (Sf @ base.A @ Sf.T + St @ Lt @ St.T).tocsr()
+    A = (A + A.T) * 0.5
+    tangent = np.stack([-normal[:, 1], normal[:, 0]], axis=1)
+    V = np.zeros((ndof, 2))
+    V[flux_dofs] = normal  # n . e_k per flux dof
+    V[tang_dofs] = tangent[has_t]
+    rng = np.random.default_rng(seed + 1)
+    b = rng.standard_normal(ndof)
+    b -= b.mean()
+    prob = StokesProblem(
+        A=A,
+        b=b,
+        D=base.D @ Sf.T,
+        cell_pos=base.cell_pos,
+        cell_vol=base.cell_vol,
+        facet_cells=base.facet_cells,
+        facet_flow=base.facet_flow,
+        facet_pos=base.facet_pos,
+        alpha=alpha,
+    )
+    return prob, counts, V
+
+
 def stokes_mac_3d(n: int = 8, alpha: float = 10.0, nu: float = 1.0):
     """3D MAC Stokes velocity block on an n^3 unit-cube grid."""
     h = 1.0 / n

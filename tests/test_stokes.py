@@ -192,6 +192,83 @@ def test_stokes_3d():
     assert info.converged and info.iterations < 120
 
 
+def test_stokes_simplicial_2d():
+    """Facet-flux Stokes on a REAL unstructured triangle mesh: facet areas
+    vary, the dual graph is irregular — exercises flow-scaled loops, SPW
+    cell coarsening and the geometric divergence end to end (the
+    reference's simplicial NC/HDiv facet spaces, src/stokes/)."""
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri
+
+    p, normals = stokes_tri(16, dim=2, alpha=10.0)
+    mesh, _ = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    C = st.build_loops(mesh)
+    assert np.abs(p.D @ C).max() < 1e-12  # flow-weighted kernel
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 80
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    assert pc.num_levels >= 3
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=150)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+    assert info.iterations < 40, info.iterations
+
+
+def test_stokes_simplicial_3d():
+    """Tet-mesh facet-flux Stokes (3D unstructured)."""
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri
+
+    p, normals = stokes_tri(6, dim=3, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 150
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=200)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+    assert info.iterations < 60, info.iterations
+
+
+def test_hdiv_stokes_simplicial():
+    """HDiv-variant AMG (variable dofs + preserved vectors) on a real
+    triangle mesh: normal/tangential facet frames from the geometry."""
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri_hdiv
+
+    p, counts, V = stokes_tri_hdiv(14, alpha=10.0)
+    assert counts.min() == 1 and counts.max() == 2  # variable dof counts
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 120
+    pc = NgsAMG.stokes_hdiv_gg_2d(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        facet_dof_counts=counts,
+        preserved=V,
+        options=opts,
+    )
+    assert pc.GetNLevels() >= 3
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=300)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_hdiv_preserved_vectors_exact():
     """Preserved vectors stay exactly representable: P @ V_c == V_f
     (preserved_vectors.hpp computeCoarseBasis semantics)."""
