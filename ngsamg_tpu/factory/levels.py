@@ -290,18 +290,25 @@ def _stencil_setup(
         for l in range(nprobe)
     ):
         return None
-    det = detect_lattice(coords) if coords is not None else None
-    if det is None:
-        return None
-    idx, dims = det
+    from ..coarsen.lattice import detect_lattice_rowmajor
+
     nv = A.shape[0]
+    # O(n), sort-free check for the dominant case (full row-major lattice)
+    dims = detect_lattice_rowmajor(coords) if coords is not None else None
+    if dims is None:
+        det = detect_lattice(coords) if coords is not None else None
+        if det is None:
+            return None
+        idx, dims = det
+        if int(np.prod(dims)) != nv:
+            return None  # partial lattice
+        key = np.zeros(nv, dtype=np.int64)
+        for k in range(idx.shape[1]):
+            key = key * dims[k] + idx[:, k]
+        if not np.array_equal(key, np.arange(nv)):
+            return None  # not row-major ordered
     if int(np.prod(dims)) != nv:
-        return None  # partial lattice
-    key = np.zeros(nv, dtype=np.int64)
-    for k in range(idx.shape[1]):
-        key = key * dims[k] + idx[:, k]
-    if not np.array_equal(key, np.arange(nv)):
-        return None  # not row-major ordered
+        return None
     if isinstance(A, sp.dia_matrix):
         op = st.from_dia(A, dims)
     else:
