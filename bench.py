@@ -13,8 +13,8 @@ combined setup+solve pipeline (typical for one modern core running an
 MPI-parallel smoothed-aggregation AMG at this scale), i.e.
 vs_baseline = (our setup+solve DoF/s) / 2.0e6.
 
-Env knobs: NGSAMG_BENCH_N (grid n, default 128 -> ~2.05M DoF),
-NGSAMG_BENCH_TOL (default 1e-8).
+Env knobs: NGSAMG_BENCH_N (grid n, default 216 -> ~9.94M DoF, the
+BASELINE.json metric scale), NGSAMG_BENCH_TOL (default 1e-8).
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ def main():
     from ngsamg_tpu import AMGOptions, AMGPreconditioner
     from ngsamg_tpu.utils import fem
 
-    n = int(os.environ.get("NGSAMG_BENCH_N", "128"))
+    n = int(os.environ.get("NGSAMG_BENCH_N", "216"))
     tol = float(os.environ.get("NGSAMG_BENCH_TOL", "1e-8"))
 
     t0 = time.perf_counter()

@@ -199,6 +199,57 @@ def stokes_mac_2d_hdiv(n: int = 16, alpha: float = 10.0, nu: float = 1.0):
     return prob, counts, V
 
 
+def _simplex_facets(verts: np.ndarray, elems: np.ndarray):
+    """Facet geometry of a simplicial mesh.
+
+    Returns (fc_all (nf_all, 2) adjacent cells (-1 = boundary),
+    area (nf_all,), unit normal (nf_all, dim) oriented cell0 -> cell1,
+    facet centroids, cell volumes, cell centroids, inv (ncell*nl,) facet
+    index of each local face, nl = dim+1, ncell).
+    """
+    ncell, nl = elems.shape
+    dim = nl - 1
+    # facet k of a simplex = all vertices but the k-th
+    faces = np.stack(
+        [np.delete(elems, k, axis=1) for k in range(nl)], axis=1
+    )  # (ncell, nl, dim)
+    faces_flat = np.sort(faces.reshape(-1, dim), axis=1)
+    uniq, inv = np.unique(faces_flat, axis=0, return_inverse=True)
+    nf_all = len(uniq)
+    cells_of = np.repeat(np.arange(ncell, dtype=np.int64), nl)
+    fc_all = np.full((nf_all, 2), -1, dtype=np.int64)
+    # first-come cell0, second cell1 (each facet appears <= 2 times)
+    order = np.argsort(inv, kind="stable")
+    f_sorted = inv[order]
+    c_sorted = cells_of[order]
+    first = np.r_[True, f_sorted[1:] != f_sorted[:-1]]
+    fc_all[f_sorted[first], 0] = c_sorted[first]
+    fc_all[f_sorted[~first], 1] = c_sorted[~first]
+
+    X = verts[elems]  # (ncell, nl, dim)
+    Dm = X[:, 1:, :] - X[:, :1, :]
+    vol = np.abs(np.linalg.det(Dm)) / np.prod(np.arange(1, dim + 1))
+    cpos = X.mean(axis=1)
+
+    fx = verts[uniq]  # (nf_all, dim, dim) facet vertex coords
+    fpos = fx.mean(axis=1)
+    if dim == 2:
+        tvec = fx[:, 1] - fx[:, 0]
+        area = np.linalg.norm(tvec, axis=1)
+        normal = np.stack([tvec[:, 1], -tvec[:, 0]], axis=1)
+    else:
+        e1 = fx[:, 1] - fx[:, 0]
+        e2 = fx[:, 2] - fx[:, 0]
+        normal = 0.5 * np.cross(e1, e2)
+        area = np.linalg.norm(normal, axis=1)
+    normal = normal / np.maximum(area[:, None], 1e-300)
+    # orient cell0 -> cell1: flip where the normal points INTO cell0
+    d0 = fpos - cpos[fc_all[:, 0]]
+    flip = (normal * d0).sum(axis=1) < 0
+    normal[flip] *= -1.0
+    return fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell
+
+
 def stokes_tri(
     n: int = 12,
     dim: int = 2,
@@ -230,54 +281,12 @@ def stokes_tri(
     from .fem import _unstructured_mesh
 
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
-    ncell = len(elems)
-    nl = dim + 1
-
-    # --- facet extraction (unique sorted vertex tuples) --------------------
-    # facet k of a simplex = all vertices but the k-th
-    faces = np.stack(
-        [np.delete(elems, k, axis=1) for k in range(nl)], axis=1
-    )  # (ncell, nl, dim)
-    faces_flat = np.sort(faces.reshape(-1, dim), axis=1)
-    uniq, inv = np.unique(faces_flat, axis=0, return_inverse=True)
-    nf_all = len(uniq)
-    cells_of = np.repeat(np.arange(ncell, dtype=np.int64), nl)
-    fc_all = np.full((nf_all, 2), -1, dtype=np.int64)
-    # first-come cell0, second cell1 (each facet appears <= 2 times)
-    order = np.argsort(inv, kind="stable")
-    f_sorted = inv[order]
-    c_sorted = cells_of[order]
-    first = np.r_[True, f_sorted[1:] != f_sorted[:-1]]
-    fc_all[f_sorted[first], 0] = c_sorted[first]
-    fc_all[f_sorted[~first], 1] = c_sorted[~first]
-
-    # --- geometry -----------------------------------------------------------
-    X = verts[elems]  # (ncell, nl, dim)
-    Dm = X[:, 1:, :] - X[:, :1, :]
-    vol = np.abs(np.linalg.det(Dm)) / np.prod(np.arange(1, dim + 1))
-    cpos = X.mean(axis=1)
-
-    fx = verts[uniq]  # (nf_all, dim, dim) facet vertex coords
-    fpos = fx.mean(axis=1)
-    if dim == 2:
-        tvec = fx[:, 1] - fx[:, 0]
-        area = np.linalg.norm(tvec, axis=1)
-        normal = np.stack([tvec[:, 1], -tvec[:, 0]], axis=1)
-    else:
-        e1 = fx[:, 1] - fx[:, 0]
-        e2 = fx[:, 2] - fx[:, 0]
-        normal = 0.5 * np.cross(e1, e2)
-        area = np.linalg.norm(normal, axis=1)
-    normal = normal / np.maximum(area[:, None], 1e-300)
-    # orient cell0 -> cell1: flip where the normal points INTO cell0
-    d0 = fpos - cpos[fc_all[:, 0]]
-    flip = (normal * d0).sum(axis=1) < 0
-    normal[flip] *= -1.0
-
+    geo = _simplex_facets(verts, elems)
+    (fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell) = geo
     interior = fc_all[:, 1] >= 0
     fi = np.flatnonzero(interior)
     nf = len(fi)
-    fidx = np.full(nf_all, -1, dtype=np.int64)
+    fidx = np.full(len(fc_all), -1, dtype=np.int64)
     fidx[fi] = np.arange(nf)
     fc = fc_all[fi]
     flow = area[fi]
