@@ -45,13 +45,21 @@ class StokesLevel:
 
 
 def build_dual_mesh(cell_pos, cell_vol, facet_cells, facet_flow, A=None):
-    """Dual mesh from cell/facet geometry (interior facets only)."""
+    """Dual mesh from cell/facet geometry (interior facets only).
+
+    ``facet_flow`` may be scalar (nf,) — normal-flux dofs — or a VECTOR
+    (nf, dim) — the NC/CR case where each facet carries a velocity vector
+    and the flow is the facet area-normal (the reference's facet flow
+    vector, nc_stokes_mesh.hpp:19-39).
+    """
     interior = (facet_cells >= 0).all(axis=1)
     edges = facet_cells[interior].astype(np.int64)
     # orient edges i < j, flipping the flow sign accordingly
     flip = edges[:, 0] > edges[:, 1]
     edges = np.where(flip[:, None], edges[:, ::-1], edges)
-    flow = np.where(flip, -facet_flow[interior], facet_flow[interior])
+    fl = np.asarray(facet_flow)[interior]
+    sgn = np.where(flip, -1.0, 1.0)
+    flow = fl * (sgn[:, None] if fl.ndim == 2 else sgn)
     mesh = AlgebraicMesh(nv=len(cell_pos), edges=edges)
     mesh.vertex_data["pos"] = np.asarray(cell_pos, float)
     mesh.vertex_data["vol"] = np.asarray(cell_vol, float)
@@ -67,9 +75,13 @@ def coarsen_cells(mesh: AlgebraicMesh, theta: float = 0.08):
     res = lattice_aggregate(mesh.vertex_data["pos"])
     if res is not None:
         return res
-    w = np.abs(mesh.edge_data["flow"])
+    w = _flow_mag(mesh.edge_data["flow"])
     S = mesh.edge_graph(weights=w)
     return spw_aggregate(S, rounds=2, theta=theta)
+
+
+def _flow_mag(flow: np.ndarray) -> np.ndarray:
+    return np.linalg.norm(flow, axis=1) if flow.ndim == 2 else np.abs(flow)
 
 
 def map_stokes_mesh(mesh, v2agg, n_agg, coarse_edges, e2ce):
@@ -82,8 +94,11 @@ def map_stokes_mesh(mesh, v2agg, n_agg, coarse_edges, e2ce):
     sign = np.where(
         v2agg[fi[:, 0]] == coarse_edges[ce, 0], 1.0, -1.0
     )
-    flow_c = np.zeros(len(coarse_edges))
-    np.add.at(flow_c, ce, sign * mesh.edge_data["flow"][m])
+    fl = mesh.edge_data["flow"]
+    flow_c = np.zeros((len(coarse_edges),) + fl.shape[1:])
+    np.add.at(
+        flow_c, ce, fl[m] * (sign[:, None] if fl.ndim == 2 else sign)
+    )
     cmesh.edge_data["flow"] = flow_c
     vol = np.zeros(n_agg)
     act = v2agg >= 0
@@ -204,7 +219,209 @@ def flow_prolongation(mesh, cmesh, v2agg, e2ce):
         shape=(ne_f, ne_c),
     ).tocsr()
     P.sum_duplicates()
-    return P
+    # flux -> velocity units: the construction above preserves INCIDENCE
+    # divergence (dof-value sums); the systems' divergence is FLOW-weighted
+    # (flux_e = flow_e * u_e), identical only for constant per-level flows
+    # (MAC lattices). Conjugating by the flows makes D_f P = Frac @ D_c
+    # hold exactly for ARBITRARY facet areas (simplicial meshes, coarse
+    # levels with summed flows): coarse DOFs are velocity-like, their flux
+    # is flow_c * U. Zero (cancelled) flows keep scale 1 so no coarse
+    # column goes identically zero.
+    gf = np.where(np.abs(flow) > 1e-300, 1.0 / np.where(flow == 0, 1.0, flow), 1.0)
+    cflow = cmesh.edge_data["flow"]
+    gc = np.where(np.abs(cflow) > 1e-300, cflow, 1.0)
+    return (sp.diags(gf) @ P @ sp.diags(gc)).tocsr()
+
+
+def flow_prolongation_vec(mesh, cmesh, v2agg, e2ce) -> sp.csr_matrix:
+    """Divergence-preserving VECTOR facet prolongation: (ne_f*d, ne_c*d).
+
+    The NC/CR case: each facet dof is a velocity VECTOR, flux_e =
+    flow_vec_e . u_e (the reference's NC Stokes prolongation,
+    stokes_factory.hpp:20-44 with vector flows). Construction:
+
+    * cross facets copy the coarse velocity vector — the oriented flow
+      vectors of a coarse facet SUM to its coarse flow, so total flux is
+      preserved identically, and constant fields prolongate exactly;
+    * interior facets start from the |flow|-weighted average of the
+      aggregate's incident coarse vectors (still exact on constants);
+    * each fine cell's flux imbalance against its volume share of the
+      coarse divergence is routed along a spanning forest with
+      NORMAL-direction corrections u_e += s * (excess/|flow_e|^2) flow_e —
+      divergence-free coarse fields prolongate divergence-free.
+    """
+    flow = mesh.edge_data["flow"]  # (ne_f, d) oriented i -> j
+    cflow = cmesh.edge_data["flow"]
+    dim = flow.shape[1]
+    ne_f, ne_c = mesh.ne, cmesh.ne
+    edges = mesh.edges
+    vol = mesh.vertex_data["vol"]
+    aggvol = cmesh.vertex_data["vol"]
+    k = np.arange(dim)
+
+    rows, cols, vals = [], [], []
+    cross = e2ce >= 0
+    fe = np.flatnonzero(cross)
+    ce = e2ce[fe]
+    rows.append((fe[:, None] * dim + k).ravel())
+    cols.append((ce[:, None] * dim + k).ravel())
+    vals.append(np.ones(len(fe) * dim))
+
+    # interior base: |cflow|-weighted average of incident coarse vectors
+    wE = np.linalg.norm(cflow, axis=1)
+    CI, CJ = cmesh.edges[:, 0], cmesh.edges[:, 1]
+    AggInc = sp.coo_matrix(
+        (
+            np.concatenate([wE, wE]),
+            (np.concatenate([CI, CJ]), np.concatenate([np.arange(ne_c)] * 2)),
+        ),
+        shape=(cmesh.nv, ne_c),
+    ).tocsr()
+    wsum = np.asarray(AggInc.sum(axis=1)).ravel()
+    Wavg = sp.diags(1.0 / np.maximum(wsum, 1e-300)) @ AggInc
+    interior_e = np.flatnonzero(~cross)
+    if len(interior_e):
+        Bco = Wavg[v2agg[edges[interior_e, 0]]].tocoo()
+        rows.append((interior_e[Bco.row][:, None] * dim + k).ravel())
+        cols.append((Bco.col[:, None] * dim + k).ravel())
+        vals.append(np.repeat(Bco.data, dim))
+
+    P0 = sp.coo_matrix(
+        (
+            np.concatenate(vals),
+            (np.concatenate(rows), np.concatenate(cols)),
+        ),
+        shape=(ne_f * dim, ne_c * dim),
+    ).tocsr()
+    P0.sum_duplicates()
+
+    # per-cell flux imbalance Excess(U) = Tgt - D_f P0, all linear in U
+    rD = np.concatenate(
+        [np.repeat(edges[:, 0], dim), np.repeat(edges[:, 1], dim)]
+    )
+    cD = np.concatenate([np.arange(ne_f * dim)] * 2)
+    vD = np.concatenate([flow.ravel(), -flow.ravel()])
+    Df = sp.coo_matrix((vD, (rD, cD)), shape=(mesh.nv, ne_f * dim)).tocsr()
+    rC = np.concatenate([np.repeat(CI, dim), np.repeat(CJ, dim)])
+    cC = np.concatenate([np.arange(ne_c * dim)] * 2)
+    vC = np.concatenate([cflow.ravel(), -cflow.ravel()])
+    Cout = sp.coo_matrix(
+        (vC, (rC, cC)), shape=(cmesh.nv, ne_c * dim)
+    ).tocsr()
+    frac = vol / np.maximum(aggvol[v2agg], 1e-300)
+    Excess = (sp.diags(frac) @ Cout[v2agg] - Df @ P0).tocsr()
+
+    # route excess along a spanning forest, corrections along the normal
+    rows2, cols2, vals2 = [], [], []
+    parent_edge, order = _spanning_forest(mesh, v2agg, interior_e)
+    pos_in_order = np.empty(mesh.nv, dtype=np.int64)
+    pos_in_order[np.asarray(order)] = np.arange(mesh.nv)
+    agg_cells: dict[int, list[int]] = {}
+    for c in range(mesh.nv):
+        a = v2agg[c]
+        if a >= 0:
+            agg_cells.setdefault(int(a), []).append(c)
+    f2 = (flow * flow).sum(axis=1)
+    for a, cells in agg_cells.items():
+        if len(cells) == 1:
+            continue
+        cells = sorted(cells, key=lambda c: pos_in_order[c])  # leaves first
+        sub = Excess[cells]
+        lcols = np.unique(sub.indices) if sub.nnz else None
+        if lcols is None or len(lcols) == 0:
+            continue
+        loc = np.asarray(sub[:, lcols].todense())
+        cpos = {c: t for t, c in enumerate(cells)}
+        for t, ci in enumerate(cells):
+            e = parent_edge[ci]
+            if e < 0:
+                continue
+            i, j = edges[e]
+            other = j if i == ci else i
+            s = 1.0 if i == ci else -1.0  # facet oriented i -> j
+            row = loc[t]
+            nz = np.flatnonzero(row)
+            if len(nz) and f2[e] > 1e-300:
+                coef = s / f2[e]
+                for kk in range(dim):
+                    rows2.append(np.full(len(nz), e * dim + kk))
+                    cols2.append(lcols[nz])
+                    vals2.append(coef * flow[e, kk] * row[nz])
+            loc[cpos[other]] += row
+            loc[t] = 0.0
+    if rows2:
+        dP = sp.coo_matrix(
+            (
+                np.concatenate(vals2),
+                (np.concatenate(rows2), np.concatenate(cols2)),
+            ),
+            shape=P0.shape,
+        ).tocsr()
+        P0 = (P0 + dP).tocsr()
+    return P0
+
+
+def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+    """ker(D)-spanning curl basis for VECTOR facet dofs.
+
+    flux_e = flow_vec_e . u_e, so ker(D) = {normal loop lifts} ⊕
+    {per-facet tangential fields}:
+
+    * each incidence cycle y lifts to u_e = y_e flow_e / |flow_e|^2
+      (flux exactly y_e along the cycle);
+    * every single-facet tangential field carries zero flux — and MUST be
+      in the potential space: its energy is pure grad-grad, which a range
+      smoother tuned to the alpha-scaled spectrum never damps (measured
+      324 -> ~30 iterations at alpha=1e3 with/without the tangential
+      columns).
+
+    Together the columns span ker(D) exactly.
+    """
+    C = _loops_incidence(mesh)
+    flow = mesh.edge_data["flow"]
+    ne, dim = flow.shape
+    f2 = (flow * flow).sum(axis=1)
+    nrm = np.sqrt(np.maximum(f2, 1e-300))
+    g = flow / np.maximum(f2, 1e-300)[:, None]
+    rows_l, cols_l, vals_l = [], [], []
+    nl = 0
+    if C is not None:
+        Cc = C.tocoo()
+        k = np.arange(dim)
+        rows_l.append((Cc.row[:, None] * dim + k).ravel())
+        cols_l.append(np.repeat(Cc.col, dim))
+        vals_l.append((Cc.data[:, None] * g[Cc.row]).ravel())
+        nl = C.shape[1]
+    # orthonormal tangent frame per facet (complement of the unit normal)
+    n_unit = flow / nrm[:, None]
+    if dim == 2:
+        tangents = [np.stack([-n_unit[:, 1], n_unit[:, 0]], axis=1)]
+    else:
+        # any vector not parallel to n, Gram-Schmidt twice
+        a = np.zeros_like(n_unit)
+        small = np.argmin(np.abs(n_unit), axis=1)
+        a[np.arange(ne), small] = 1.0
+        t1 = a - (a * n_unit).sum(axis=1)[:, None] * n_unit
+        t1 /= np.maximum(np.linalg.norm(t1, axis=1), 1e-300)[:, None]
+        t2 = np.cross(n_unit, t1)
+        tangents = [t1, t2]
+    k = np.arange(dim)
+    for t_vec in tangents:
+        rows_l.append(
+            (np.arange(ne)[:, None] * dim + k).ravel()
+        )
+        cols_l.append(np.repeat(nl + np.arange(ne), dim))
+        vals_l.append(t_vec.ravel())
+        nl += ne
+    if nl == 0:
+        return None
+    return sp.coo_matrix(
+        (
+            np.concatenate(vals_l),
+            (np.concatenate(rows_l), np.concatenate(cols_l)),
+        ),
+        shape=(ne * dim, nl),
+    ).tocsr()
 
 
 def _spanning_forest(mesh, v2agg, interior_edges):
@@ -241,7 +458,13 @@ def _spanning_forest(mesh, v2agg, interior_edges):
 
 
 def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
-    """Fundamental-cycle curl basis from a BFS spanning forest (any mesh).
+    """Flow-scaled fundamental-cycle curl basis (any mesh, scalar dofs)."""
+    C = _loops_incidence(mesh)
+    return None if C is None else _flow_scale(mesh) @ C
+
+
+def _loops_incidence(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+    """Fundamental-cycle basis of the dual graph's UNWEIGHTED incidence.
 
     The discrete divergence D is the signed cell-facet incidence operator
     of the dual graph, so ker(D) is EXACTLY the graph's cycle space; the
@@ -309,8 +532,7 @@ def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
         nl += 1
     if nl == 0:
         return None
-    C = sp.coo_matrix((vals, (rows, cols)), shape=(ne, nl)).tocsr()
-    return _flow_scale(mesh) @ C
+    return sp.coo_matrix((vals, (rows, cols)), shape=(ne, nl)).tocsr()
 
 
 def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:

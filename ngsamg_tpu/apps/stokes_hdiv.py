@@ -167,13 +167,22 @@ def preserved_prolongation(
     # deviate exactly when the preserved field violates the eliminated
     # boundary conditions — as in the reference, preserved vectors are
     # meant to be consistent with the (aux) space.
-    Vf_flux = V[f0]  # (ne_f, m) fine flux components
+    Vf_flux = V[f0]  # (ne_f, m) fine flux components (velocity units)
     cross_f = np.flatnonzero(e2ce >= 0)
     ce_of = e2ce[cross_f]
     sgn = np.where(
         v2agg[mesh_f.edges[cross_f, 0]] == mesh_c.edges[ce_of, 0], 1.0, -1.0
     )
-    np.add.at(Vc, c0[ce_of], sgn[:, None] * Vf_flux[cross_f])
+    # velocity-unit coarse dof: flow_c * U = total oriented fine flux
+    flow_f = mesh_f.edge_data["flow"]
+    cflow = mesh_c.edge_data["flow"]
+    np.add.at(
+        Vc,
+        c0[ce_of],
+        (sgn * flow_f[cross_f])[:, None] * Vf_flux[cross_f],
+    )
+    gc = np.where(np.abs(cflow) > 1e-300, cflow, 1.0)
+    Vc[c0] /= gc[:, None]
     for ce in range(ne_c):
         if c_hi_coords[ce] is None:
             continue
@@ -304,7 +313,6 @@ def _local_cycles(mesh_f: AlgebraicMesh, facs: list) -> np.ndarray | None:
     nontree = np.flatnonzero(~intree)
     if len(nontree) == 0:
         return None
-    loc = {int(e): t for t, e in enumerate(facs)}
     cols = []
     for t in nontree:
         e = facs[t]
@@ -324,4 +332,9 @@ def _local_cycles(mesh_f: AlgebraicMesh, facs: list) -> np.ndarray | None:
                 vec[td] -= 1.0 if i0 == v else -1.0
                 v = int(parent[v])
         cols.append(vec)
-    return np.stack(cols, axis=1)
+    C = np.stack(cols, axis=1)
+    # velocity-unit kernel: flux_e = flow_e * u_e, so incidence cycles
+    # scale by 1/flow (cf. apps/stokes._flow_scale)
+    fl = mesh_f.edge_data["flow"][facs]
+    gf = np.where(np.abs(fl) > 1e-300, 1.0 / np.where(fl == 0, 1.0, fl), 1.0)
+    return gf[:, None] * C

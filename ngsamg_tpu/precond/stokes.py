@@ -87,10 +87,17 @@ class StokesAMG:
         mesh, interior = st.build_dual_mesh(
             cell_pos, cell_vol, facet_cells, facet_flow
         )
-        if mesh.ne != self.n:
+        # scalar normal-flux dofs (MAC/RT0-like) vs VECTOR facet dofs
+        # (NC/CR: facet_flow is the (nf, dim) area-normal, facet_bs = dim)
+        self.facet_bs = (
+            mesh.edge_data["flow"].shape[1]
+            if mesh.edge_data["flow"].ndim == 2
+            else 1
+        )
+        if mesh.ne * self.facet_bs != self.n:
             raise ValueError(
                 f"matrix has {self.n} DOFs but the dual mesh has "
-                f"{mesh.ne} interior facets"
+                f"{mesh.ne} interior facets x {self.facet_bs} dofs"
             )
         self.mesh0 = mesh
         self.dtype = jnp.float32
@@ -100,16 +107,19 @@ class StokesAMG:
         t0 = time.perf_counter()
         opts = self.options
         lc = opts.levels
+        bs = self.facet_bs
         levels: list[st.StokesLevel] = []
         A, mesh = self.A_host, self.mesh0
         lvl = 0
         while True:
             cap = st.StokesLevel(A=A, mesh=mesh)
-            cap.C = st.build_loops(mesh)
+            cap.C = (
+                st.build_loops(mesh) if bs == 1 else st.build_loops_vec(mesh)
+            )
             levels.append(cap)
             if (
                 lvl + 1 >= lc.max_levels
-                or mesh.ne <= lc.max_coarse_size
+                or mesh.ne * bs <= lc.max_coarse_size
                 or mesh.nv <= 8
             ):
                 break
@@ -120,7 +130,11 @@ class StokesAMG:
 
             cedges, e2ce = map_edges(mesh, v2agg, n_agg)
             cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, cedges, e2ce)
-            P = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+            P = (
+                st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+                if bs == 1
+                else st.flow_prolongation_vec(mesh, cmesh, v2agg, e2ce)
+            )
             from ..config import ProlType
 
             if (

@@ -343,6 +343,107 @@ def stokes_tri(
     return prob, normal[fi]
 
 
+def stokes_cr(
+    n: int = 10,
+    dim: int = 2,
+    alpha: float = 10.0,
+    nu: float = 1.0,
+    seed: int = 0,
+):
+    """Crouzeix-Raviart (non-conforming P1) vector Stokes GG system.
+
+    The real NC discretization of the reference's `stokes_gg_*` exports
+    (/root/reference/src/stokes/ncfes/ with the `NoCoH1FESpace`): velocity
+    = vector-valued CR P1 on a perturbed-Delaunay simplicial mesh, one
+    dim-vector DOF per interior facet (midpoint value), no-slip boundary
+    facet DOFs eliminated. Bilinear form = broken grad-grad + grad-div
+    penalty:
+
+        a(u, v) = nu sum_T int_T grad u : grad v
+                  + alpha sum_T (1/vol_T) (int_T div u)(int_T div v)
+
+    CR identity: the element divergence integral is EXACTLY the facet-flux
+    form, int_T div u = sum_f |f| n_f^out . u_f, so the dual-mesh edge
+    carries the facet area-normal VECTOR as its flow (the reference's
+    facet flow vector, nc_stokes_mesh.hpp:19-39).
+
+    Returns (StokesProblem with facet_flow of shape (nf, dim), unit
+    normals (nf, dim)). DOF layout is facet-major: dof(f, k) = f*dim + k.
+    """
+    from .fem import _unstructured_mesh
+
+    verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell = _simplex_facets(
+        verts, elems
+    )
+    interior = fc_all[:, 1] >= 0
+    fi = np.flatnonzero(interior)
+    nf = len(fi)
+    fidx = np.full(len(fc_all), -1, dtype=np.int64)
+    fidx[fi] = np.arange(nf)
+    fc = fc_all[fi]
+    flow_vec = area[fi, None] * normal[fi]  # oriented cell0 -> cell1
+
+    # per-cell outward area-normals of the local facets
+    f_glob = inv.reshape(ncell, nl)
+    f_loc = fidx[f_glob]  # -1 = boundary facet (dof eliminated)
+    own0 = fc_all[f_glob, 0] == np.arange(ncell)[:, None]
+    sgn = np.where(own0, 1.0, -1.0)
+    aw = (
+        area[f_glob, None] * normal[f_glob] * sgn[:, :, None]
+    )  # (ncell, nl, dim) outward |f| n
+
+    # broken grad-grad: K_ab = nu (aw_a . aw_b) / vol * I_dim
+    li, lj, lv = [], [], []
+    for a in range(nl):
+        for b2 in range(nl):
+            ea, eb = f_loc[:, a], f_loc[:, b2]
+            keep = (ea >= 0) & (eb >= 0)
+            if not keep.any():
+                continue
+            w = nu * (aw[:, a, :] * aw[:, b2, :]).sum(axis=1) / vol
+            li.append(ea[keep])
+            lj.append(eb[keep])
+            lv.append(w[keep])
+    li = np.concatenate(li)
+    lj = np.concatenate(lj)
+    lv = np.concatenate(lv)
+    # expand scalar facet couplings to dim-blocks (w * I_dim)
+    k = np.arange(dim)
+    rows = (li[:, None] * dim + k).ravel()
+    cols = (lj[:, None] * dim + k).ravel()
+    vals = np.repeat(lv, dim)
+    GG = sp.coo_matrix(
+        (vals, (rows, cols)), shape=(nf * dim, nf * dim)
+    ).tocsr()
+
+    # exact divergence on the vector dofs: D[c, f*dim:k] = +-flow_vec
+    rD = np.concatenate([np.repeat(fc[:, 0], dim), np.repeat(fc[:, 1], dim)])
+    cD = np.concatenate([np.arange(nf * dim)] * 2)
+    vD = np.concatenate([flow_vec.ravel(), -flow_vec.ravel()])
+    D = sp.coo_matrix((vD, (rD, cD)), shape=(ncell, nf * dim)).tocsr()
+
+    W = sp.diags(1.0 / vol)
+    K = (GG + alpha * (D.T @ W @ D)).tocsr()
+    K = (K + K.T) * 0.5
+
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(nf * dim)
+    b -= b.mean()
+    prob = StokesProblem(
+        A=K.tocsr(),
+        b=b,
+        D=D,
+        cell_pos=cpos,
+        cell_vol=vol,
+        facet_cells=fc,
+        facet_flow=flow_vec,  # VECTOR flow (nf, dim)
+        facet_pos=fpos[fi],
+        alpha=alpha,
+    )
+    return prob, normal[fi]
+
+
 def stokes_tri_hdiv(
     n: int = 12, alpha: float = 10.0, nu: float = 1.0, seed: int = 0
 ):

@@ -48,6 +48,8 @@ def test_prolongation_preserves_divergence_free():
 
 
 def test_prolongation_preserves_flux():
+    """Total fine flux through every coarse facet equals its coarse flux
+    (velocity-unit dofs: flux_e = flow_e * u_e, coarse flux = flow_c * U)."""
     p, mesh, cmesh, v2agg, e2ce, P = _pipeline()
     rng = np.random.default_rng(1)
     U = rng.standard_normal(cmesh.ne)
@@ -59,8 +61,31 @@ def test_prolongation_preserves_flux():
     )
     tot = np.zeros(cmesh.ne)
     m = e2ce >= 0
-    np.add.at(tot, e2ce[m], (sgn * u)[m])
-    np.testing.assert_allclose(tot, U, atol=1e-12)
+    np.add.at(tot, e2ce[m], (sgn * mesh.edge_data["flow"] * u)[m])
+    np.testing.assert_allclose(
+        tot, cmesh.edge_data["flow"] * U, atol=1e-12
+    )
+
+
+def test_prolongation_div_exact_varying_flows():
+    """D_f P = Frac D_c holds EXACTLY on simplicial meshes (varying facet
+    areas) — the flux-coordinate conjugation of flow_prolongation; the
+    incidence-unit construction alone is exact only for constant flows."""
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri
+
+    p, _n = stokes_tri(10, dim=2)
+    mesh, _ = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    v2agg, n_agg = st.coarsen_cells(mesh)
+    ce, e2ce = map_edges(mesh, v2agg, n_agg)
+    cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, ce, e2ce)
+    P = st.flow_prolongation(mesh, cmesh, v2agg, e2ce)
+    Cc = st.build_loops(cmesh)
+    rng = np.random.default_rng(3)
+    U = Cc @ rng.standard_normal(Cc.shape[1])  # coarse div-free
+    div = p.D @ (P @ U)
+    assert np.abs(div).max() < 1e-10, np.abs(div).max()
 
 
 def test_stokes_solve():
@@ -241,6 +266,97 @@ def test_stokes_simplicial_3d():
     r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
     assert info.converged and r < 1e-7, (info.iterations, r)
     assert info.iterations < 60, info.iterations
+
+
+def test_cr_vector_stokes_invariants():
+    """Crouzeix-Raviart (NC P1) VECTOR facet dofs: the real NC
+    discretization of the reference's stokes_gg_* (src/stokes/ncfes/).
+    Invariants: vector loop basis spans ker(D) exactly; constant velocity
+    fields prolongate exactly away from the no-slip boundary; div-free
+    coarse fields prolongate div-free."""
+    from ngsamg_tpu.utils.stokes_fem import stokes_cr
+
+    dim = 2
+    p, normals = stokes_cr(10, dim=dim, alpha=10.0)
+    mesh, _ = st.build_dual_mesh(
+        p.cell_pos, p.cell_vol, p.facet_cells, p.facet_flow
+    )
+    C = st.build_loops_vec(mesh)
+    assert np.abs(p.D @ C).max() < 1e-12
+    v2agg, n_agg = st.coarsen_cells(mesh)
+    ce, e2ce = map_edges(mesh, v2agg, n_agg)
+    cmesh = st.map_stokes_mesh(mesh, v2agg, n_agg, ce, e2ce)
+    P = st.flow_prolongation_vec(mesh, cmesh, v2agg, e2ce)
+    # constants exact away from aggregates touching the no-slip boundary
+    # (there the constant violates the eliminated BC — unreachable for
+    # any div-preserving P)
+    ncell = len(p.cell_vol)
+    cnt = np.bincount(p.facet_cells.ravel(), minlength=ncell)
+    agg_bnd = np.zeros(n_agg, dtype=bool)
+    np.maximum.at(agg_bnd, v2agg, cnt < dim + 1)
+    fac_ok = ~(
+        agg_bnd[v2agg[mesh.edges[:, 0]]] | agg_bnd[v2agg[mesh.edges[:, 1]]]
+    )
+    sel = np.repeat(fac_ok, dim)
+    for k in range(dim):
+        U = np.zeros(cmesh.ne * dim)
+        U[k::dim] = 1.0
+        u = P @ U
+        err = np.abs((u - np.tile(np.eye(dim)[k], mesh.ne))[sel]).max()
+        assert err < 1e-10, err
+    Cc = st.build_loops_vec(cmesh)
+    rng = np.random.default_rng(0)
+    U = Cc @ rng.standard_normal(Cc.shape[1])
+    assert np.abs(p.D @ (P @ U)).max() < 1e-10
+
+
+def test_cr_vector_stokes_solve():
+    """CR vector Stokes AMG converges, alpha-robustly (the tangential
+    columns of the vector pot space: 324 -> ~60 iters at alpha=1e3)."""
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_cr
+
+    iters = {}
+    for alpha in (10.0, 1000.0):
+        p, _ = stokes_cr(16, dim=2, alpha=alpha)
+        opts = AMGOptions()
+        opts.levels.max_coarse_size = 150
+        pc = NgsAMG.stokes_gg_2d(
+            p.A,
+            cell_pos=p.cell_pos,
+            cell_vol=p.cell_vol,
+            facet_cells=p.facet_cells,
+            facet_flow=p.facet_flow,  # (nf, 2): vector dofs auto-detected
+            options=opts,
+        )
+        assert pc.GetNLevels() >= 3
+        x, info = pc.solve(p.b, tol=1e-8, maxiter=250)
+        r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+        assert info.converged and r < 1e-7, (alpha, info.iterations, r)
+        iters[alpha] = info.iterations
+    assert iters[10.0] < 40, iters
+    assert iters[1000.0] < 100, iters
+
+
+def test_cr_vector_stokes_3d():
+    from ngsamg_tpu.precond.stokes import StokesAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_cr
+
+    p, _ = stokes_cr(5, dim=3, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 300
+    opts.smoother.cheby_order = 8
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=300)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
 
 
 def test_hdiv_stokes_simplicial():
