@@ -225,6 +225,41 @@ class stokes_gg_3d(_StokesAMGClass):
     """3D grad-grad + div-penalty Stokes AMG (reference stokes_gg_3d)."""
 
 
+class stokes_hdg_gg_2d:
+    """2D statically-condensed HDG Stokes AMG through a facet embedding.
+
+    The reference's HDiv-HDG embedding pattern (hdiv_hdg_embedding.hpp +
+    the secondary low-order sequence): the assembled higher-order facet
+    system keeps a finest dyn-block smoother, the AMG hierarchy lives in
+    the facet-constant aux space reached through ``E``.
+    """
+
+    def __init__(self, A, E, *, cell_pos, cell_vol, facet_cells,
+                 facet_flow, options=None, **flags):
+        from .precond.stokes import StokesHDGEmbeddedAMG
+
+        if options is None:
+            options = options_from_flags(flags) if flags else AMGOptions()
+        self._pc = StokesHDGEmbeddedAMG(
+            A,
+            E,
+            cell_pos=cell_pos,
+            cell_vol=cell_vol,
+            facet_cells=facet_cells,
+            facet_flow=facet_flow,
+            options=options,
+        ).setup()
+
+    def GetNLevels(self, rank: int = 0):
+        return self._pc.num_levels
+
+    def GetAMGMatrix(self):
+        return self._pc.op
+
+    def solve(self, b, **kw):
+        return self._pc.solve(b, **kw)
+
+
 class _StokesHDivAMGClass:
     """HDiv-variant Stokes AMG (reference stokes_hdiv_gg_*): variable
     facet DOF counts + preserved vectors."""

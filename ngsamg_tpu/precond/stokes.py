@@ -293,6 +293,94 @@ class StokesAMG:
         return len(self.setup_levels_)
 
 
+class StokesHDGEmbeddedAMG:
+    """Embedded HDG Stokes AMG: higher-order facet FE system + aux sequence.
+
+    The reference's HDiv-HDG pattern (src/stokes/hdiv/
+    hdiv_hdg_embedding.hpp:20-70 `CreateDOFEmbedding` + the secondary
+    low-order sequence of stokes_factory.hpp:46-68): the assembled
+    higher-order facet system S keeps only a finest-level smoother; the
+    AMG hierarchy is built in the facet-constant AUX space reached through
+    the embedding E (aux operator = E^T S E, Galerkin), i.e. the vector NC
+    facet levels of :class:`StokesAMG`. The assembled cycle is the
+    reference's `EmbeddedAMGMatrix` shape (amg_matrix.hpp:90): E is the
+    level-0 transfer, with a dyn-block (per-facet) smoother on S.
+    """
+
+    def __init__(
+        self,
+        A: sp.spmatrix,
+        E: sp.spmatrix,
+        *,
+        cell_pos,
+        cell_vol,
+        facet_cells,
+        facet_flow,
+        options: AMGOptions | None = None,
+    ):
+        self.options = options or AMGOptions()
+        self.A_host = A.tocsr().astype(np.float64)
+        self.E = E.tocsr().astype(np.float64)
+        self.n = A.shape[0]
+        if self.E.shape[0] != self.n:
+            raise ValueError("embedding rows must match the system size")
+        A_aux = (self.E.T @ self.A_host @ self.E).tocsr()
+        A_aux = (A_aux + A_aux.T) * 0.5
+        self.aux = StokesAMG(
+            A_aux,
+            cell_pos=cell_pos,
+            cell_vol=cell_vol,
+            facet_cells=facet_cells,
+            facet_flow=facet_flow,
+            options=self.options,
+        )
+        self.dtype = jnp.float32
+        self._is_setup = False
+
+    def setup(self) -> "StokesHDGEmbeddedAMG":
+        t0 = time.perf_counter()
+        self.aux.setup()
+        A_ell = bell.from_scipy(
+            self.A_host, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
+            stage=True,
+        )
+        # dyn-block smoother over the per-facet dof blocks of S
+        from ..smoothers.block import build_block_gs
+
+        nfd = self.n // self.aux.mesh0.ne
+        blocks = [
+            np.arange(e * nfd, (e + 1) * nfd)
+            for e in range(self.aux.mesh0.ne)
+        ]
+        sm = build_block_gs(self.A_host, blocks, A_ell.nrows_pad, self.dtype)
+        P_ell = bell.from_scipy(
+            self.E, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN, stage=True
+        )
+        R_ell = bell.from_scipy(
+            self.E.T.tocsr(), 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
+            stage=True,
+        )
+        full = DeviceLevel(A=A_ell, smoother=sm, P=P_ell, R=R_ell)
+        op_host = AMGOperator(
+            levels=(full,) + tuple(self.aux.op.levels),
+            coarse_inv=self.aux.op.coarse_inv,
+            cycle=self.options.cycle.value,
+        )
+        self.op = jax.device_put(op_host)
+        self.A_dev = self.op.levels[0].A
+        self.setup_time = time.perf_counter() - t0
+        self._is_setup = True
+        return self
+
+    _to_dev = StokesAMG._to_dev
+    _from_dev = StokesAMG._from_dev
+    solve = StokesAMG.solve
+
+    @property
+    def num_levels(self):
+        return 1 + self.aux.num_levels
+
+
 class StokesHDivAMG:
     """HDiv-variant Stokes AMG: variable facet DOFs + preserved vectors.
 

@@ -519,6 +519,177 @@ def stokes_tri_hdiv(
     return prob, counts, V
 
 
+def stokes_hdg_p1(
+    n: int = 8, alpha: float = 10.0, nu: float = 1.0, seed: int = 0
+):
+    """Statically-condensed P1-HDG Stokes velocity system (2D) + embedding.
+
+    The REAL higher-order facet FE source for the HDiv-HDG embedding
+    machinery (reference src/stokes/hdiv/hdiv_hdg_embedding.hpp:20-70):
+    element space = P1(T)^2 (vector, 3 nodes), facet space = P1(F)^2
+    (vector traces, 2 nodes per facet), bilinear form
+
+        a(u, uh; v, vh) = nu sum_T int_T grad u : grad v
+            + sum_F (nu/|F|) int_F (u - uh).(v - vh)
+            + alpha sum_T (1/vol)(int_T div u)(int_T div v)
+
+    (interior-penalty coupling of element traces to the facet unknowns;
+    no-slip: boundary facet traces are zero). Element DOFs are eliminated
+    by per-element static condensation — the Schur complement S lives on
+    the facet-P1 unknowns, 4 DOFs per interior facet (2 nodes x 2 comps).
+
+    The AUX space is the per-facet constant (mean) velocity — dim DOFs per
+    facet, exactly the vector NC facet space the Stokes AMG coarsens. The
+    embedding E maps an aux vector to equal nodal trace values.
+
+    Returns (S (ndof x ndof) csr, b, E (ndof x nf*2) csr, aux geometry
+    dict(cell_pos, cell_vol, facet_cells, facet_flow)).
+    """
+    from .fem import _unstructured_mesh
+
+    dim = 2
+    verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell = _simplex_facets(
+        verts, elems
+    )
+    interior = fc_all[:, 1] >= 0
+    fi = np.flatnonzero(interior)
+    nf = len(fi)
+    fidx = np.full(len(fc_all), -1, dtype=np.int64)
+    fidx[fi] = np.arange(nf)
+    nfd = 4  # facet dofs: 2 nodes x 2 comps
+    ndof = nf * nfd
+
+    # P1 gradients per element: G (ncell, 3, 2)
+    X = verts[elems]
+    e1 = X[:, 1] - X[:, 0]
+    e2 = X[:, 2] - X[:, 0]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    # gradients of barycentric coords
+    G = np.zeros((ncell, 3, 2))
+    G[:, 1, 0] = e2[:, 1]
+    G[:, 1, 1] = -e2[:, 0]
+    G[:, 2, 0] = -e1[:, 1]
+    G[:, 2, 1] = e1[:, 0]
+    G /= det[:, None, None]
+    G[:, 0] = -G[:, 1] - G[:, 2]
+
+    # element block (6x6): grad-grad + div penalty + facet penalties
+    Kgg = nu * vol[:, None, None] * np.einsum("tik,tjk->tij", G, G)
+    Aee = np.einsum("tij,kl->tikjl", Kgg, np.eye(dim)).reshape(ncell, 6, 6)
+    dvec = vol[:, None, None] * G  # (ncell, 3, 2): d[(i,k)] = vol dphi_i/dx_k
+    dflat = dvec.reshape(ncell, 6)
+    Aee += alpha / vol[:, None, None] * np.einsum(
+        "ti,tj->tij", dflat, dflat
+    )
+
+    # facet penalty blocks: (nu/6) [[2,1],[1,2]] per component
+    Mf = (nu / 6.0) * np.array([[2.0, 1.0], [1.0, 2.0]])
+    # local facet k of element t: global facet inv[t*3+k], its vertices =
+    # elems[t] minus local node k (i.e. local trace nodes are the other two)
+    loc_nodes = [(1, 2), (0, 2), (0, 1)]  # _simplex_facets face k order
+    f_glob = inv.reshape(ncell, nl)
+
+    Bef = np.zeros((ncell, 6, 12))  # element x (3 facets x 4 dofs)
+    fcols = np.full((ncell, 3), -1, dtype=np.int64)
+    from ..utils import fem as _fem  # noqa: F401 (namespace consistency)
+
+    for k in range(3):
+        fg = f_glob[:, k]
+        fl = fidx[fg]  # -1 for boundary facets
+        fcols[:, k] = fl
+        la, lb = loc_nodes[k]
+        # facet node order: uniq rows are SORTED vertex pairs; element
+        # local pair (la, lb) gives global (elems[:,la], elems[:,lb]) —
+        # match to the sorted order
+        ga = elems[:, la]
+        gb = elems[:, lb]
+        swap = ga > gb  # sorted facet stores (min, max)
+        l0 = np.where(swap, lb, la)  # element-local node of facet node 0
+        l1 = np.where(swap, la, lb)
+        for fa, ea in ((0, l0), (1, l1)):
+            for fb, eb in ((0, l0), (1, l1)):
+                m = Mf[fa, fb]
+                for c in range(dim):
+                    # element-element trace coupling (all facets)
+                    Aee[np.arange(ncell), ea * dim + c, eb * dim + c] += m
+        has = fl >= 0
+        for fa, ea in ((0, l0), (1, l1)):
+            for fb in (0, 1):
+                eb = l0 if fb == 0 else l1
+                m = Mf[fa, fb]
+                for c in range(dim):
+                    # element-facet coupling (interior facets only)
+                    Bef[has, ea[has] * dim + c, k * 4 + fb * dim + c] -= m
+
+    # facet-facet penalty: per adjacent element, +Mf per component
+    n_adj = (fc_all[fi] >= 0).sum(axis=1)  # == 2 for interior facets
+    Aff_blk = np.zeros((nf, 4, 4))
+    for fa in range(2):
+        for fb in range(2):
+            for c in range(dim):
+                Aff_blk[:, fa * dim + c, fb * dim + c] = (
+                    n_adj * Mf[fa, fb]
+                )
+
+    # static condensation: S = A_ff - sum_T B^T Aee^-1 B
+    Xs = np.linalg.solve(Aee, Bef)  # (ncell, 6, 12)
+    Sc = -np.einsum("tiu,tiv->tuv", Bef, Xs)  # (ncell, 12, 12)
+    # scatter: element t couples its interior facets' dof blocks
+    cols12 = (
+        fcols[:, :, None] * 4 + np.arange(4)[None, None, :]
+    ).reshape(ncell, 12)
+    valid = (fcols[:, :, None] >= 0).repeat(4, axis=2).reshape(ncell, 12)
+    rows_l, cols_l, vals_l = [], [], []
+    for u in range(12):
+        for v in range(12):
+            m = valid[:, u] & valid[:, v]
+            if not m.any():
+                continue
+            rows_l.append(cols12[m, u])
+            cols_l.append(cols12[m, v])
+            vals_l.append(Sc[m, u, v])
+    # block-diagonal A_ff part
+    bi = (np.arange(nf)[:, None, None] * 4 + np.arange(4)[None, :, None])
+    bj = (np.arange(nf)[:, None, None] * 4 + np.arange(4)[None, None, :])
+    rows_l.append(np.broadcast_to(bi, (nf, 4, 4)).ravel())
+    cols_l.append(np.broadcast_to(bj, (nf, 4, 4)).ravel())
+    vals_l.append(Aff_blk.ravel())
+    S = sp.coo_matrix(
+        (
+            np.concatenate(vals_l),
+            (np.concatenate(rows_l), np.concatenate(cols_l)),
+        ),
+        shape=(ndof, ndof),
+    ).tocsr()
+    S.sum_duplicates()
+    S = (S + S.T) * 0.5
+
+    # embedding: aux (facet-constant vector) -> equal nodal traces
+    rE = np.concatenate(
+        [
+            np.arange(nf) * 4 + 0 * dim + k_
+            for k_ in range(dim)
+        ]
+        + [np.arange(nf) * 4 + 1 * dim + k_ for k_ in range(dim)]
+    )
+    cE = np.concatenate([np.arange(nf) * dim + k_ for k_ in range(dim)] * 2)
+    E = sp.coo_matrix(
+        (np.ones(len(rE)), (rE, cE)), shape=(ndof, nf * dim)
+    ).tocsr()
+
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(ndof)
+    b -= b.mean()
+    geo = dict(
+        cell_pos=cpos,
+        cell_vol=vol,
+        facet_cells=fc_all[fi],
+        facet_flow=area[fi, None] * normal[fi],
+    )
+    return S, b, E, geo
+
+
 def stokes_mac_3d(n: int = 8, alpha: float = 10.0, nu: float = 1.0):
     """3D MAC Stokes velocity block on an n^3 unit-cube grid."""
     h = 1.0 / n

@@ -385,6 +385,30 @@ def test_hdiv_stokes_simplicial():
     assert info.converged and r < 1e-7, (info.iterations, r)
 
 
+def test_hdg_embedded_stokes():
+    """Static-condensed P1-HDG facet system through the aux embedding:
+    the reference's HDiv-HDG + secondary-sequence pattern
+    (hdiv_hdg_embedding.hpp) with a REAL higher-order facet FE source."""
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_hdg_p1
+
+    S, b, E, geo = stokes_hdg_p1(12, alpha=10.0)
+    # E: constant aux vector -> equal nodal traces
+    nf = E.shape[1] // 2
+    U = np.zeros(nf * 2)
+    U[0::2] = 3.0
+    U[1::2] = -2.0
+    assert np.allclose((E @ U).reshape(nf, 2, 2), np.array([3.0, -2.0]))
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 150
+    pc = NgsAMG.stokes_hdg_gg_2d(S, E, **geo, options=opts)
+    assert pc.GetNLevels() >= 3
+    x, info = pc.solve(b, tol=1e-8, maxiter=200)
+    r = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+    assert info.iterations < 40, info.iterations
+
+
 def test_hdiv_preserved_vectors_exact():
     """Preserved vectors stay exactly representable: P @ V_c == V_f
     (preserved_vectors.hpp computeCoarseBasis semantics)."""
