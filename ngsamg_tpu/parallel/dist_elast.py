@@ -580,7 +580,6 @@ def _dist_prol_elast(
     scal_starts = vst * dpv
     Ppw_scal = [P.tocsr() for P in Ppw_parts]
     P_parts = []
-    classic_sel = [None] * n_shards
     for s in range(n_shards):
         # halo piecewise rows referenced by this shard's aux rows
         need_v = np.unique(Ahat_parts[s].indices // dpv).astype(np.int64)
@@ -624,7 +623,6 @@ def _dist_prol_elast(
                 (uniqk // nc).astype(np.int64), minlength=nloc
             )
             classic = (counts <= max_classic) & (own_agg >= 0)
-            classic_sel[s] = classic
             if not classic.any():
                 continue
             if scale_r is None:

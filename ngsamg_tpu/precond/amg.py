@@ -676,11 +676,18 @@ class AMGPreconditioner:
         tol: float = 1e-8,
         maxiter: int = 300,
         use_refinement: bool | None = None,
+        return_device: bool = False,
     ) -> tuple[np.ndarray, SolveInfo]:
         """AMG-PCG solve to relative residual ``tol``.
 
         With an f32 device dtype and a tight tolerance, runs float64 defect
         correction around the device PCG (inner tol bounded by f32 accuracy).
+
+        ``return_device=True`` returns the solution as a DEVICE array (f64,
+        length n) instead of copying it to the host — the production-serving
+        mode; the reported relres is the device-computed TRUE residual.
+        Only supported on the device-refined path (plain external dof
+        layout); otherwise a host array is returned as usual.
         """
         self._require_setup()
         b = self._expand_ext(np.asarray(b, dtype=np.float64))
@@ -705,8 +712,11 @@ class AMGPreconditioner:
 
         if self._A64_dev is not None and use_refinement:
             x, info = self._solve_device_refined(
-                b, bnorm, tol, inner_tol, max_outer, maxiter
+                b, bnorm, tol, inner_tol, max_outer, maxiter,
+                return_device=return_device and self._ext_free is None,
             )
+            if return_device and self._ext_free is None:
+                return x, info
             return self._contract_ext(x), info
         x = np.zeros(self.n)
         total_it = 0
@@ -747,7 +757,8 @@ class AMGPreconditioner:
         return self._contract_ext(x), info
 
     def _solve_device_refined(
-        self, b, bnorm, tol, inner_tol, max_outer, maxiter
+        self, b, bnorm, tol, inner_tol, max_outer, maxiter,
+        return_device: bool = False,
     ) -> tuple[np.ndarray, SolveInfo]:
         """f64 defect correction with the residual computed ON DEVICE.
 
@@ -803,7 +814,11 @@ class AMGPreconditioner:
             _r64, rn2 = _refine_residual(A64, b64, x64)
             relres = float(jnp.sqrt(rn2)) / bnorm
         history.append(relres)
-        x = jax.device_get(x64[:n, 0])
+        if return_device:
+            x = x64[:n, 0]  # device f64 (the final readback is the
+            # caller's choice — serving keeps solutions on device)
+        else:
+            x = jax.device_get(x64[:n, 0])
         info = SolveInfo(
             iterations=total_it,
             relres=relres,

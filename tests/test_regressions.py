@@ -13,6 +13,24 @@ from ngsamg_tpu import AMGOptions, AMGPreconditioner
 from ngsamg_tpu.utils import fem
 
 
+def test_solve_return_device_matches_host():
+    """return_device=True: the device f64 solution equals the host-return
+    path bitwise and its device-computed relres is the true residual."""
+    import jax
+
+    p = fem.poisson_3d(12)
+    pc = AMGPreconditioner(
+        p.A, coords=p.coords, options=AMGOptions()
+    ).setup()
+    xd, info = pc.solve(p.b, tol=1e-8, return_device=True)
+    x = np.asarray(jax.device_get(xd))
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert r < 1e-7
+    assert abs(info.relres - r) <= 0.5 * r  # device relres is the true one
+    xh, _ = pc.solve(p.b, tol=1e-8)
+    np.testing.assert_array_equal(x, xh)
+
+
 def test_coarsest_perm_inverse():
     """ADVICE high: single-level INV solve on an unstructured (RCM-permuted)
     coarsest level must invert the matrix in the device row order."""
