@@ -107,6 +107,58 @@ def main():
             "operator_complexity": round(upc.operator_complexity, 3),
         }
 
+    # elasticity leg (robust EVP matching, rigid transports, BSR formats)
+    elasticity = None
+    if os.environ.get("NGSAMG_BENCH_ELAST", "1") != "0":
+        ep = fem.unstructured_elasticity(
+            int(os.environ.get("NGSAMG_BENCH_ELAST_N", "28")), dim=2
+        )
+        t0 = time.perf_counter()
+        epc = AMGPreconditioner(
+            ep.A, energy="elasticity", block_size=2, coords=ep.coords
+        ).setup()
+        te_setup = time.perf_counter() - t0
+        epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
+        t0 = time.perf_counter()
+        ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120)
+        te_solve = time.perf_counter() - t0
+        er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
+        elasticity = {
+            "n_dof": ep.n,
+            "iterations": int(einfo.iterations),
+            "relres": float(er),
+            "converged": bool(einfo.converged and er < 10 * tol),
+            "setup_s": round(te_setup, 3),
+            "solve_s": round(te_solve, 3),
+            "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
+        }
+
+    # GS leg (the parity-default smoother: color-sorted sweeps)
+    gs = None
+    if os.environ.get("NGSAMG_BENCH_GS", "1") != "0":
+        gp = fem.poisson_3d(int(os.environ.get("NGSAMG_BENCH_GS_N", "48")))
+        gopts = AMGOptions()
+        gopts.smoother = SmootherOptions(type=SmootherType.GS)
+        t0 = time.perf_counter()
+        gpc = AMGPreconditioner(
+            gp.A, coords=gp.coords, options=gopts
+        ).setup()
+        tg_setup = time.perf_counter() - t0
+        gpc.solve(gp.b, tol=tol, maxiter=8)
+        t0 = time.perf_counter()
+        gx, ginfo = gpc.solve(gp.b, tol=tol)
+        tg_solve = time.perf_counter() - t0
+        gr = np.linalg.norm(gp.A @ gx - gp.b) / np.linalg.norm(gp.b)
+        gs = {
+            "n_dof": gp.n,
+            "iterations": int(ginfo.iterations),
+            "relres": float(gr),
+            "converged": bool(ginfo.converged and gr < 10 * tol),
+            "setup_s": round(tg_setup, 3),
+            "solve_s": round(tg_solve, 3),
+            "dofs_per_s": round(gp.n / (tg_setup + tg_solve), 1),
+        }
+
     result = {
         "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",
         "value": round(dofs_per_s, 1),
@@ -131,12 +183,14 @@ def main():
             "assembly_s": round(t_asm, 3),
             "tol": tol,
             "unstructured": unstructured,
+            "elasticity": elasticity,
+            "gs": gs,
         },
     }
     print(json.dumps(result))
-    ok = result["extra"]["converged"] and (
-        unstructured is None or unstructured["converged"]
-    )
+    ok = result["extra"]["converged"]
+    for leg in (unstructured, elasticity, gs):
+        ok = ok and (leg is None or leg["converged"])
     return 0 if ok else 1
 
 
