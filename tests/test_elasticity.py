@@ -148,6 +148,12 @@ def test_elast_3d_jump():
     solve_and_check(p, ms=60, tol=1e-8, options=_opts(), energy="elasticity")
 
 
+def test_elast_3d_unstructured():
+    """Tet-mesh elasticity (6x6 blocks, robust matching off-lattice)."""
+    p = fem.unstructured_elasticity(6, dim=3)
+    solve_and_check(p, ms=60, options=_opts(), energy="elasticity")
+
+
 def test_robust_matching_default_and_device_wiring():
     """Elasticity coarsening defaults to robust (EVP) matching, and large
     batches route through the device pencil solver (ops/batched_la)."""
