@@ -260,6 +260,10 @@ class stokes_hdg_gg_2d:
         return self._pc.solve(b, **kw)
 
 
+class stokes_hdg_gg_3d(stokes_hdg_gg_2d):
+    """3D statically-condensed HDG Stokes AMG through a facet embedding."""
+
+
 class _StokesHDivAMGClass:
     """HDiv-variant Stokes AMG (reference stokes_hdiv_gg_*): variable
     facet DOF counts + preserved vectors."""

@@ -520,34 +520,35 @@ def stokes_tri_hdiv(
 
 
 def stokes_hdg_p1(
-    n: int = 8, alpha: float = 10.0, nu: float = 1.0, seed: int = 0
+    n: int = 8, alpha: float = 10.0, nu: float = 1.0, seed: int = 0,
+    dim: int = 2,
 ):
-    """Statically-condensed P1-HDG Stokes velocity system (2D) + embedding.
+    """Statically-condensed P1-HDG Stokes velocity system + embedding.
 
     The REAL higher-order facet FE source for the HDiv-HDG embedding
     machinery (reference src/stokes/hdiv/hdiv_hdg_embedding.hpp:20-70):
-    element space = P1(T)^2 (vector, 3 nodes), facet space = P1(F)^2
-    (vector traces, 2 nodes per facet), bilinear form
+    element space = P1(T)^dim (vector, dim+1 nodes), facet space =
+    P1(F)^dim (vector traces, dim nodes per facet), bilinear form
 
         a(u, uh; v, vh) = nu sum_T int_T grad u : grad v
-            + sum_F (nu/|F|) int_F (u - uh).(v - vh)
+            + sum_F (nu/h_F) int_F (u - uh).(v - vh)
             + alpha sum_T (1/vol)(int_T div u)(int_T div v)
 
-    (interior-penalty coupling of element traces to the facet unknowns;
-    no-slip: boundary facet traces are zero). Element DOFs are eliminated
-    by per-element static condensation — the Schur complement S lives on
-    the facet-P1 unknowns, 4 DOFs per interior facet (2 nodes x 2 comps).
+    with h_F = |F|^(1/(dim-1)) (interior-penalty coupling of element
+    traces to the facet unknowns; no-slip: boundary facet traces are
+    zero). Element DOFs are eliminated per element by static condensation
+    — the Schur complement S lives on the facet-P1 unknowns, dim^2 DOFs
+    per interior facet (dim nodes x dim comps).
 
     The AUX space is the per-facet constant (mean) velocity — dim DOFs per
     facet, exactly the vector NC facet space the Stokes AMG coarsens. The
     embedding E maps an aux vector to equal nodal trace values.
 
-    Returns (S (ndof x ndof) csr, b, E (ndof x nf*2) csr, aux geometry
+    Returns (S (ndof x ndof) csr, b, E (ndof x nf*dim) csr, aux geometry
     dict(cell_pos, cell_vol, facet_cells, facet_flow)).
     """
     from .fem import _unstructured_mesh
 
-    dim = 2
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
     fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell = _simplex_facets(
         verts, elems
@@ -557,103 +558,95 @@ def stokes_hdg_p1(
     nf = len(fi)
     fidx = np.full(len(fc_all), -1, dtype=np.int64)
     fidx[fi] = np.arange(nf)
-    nfd = 4  # facet dofs: 2 nodes x 2 comps
+    nfd = dim * dim  # facet dofs: dim nodes x dim comps
     ndof = nf * nfd
+    ned = nl * dim  # element dofs
 
-    # P1 gradients per element: G (ncell, 3, 2)
+    # P1 nodal gradients per element: G (ncell, nl, dim)
     X = verts[elems]
-    e1 = X[:, 1] - X[:, 0]
-    e2 = X[:, 2] - X[:, 0]
-    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    # gradients of barycentric coords
-    G = np.zeros((ncell, 3, 2))
-    G[:, 1, 0] = e2[:, 1]
-    G[:, 1, 1] = -e2[:, 0]
-    G[:, 2, 0] = -e1[:, 1]
-    G[:, 2, 1] = e1[:, 0]
-    G /= det[:, None, None]
-    G[:, 0] = -G[:, 1] - G[:, 2]
+    Dm = X[:, 1:, :] - X[:, :1, :]  # (ncell, dim, dim) edge matrix rows
+    Ginner = np.linalg.inv(Dm)  # columns = gradients of lambda_1..lambda_d
+    G = np.zeros((ncell, nl, dim))
+    G[:, 1:, :] = np.transpose(Ginner, (0, 2, 1))
+    G[:, 0] = -G[:, 1:].sum(axis=1)
 
-    # element block (6x6): grad-grad + div penalty + facet penalties
+    # element block: grad-grad + div penalty
     Kgg = nu * vol[:, None, None] * np.einsum("tik,tjk->tij", G, G)
-    Aee = np.einsum("tij,kl->tikjl", Kgg, np.eye(dim)).reshape(ncell, 6, 6)
-    dvec = vol[:, None, None] * G  # (ncell, 3, 2): d[(i,k)] = vol dphi_i/dx_k
-    dflat = dvec.reshape(ncell, 6)
+    Aee = np.einsum("tij,kl->tikjl", Kgg, np.eye(dim)).reshape(
+        ncell, ned, ned
+    )
+    dflat = (vol[:, None, None] * G).reshape(ncell, ned)
     Aee += alpha / vol[:, None, None] * np.einsum(
         "ti,tj->tij", dflat, dflat
     )
 
-    # facet penalty blocks: (nu/6) [[2,1],[1,2]] per component
-    Mf = (nu / 6.0) * np.array([[2.0, 1.0], [1.0, 2.0]])
-    # local facet k of element t: global facet inv[t*3+k], its vertices =
-    # elems[t] minus local node k (i.e. local trace nodes are the other two)
-    loc_nodes = [(1, 2), (0, 2), (0, 1)]  # _simplex_facets face k order
+    # facet-penalty P1 mass: int_F phi_a phi_b = |F| (1+d_ab)/(dim(dim+1))
+    # scaled by tau = nu / h_F, h_F = |F|^(1/(dim-1))
+    pen = nu * area ** (1.0 - 1.0 / (dim - 1) if dim > 2 else 0.0)
+    pen = pen / (dim * (dim + 1))
+    Mfac = 1.0 + np.eye(dim)  # (facet-node a, facet-node b) factor
+
     f_glob = inv.reshape(ncell, nl)
-
-    Bef = np.zeros((ncell, 6, 12))  # element x (3 facets x 4 dofs)
-    fcols = np.full((ncell, 3), -1, dtype=np.int64)
-    from ..utils import fem as _fem  # noqa: F401 (namespace consistency)
-
-    for k in range(3):
+    Bef = np.zeros((ncell, ned, nl * nfd))
+    fcols = np.full((ncell, nl), -1, dtype=np.int64)
+    cell_ids = np.arange(ncell)
+    for k in range(nl):
         fg = f_glob[:, k]
-        fl = fidx[fg]  # -1 for boundary facets
+        fl = fidx[fg]
         fcols[:, k] = fl
-        la, lb = loc_nodes[k]
-        # facet node order: uniq rows are SORTED vertex pairs; element
-        # local pair (la, lb) gives global (elems[:,la], elems[:,lb]) —
-        # match to the sorted order
-        ga = elems[:, la]
-        gb = elems[:, lb]
-        swap = ga > gb  # sorted facet stores (min, max)
-        l0 = np.where(swap, lb, la)  # element-local node of facet node 0
-        l1 = np.where(swap, la, lb)
-        for fa, ea in ((0, l0), (1, l1)):
-            for fb, eb in ((0, l0), (1, l1)):
-                m = Mf[fa, fb]
+        w = pen[fg]  # (ncell,) per-facet penalty coefficient
+        loc = np.delete(np.arange(nl), k)  # local nodes of face k
+        gl = elems[:, loc]  # (ncell, dim) their global ids
+        # facet node p (sorted global order) -> element-local node
+        order = np.argsort(gl, axis=1)
+        eloc = loc[order]  # (ncell, dim)
+        has = fl >= 0
+        for fa in range(dim):
+            ea = eloc[:, fa]
+            for fb in range(dim):
+                eb = eloc[:, fb]
+                m = w * Mfac[fa, fb]
                 for c in range(dim):
                     # element-element trace coupling (all facets)
-                    Aee[np.arange(ncell), ea * dim + c, eb * dim + c] += m
-        has = fl >= 0
-        for fa, ea in ((0, l0), (1, l1)):
-            for fb in (0, 1):
-                eb = l0 if fb == 0 else l1
-                m = Mf[fa, fb]
-                for c in range(dim):
+                    Aee[cell_ids, ea * dim + c, eb * dim + c] += m
                     # element-facet coupling (interior facets only)
-                    Bef[has, ea[has] * dim + c, k * 4 + fb * dim + c] -= m
+                    Bef[
+                        has,
+                        ea[has] * dim + c,
+                        k * nfd + fb * dim + c,
+                    ] -= m[has]
 
-    # facet-facet penalty: per adjacent element, +Mf per component
-    n_adj = (fc_all[fi] >= 0).sum(axis=1)  # == 2 for interior facets
-    Aff_blk = np.zeros((nf, 4, 4))
-    for fa in range(2):
-        for fb in range(2):
+    # facet-facet penalty: sum over adjacent elements of the facet mass
+    n_adj = (fc_all[fi] >= 0).sum(axis=1)
+    Aff_blk = np.zeros((nf, nfd, nfd))
+    for fa in range(dim):
+        for fb in range(dim):
             for c in range(dim):
                 Aff_blk[:, fa * dim + c, fb * dim + c] = (
-                    n_adj * Mf[fa, fb]
+                    n_adj * pen[fi] * Mfac[fa, fb]
                 )
 
     # static condensation: S = A_ff - sum_T B^T Aee^-1 B
-    Xs = np.linalg.solve(Aee, Bef)  # (ncell, 6, 12)
-    Sc = -np.einsum("tiu,tiv->tuv", Bef, Xs)  # (ncell, 12, 12)
-    # scatter: element t couples its interior facets' dof blocks
-    cols12 = (
-        fcols[:, :, None] * 4 + np.arange(4)[None, None, :]
-    ).reshape(ncell, 12)
-    valid = (fcols[:, :, None] >= 0).repeat(4, axis=2).reshape(ncell, 12)
+    Xs = np.linalg.solve(Aee, Bef)
+    Sc = -np.einsum("tiu,tiv->tuv", Bef, Xs)
+    nw = nl * nfd
+    cols_w = (
+        fcols[:, :, None] * nfd + np.arange(nfd)[None, None, :]
+    ).reshape(ncell, nw)
+    valid = (fcols[:, :, None] >= 0).repeat(nfd, axis=2).reshape(ncell, nw)
     rows_l, cols_l, vals_l = [], [], []
-    for u in range(12):
-        for v in range(12):
+    for u in range(nw):
+        for v in range(nw):
             m = valid[:, u] & valid[:, v]
             if not m.any():
                 continue
-            rows_l.append(cols12[m, u])
-            cols_l.append(cols12[m, v])
+            rows_l.append(cols_w[m, u])
+            cols_l.append(cols_w[m, v])
             vals_l.append(Sc[m, u, v])
-    # block-diagonal A_ff part
-    bi = (np.arange(nf)[:, None, None] * 4 + np.arange(4)[None, :, None])
-    bj = (np.arange(nf)[:, None, None] * 4 + np.arange(4)[None, None, :])
-    rows_l.append(np.broadcast_to(bi, (nf, 4, 4)).ravel())
-    cols_l.append(np.broadcast_to(bj, (nf, 4, 4)).ravel())
+    bi = np.arange(nf)[:, None, None] * nfd + np.arange(nfd)[None, :, None]
+    bj = np.arange(nf)[:, None, None] * nfd + np.arange(nfd)[None, None, :]
+    rows_l.append(np.broadcast_to(bi, (nf, nfd, nfd)).ravel())
+    cols_l.append(np.broadcast_to(bj, (nf, nfd, nfd)).ravel())
     vals_l.append(Aff_blk.ravel())
     S = sp.coo_matrix(
         (
@@ -668,12 +661,14 @@ def stokes_hdg_p1(
     # embedding: aux (facet-constant vector) -> equal nodal traces
     rE = np.concatenate(
         [
-            np.arange(nf) * 4 + 0 * dim + k_
-            for k_ in range(dim)
+            np.arange(nf) * nfd + p * dim + c
+            for p in range(dim)
+            for c in range(dim)
         ]
-        + [np.arange(nf) * 4 + 1 * dim + k_ for k_ in range(dim)]
     )
-    cE = np.concatenate([np.arange(nf) * dim + k_ for k_ in range(dim)] * 2)
+    cE = np.concatenate(
+        [np.arange(nf) * dim + c for _p in range(dim) for c in range(dim)]
+    )
     E = sp.coo_matrix(
         (np.ones(len(rE)), (rE, cE)), shape=(ndof, nf * dim)
     ).tocsr()

@@ -409,6 +409,21 @@ def test_hdg_embedded_stokes():
     assert info.iterations < 40, info.iterations
 
 
+def test_hdg_embedded_stokes_3d():
+    """Tet-mesh condensed P1-HDG (9 dofs/facet) through the embedding."""
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_hdg_p1
+
+    S, b, E, geo = stokes_hdg_p1(5, alpha=10.0, dim=3)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 300
+    pc = NgsAMG.stokes_hdg_gg_3d(S, E, **geo, options=opts)
+    x, info = pc.solve(b, tol=1e-8, maxiter=300)
+    r = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+    assert info.iterations < 40, info.iterations
+
+
 def test_hdiv_preserved_vectors_exact():
     """Preserved vectors stay exactly representable: P @ V_c == V_f
     (preserved_vectors.hpp computeCoarseBasis semantics)."""
