@@ -445,40 +445,37 @@ def stokes_cr(
 
 
 def stokes_tri_hdiv(
-    n: int = 12, alpha: float = 10.0, nu: float = 1.0, seed: int = 0
+    n: int = 12, alpha: float = 10.0, nu: float = 1.0, seed: int = 0,
+    dim: int = 2,
 ):
-    """HDG-flavored facet space on an unstructured TRIANGLE mesh.
+    """HDG-flavored facet space on an unstructured SIMPLICIAL mesh.
 
     The simplicial counterpart of :func:`stokes_mac_2d_hdiv` (the test
     vehicle for the HDiv-variant AMG, reference src/stokes/hdiv): every
     interior facet carries its normal-flux dof; facets whose both cells
-    are interior (no boundary facet) additionally carry a tangential-trace
-    dof, so per-facet DOF counts are VARIABLE. Preserved vectors are the
-    constant velocity fields e_x, e_y expressed in the facet frames
-    (normal velocity n.e_k on flux dofs, tangential t.e_k on trace dofs).
+    are interior additionally carry dim-1 tangential-trace dofs, so
+    per-facet DOF counts are VARIABLE (1 or dim). Preserved vectors are
+    the constant velocity fields e_k expressed in the facet frames
+    (normal velocity n.e_k on flux dofs, tangential t_j.e_k on traces).
 
     Returns (StokesProblem over the joint space, dof counts (nf,),
-    preserved (ndof, 2)).
+    preserved (ndof, dim)).
     """
-    base, normal = stokes_tri(n, dim=2, alpha=alpha, nu=nu, seed=seed)
+    base, normal = stokes_tri(n, dim=dim, alpha=alpha, nu=nu, seed=seed)
     nf = base.n
-    # a cell is boundary-adjacent iff it has fewer than 3 interior facets
     ncell = len(base.cell_vol)
+    # a cell is interior iff all its facets are interior (dim+1 of them)
     cnt = np.bincount(base.facet_cells.ravel(), minlength=ncell)
-    cell_interior = cnt == 3
+    cell_interior = cnt == dim + 1
     has_t = cell_interior[base.facet_cells].all(axis=1)
-    counts = 1 + has_t.astype(np.int64)
+    nt_per = dim - 1
+    counts = 1 + nt_per * has_t.astype(np.int64)
     off = np.zeros(nf + 1, dtype=np.int64)
     off[1:] = np.cumsum(counts)
     ndof = int(off[-1])
     flux_dofs = off[:-1]
-    tang_dofs = off[:-1][has_t] + 1
     Sf = sp.coo_matrix(
         (np.ones(nf), (flux_dofs, np.arange(nf))), shape=(ndof, nf)
-    ).tocsr()
-    nt = int(has_t.sum())
-    St = sp.coo_matrix(
-        (np.ones(nt), (tang_dofs, np.arange(nt))), shape=(ndof, nt)
     ).tocsr()
     # tangential operator: cell-shared facet adjacency graph Laplacian
     i, j = base.facet_cells[:, 0], base.facet_cells[:, 1]
@@ -495,13 +492,30 @@ def stokes_tri_hdiv(
     Adj.eliminate_zeros()
     Adj = Adj[has_t][:, has_t]
     deg = np.asarray(Adj.sum(axis=1)).ravel()
-    Lt = (sp.diags(deg + 1.0) - Adj) * nu
-    A = (Sf @ base.A @ Sf.T + St @ Lt @ St.T).tocsr()
+    Lt = (sp.diags(deg + 1.0) - Adj) * nu  # +1: no-slip boundary weight
+    A = (Sf @ base.A @ Sf.T).tocsr()
+    # orthonormal tangent frame per facet
+    if dim == 2:
+        tangents = [np.stack([-normal[:, 1], normal[:, 0]], axis=1)]
+    else:
+        a = np.zeros_like(normal)
+        small = np.argmin(np.abs(normal), axis=1)
+        a[np.arange(nf), small] = 1.0
+        t1 = a - (a * normal).sum(axis=1)[:, None] * normal
+        t1 /= np.maximum(np.linalg.norm(t1, axis=1), 1e-300)[:, None]
+        tangents = [t1, np.cross(normal, t1)]
+    nt = int(has_t.sum())
+    V = np.zeros((ndof, dim))
+    V[flux_dofs] = normal
+    for q in range(nt_per):
+        tq_dofs = off[:-1][has_t] + 1 + q
+        St = sp.coo_matrix(
+            (np.ones(nt), (tq_dofs, np.arange(nt))), shape=(ndof, nt)
+        ).tocsr()
+        A = A + St @ Lt @ St.T
+        V[tq_dofs] = tangents[q][has_t]
+    A = A.tocsr()
     A = (A + A.T) * 0.5
-    tangent = np.stack([-normal[:, 1], normal[:, 0]], axis=1)
-    V = np.zeros((ndof, 2))
-    V[flux_dofs] = normal  # n . e_k per flux dof
-    V[tang_dofs] = tangent[has_t]
     rng = np.random.default_rng(seed + 1)
     b = rng.standard_normal(ndof)
     b -= b.mean()

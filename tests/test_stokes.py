@@ -385,6 +385,32 @@ def test_hdiv_stokes_simplicial():
     assert info.converged and r < 1e-7, (info.iterations, r)
 
 
+def test_hdiv_stokes_simplicial_3d():
+    """Tet-mesh HDiv variant: variable counts (1 or 3 dofs/facet),
+    preserved constants in geometric normal/tangent frames
+    (stokes_hdiv_gg_3d export)."""
+    import ngsamg_tpu.api as NgsAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri_hdiv
+
+    p, counts, V = stokes_tri_hdiv(5, dim=3, alpha=10.0)
+    assert counts.min() == 1 and counts.max() == 3
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 250
+    pc = NgsAMG.stokes_hdiv_gg_3d(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        facet_dof_counts=counts,
+        preserved=V,
+        options=opts,
+    )
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=400)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7, (info.iterations, r)
+
+
 def test_hdg_embedded_stokes():
     """Static-condensed P1-HDG facet system through the aux embedding:
     the reference's HDiv-HDG + secondary-sequence pattern
