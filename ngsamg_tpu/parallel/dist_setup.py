@@ -308,6 +308,20 @@ def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
     rounds = (
         10 if aaf is not None else int(opts.coarsen.spw_rounds.get(level))
     )
+    return _dist_spw_core(
+        S_parts,
+        starts,
+        theta=theta,
+        rounds=rounds,
+        aaf=aaf,
+        adopt_orphans=bool(opts.coarsen.adopt_orphans.get(level)),
+    )
+
+
+def _dist_spw_core(
+    S_parts, starts, *, theta, rounds, aaf=None, adopt_orphans=True
+):
+    """Explicit-knob SPW core (serial coarsen/pairwise.spw_aggregate)."""
     n_shards = len(S_parts)
     n0 = int(starts[-1])
     v2c_parts = [
@@ -335,7 +349,7 @@ def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
         )
         cur_starts = coarse_starts
         n_cur = n_agg
-    if bool(opts.coarsen.adopt_orphans.get(level)) and n_cur < n0:
+    if adopt_orphans and n_cur < n0:
         v2c_parts, cur_starts = _dist_adopt_orphans(
             cur_S, cur_starts, v2c_parts
         )

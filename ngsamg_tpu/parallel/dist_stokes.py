@@ -1,0 +1,1400 @@
+"""Distributed (shard-local) setup for the facet-based Stokes AMG.
+
+Completes the distributed-setup coverage (parallel/dist_setup.py for H1,
+parallel/dist_elast.py for elasticity) with the Stokes family: the dual
+mesh (vertices = cells, edges = facets) is built from CELL-sharded and
+FACET-row-sharded inputs, and every level step computes only on a shard's
+owned rows plus halo values fetched through the dist_setup exchange
+primitives (`_gather` = indexed all-gather, `_route_coo`/`_reduce*` =
+owner-routed reductions). Reference counterparts:
+
+* cell aggregation — the solid/ghost distributed matching of
+  /root/reference/src/base/coarsening/spw_agg_impl.hpp:1512-1541, run on
+  the flow-magnitude strength graph (`coarsen_cells`);
+* coarse mesh map — `BaseAgglomerateCoarseMap::MapVerts/MapEdges`
+  (agglomerate_map.cpp) with ReduceTable-style owner-routed reductions of
+  volumes/positions/oriented flow sums;
+* flow-preserving prolongation — the reference's div-free Stokes
+  prolongation (stokes_factory.hpp:20-44): cross-facet rows are computed
+  by the facet owners; the per-aggregate spanning-forest interior routing
+  is OWNER-COMPUTED (the aggregate's owner gathers its few member cells'
+  excess rows + interior facets, routes the resulting P rows back to the
+  facet owners) — the reference's master-decides + scatter pattern;
+* facet loops — `CalcFacetLoops` with its cross-proc oriented loop
+  reduction (stokes_pc.cpp): a DISTRIBUTED spanning forest (shard-local
+  BFS forests + a leader-solved quotient tree over the shard components,
+  like the reference's rank-0 METIS gather) and batched fundamental-cycle
+  climbs with per-round halo gathers of (parent, depth, pedge);
+* Galerkin RAP — dist_setup._dist_rap on the facet rows.
+
+Determinism / serial equality: matching, coarse-edge numbering (globally
+sorted (lo, hi) keys == shard-major owner blocks), and the prolongation
+(the aggregate owner replays the serial spanning-forest routing from
+sorted member data) reproduce the serial results bitwise on aggregates
+and to fp roundoff on operators. The loop BASIS differs from the serial
+one (different global forest) but spans exactly ker(D) — asserted by
+tests — which is the property Hiptmair needs.
+
+Scope: scalar normal-flux facet dofs (MAC/RT0-like) and VECTOR (NC/CR)
+facet dofs; SPW cell aggregation (the serial lattice fast path is a
+structured-grid shortcut — callers on lattices keep the serial setup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..apps import stokes as st
+from ..config import AMGOptions, ProlType
+from ..mesh.topo import AlgebraicMesh
+from .dist_setup import (
+    _dist_spw_core,
+    _gather,
+    _gather_csr_rows,
+    _owner,
+    _route_coo,
+)
+
+# ---------------------------------------------------------------------------
+# sharded dual-mesh state
+# ---------------------------------------------------------------------------
+
+
+def _split(n: int, k: int) -> np.ndarray:
+    return np.linspace(0, n, k + 1).astype(np.int64)
+
+
+def _reduce_nd(starts, idx, vals, shape_tail=()):
+    """Owner-routed sum of (idx, vals) rows; per-shard dense arrays."""
+    n_shards = len(starts) - 1
+    out = [
+        np.zeros((int(starts[s + 1] - starts[s]),) + shape_tail)
+        for s in range(n_shards)
+    ]
+    if len(idx):
+        own = _owner(starts, idx)
+        for s in range(n_shards):
+            m = own == s
+            if m.any():
+                np.add.at(out[s], idx[m] - starts[s], vals[m])
+    return out
+
+
+def _route(dest, n_shards, *arrays):
+    """Group parallel row arrays by destination shard."""
+    out = []
+    for t in range(n_shards):
+        m = dest == t
+        out.append(tuple(a[m] for a in arrays))
+    return out
+
+
+class _ShardedDual:
+    """Per-shard view of one dual-mesh level.
+
+    Cells partitioned by ``v_starts`` (positions, volumes); facets by
+    ``e_starts`` (edge endpoints as global cell ids, oriented flows, and
+    the facet-DOF matrix rows).
+    """
+
+    def __init__(self, v_starts, e_starts, pos_parts, vol_parts,
+                 edges_parts, flow_parts, A_parts):
+        self.v_starts = v_starts
+        self.e_starts = e_starts
+        self.pos_parts = pos_parts
+        self.vol_parts = vol_parts
+        self.edges_parts = edges_parts
+        self.flow_parts = flow_parts
+        self.A_parts = A_parts
+
+    @property
+    def n_shards(self):
+        return len(self.v_starts) - 1
+
+    @property
+    def nv(self):
+        return int(self.v_starts[-1])
+
+    @property
+    def ne(self):
+        return int(self.e_starts[-1])
+
+    def assemble_mesh(self) -> AlgebraicMesh:
+        mesh = AlgebraicMesh(
+            nv=self.nv,
+            edges=np.concatenate(self.edges_parts)
+            if self.ne
+            else np.zeros((0, 2), dtype=np.int64),
+        )
+        mesh.vertex_data["pos"] = np.concatenate(self.pos_parts)
+        mesh.vertex_data["vol"] = np.concatenate(self.vol_parts)
+        mesh.edge_data["flow"] = np.concatenate(self.flow_parts)
+        return mesh
+
+
+def _shard_level0(mesh: AlgebraicMesh, A: sp.csr_matrix, bs: int,
+                  n_shards: int) -> _ShardedDual:
+    v_starts = _split(mesh.nv, n_shards)
+    e_starts = _split(mesh.ne, n_shards)
+    pos = mesh.vertex_data["pos"]
+    vol = mesh.vertex_data["vol"]
+    flow = mesh.edge_data["flow"]
+    A = A.tocsr().astype(np.float64)
+    return _ShardedDual(
+        v_starts,
+        e_starts,
+        [pos[v_starts[s]: v_starts[s + 1]] for s in range(n_shards)],
+        [vol[v_starts[s]: v_starts[s + 1]] for s in range(n_shards)],
+        [mesh.edges[e_starts[s]: e_starts[s + 1]] for s in range(n_shards)],
+        [flow[e_starts[s]: e_starts[s + 1]] for s in range(n_shards)],
+        [
+            A[e_starts[s] * bs: e_starts[s + 1] * bs]
+            for s in range(n_shards)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed cell aggregation (serial apps/stokes.coarsen_cells, SPW path)
+# ---------------------------------------------------------------------------
+
+
+def _dist_coarsen_cells(sd: _ShardedDual, theta: float = 0.08):
+    """SPW matching on the flow-magnitude cell graph, shard-local rows."""
+    n_shards = sd.n_shards
+    ri, cj, vv = [], [], []
+    for s in range(n_shards):
+        e = sd.edges_parts[s]
+        w = st._flow_mag(sd.flow_parts[s])
+        ri.extend([e[:, 0], e[:, 1]])
+        cj.extend([e[:, 1], e[:, 0]])
+        vv.extend([w, w])
+    S_parts = _route_coo(
+        sd.v_starts,
+        np.concatenate(ri) if ri else np.zeros(0, np.int64),
+        np.concatenate(cj) if cj else np.zeros(0, np.int64),
+        np.concatenate(vv) if vv else np.zeros(0),
+        sd.nv,
+    )
+    v2agg_parts, c_starts = _dist_spw_core(
+        S_parts, sd.v_starts, theta=theta, rounds=2
+    )
+    return v2agg_parts, c_starts
+
+
+# ---------------------------------------------------------------------------
+# distributed coarse-mesh map (serial mesh/topo.map_edges +
+# apps/stokes.map_stokes_mesh)
+# ---------------------------------------------------------------------------
+
+
+def _dist_map_edges(sd: _ShardedDual, v2agg_parts, c_starts):
+    """Coarse edges (shard-major (lo,hi)-sorted == serial numbering) and
+    the per-fine-facet (ci, cj, ce) maps.
+
+    Returns (ce_starts, cedges_parts, ci_parts, cj_parts, e2ce_parts).
+    """
+    n_shards = sd.n_shards
+    n_agg = int(c_starts[-1])
+    ci_parts, cj_parts, key_parts = [], [], []
+    for s in range(n_shards):
+        e = sd.edges_parts[s]
+        ci = _gather(v2agg_parts, sd.v_starts, e[:, 0])
+        cj = _gather(v2agg_parts, sd.v_starts, e[:, 1])
+        ci_parts.append(ci)
+        cj_parts.append(cj)
+        lo = np.minimum(ci, cj)
+        hi = np.maximum(ci, cj)
+        cross = (lo != hi) & (lo >= 0)
+        key = np.where(cross, lo * np.int64(n_agg) + hi, np.int64(-1))
+        key_parts.append(key)
+    # route cross keys to the owner of lo (coarse-cell owner)
+    uniq_parts = []
+    all_keys = np.concatenate(key_parts) if key_parts else np.zeros(0,
+                                                                    np.int64)
+    ak = all_keys[all_keys >= 0]
+    own = _owner(c_starts, ak // n_agg)
+    for t in range(n_shards):
+        uniq_parts.append(np.unique(ak[own == t]))
+    counts = np.array([len(u) for u in uniq_parts], dtype=np.int64)
+    ce_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    ce_starts[1:] = np.cumsum(counts)
+    cedges_parts = [
+        np.stack([u // n_agg, u % n_agg], axis=1)
+        if len(u)
+        else np.zeros((0, 2), dtype=np.int64)
+        for u in uniq_parts
+    ]
+    # query-back: fine-facet owner asks owner(lo) for the coarse edge id
+    e2ce_parts = []
+    for s in range(n_shards):
+        key = key_parts[s]
+        e2 = np.full(len(key), -1, dtype=np.int64)
+        m = key >= 0
+        if m.any():
+            ko = _owner(c_starts, key[m] // n_agg)
+            ids = np.empty(int(m.sum()), dtype=np.int64)
+            for t in range(n_shards):
+                mt = ko == t
+                if mt.any():
+                    ids[mt] = ce_starts[t] + np.searchsorted(
+                        uniq_parts[t], key[m][mt]
+                    )
+            e2[m] = ids
+        e2ce_parts.append(e2)
+    return ce_starts, cedges_parts, ci_parts, cj_parts, e2ce_parts
+
+
+def _dist_map_mesh(sd: _ShardedDual, v2agg_parts, c_starts, ce_starts,
+                   cedges_parts, ci_parts, e2ce_parts):
+    """Coarse sharded dual mesh: summed vols/flows, vol-weighted positions."""
+    n_shards = sd.n_shards
+    dim_pos = sd.pos_parts[0].shape[1]
+    # vertex data: volume sums + vol-weighted positions to coarse owners
+    all_v2 = np.concatenate(v2agg_parts)
+    all_vol = np.concatenate(sd.vol_parts)
+    all_pos = np.concatenate(sd.pos_parts)
+    act = all_v2 >= 0
+    cvol_parts = _reduce_nd(c_starts, all_v2[act], all_vol[act])
+    cpos_parts = _reduce_nd(
+        c_starts, all_v2[act], all_pos[act] * all_vol[act, None],
+        shape_tail=(dim_pos,),
+    )
+    cpos_parts = [
+        p / np.maximum(v, 1e-300)[:, None]
+        for p, v in zip(cpos_parts, cvol_parts)
+    ]
+    # oriented flow sums to coarse-edge owners: sign = +1 where the fine
+    # edge's first cell maps to the coarse edge's lo end (== serial
+    # map_stokes_mesh since cedges[ce,0] = lo by construction)
+    fl0 = sd.flow_parts[0]
+    tail = fl0.shape[1:]
+    idx_l, val_l = [], []
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        m = e2 >= 0
+        if not m.any():
+            continue
+        ci = ci_parts[s][m]
+        lo_of = _gather(
+            [c[:, 0] for c in cedges_parts], ce_starts, e2[m]
+        )
+        sign = np.where(ci == lo_of, 1.0, -1.0)
+        fl = sd.flow_parts[s][m]
+        idx_l.append(e2[m])
+        val_l.append(fl * (sign[:, None] if fl.ndim == 2 else sign))
+    if idx_l:
+        cflow_parts = _reduce_nd(
+            ce_starts, np.concatenate(idx_l), np.concatenate(val_l),
+            shape_tail=tail,
+        )
+    else:
+        cflow_parts = [
+            np.zeros((int(ce_starts[t + 1] - ce_starts[t]),) + tail)
+            for t in range(n_shards)
+        ]
+    return _ShardedDual(
+        c_starts, ce_starts, cpos_parts, cvol_parts, cedges_parts,
+        cflow_parts, A_parts=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed flow-preserving prolongation (serial apps/stokes.
+# flow_prolongation / flow_prolongation_vec)
+# ---------------------------------------------------------------------------
+
+
+def _agg_payload(sd, v2agg_parts, c_starts, ci_parts, cj_parts,
+                 e2ce_parts):
+    """Owner-computed aggregate data: per coarse-cell-owner shard, the
+    member cells (with volumes) and interior facets of each owned
+    aggregate, sorted for the serial replay."""
+    n_shards = sd.n_shards
+    # member cells -> aggregate owners
+    all_v2 = np.concatenate(v2agg_parts)
+    cells_g = np.arange(sd.nv, dtype=np.int64)
+    act = all_v2 >= 0
+    dest = np.full(sd.nv, -1, dtype=np.int64)
+    dest[act] = _owner(c_starts, all_v2[act])
+    mem_parts = _route(
+        dest[act], n_shards, all_v2[act], cells_g[act],
+        np.concatenate(sd.vol_parts)[act],
+    )
+    # interior facets (ci == cj >= 0) -> aggregate owners
+    ie_agg, ie_e, ie_i, ie_j = [], [], [], []
+    for s in range(n_shards):
+        ci, cj = ci_parts[s], cj_parts[s]
+        m = (ci == cj) & (ci >= 0)
+        if m.any():
+            e = sd.edges_parts[s][m]
+            ie_agg.append(ci[m])
+            ie_e.append(
+                np.flatnonzero(m).astype(np.int64) + sd.e_starts[s]
+            )
+            ie_i.append(e[:, 0])
+            ie_j.append(e[:, 1])
+    if ie_agg:
+        ia = np.concatenate(ie_agg)
+        fac_parts = _route(
+            _owner(c_starts, ia), n_shards, ia, np.concatenate(ie_e),
+            np.concatenate(ie_i), np.concatenate(ie_j),
+        )
+    else:
+        z = np.zeros(0, dtype=np.int64)
+        fac_parts = [(z, z, z, z)] * n_shards
+    return mem_parts, fac_parts
+
+
+def _serial_forest_routing(agg_ids, mem_a, mem_c, ie_e, ie_i, ie_j,
+                           exc_rows, route_cb):
+    """Replay the serial per-aggregate spanning-forest excess routing.
+
+    ``exc_rows``: dict cell_g -> (cols, vals) sparse excess row. Calls
+    ``route_cb(edge_g, sign, cols, vals)`` exactly like the serial loop
+    (apps/stokes.flow_prolongation): P-row contributions for interior
+    facets in leaves-first order.
+    """
+    order_f = np.argsort(ie_e, kind="stable")  # increasing global edge id
+    adj: dict[int, list] = {}
+    for t in order_f:
+        i, j, e = int(ie_i[t]), int(ie_j[t]), int(ie_e[t])
+        adj.setdefault(i, []).append((j, e))
+        adj.setdefault(j, []).append((i, e))
+    by_agg: dict[int, list[int]] = {}
+    for a, c in zip(mem_a, mem_c):
+        by_agg.setdefault(int(a), []).append(int(c))
+    for a in agg_ids:
+        cells = sorted(by_agg.get(int(a), []))
+        if len(cells) <= 1:
+            continue
+        # serial _spanning_forest restricted to this aggregate: roots in
+        # increasing cell order, stack-based traversal, adjacency in
+        # increasing edge order
+        parent_edge: dict[int, int] = {}
+        visited = set()
+        order: list[int] = []
+        for root in cells:
+            if root in visited:
+                continue
+            visited.add(root)
+            stack = [root]
+            bfs = [root]
+            while stack:
+                c = stack.pop()
+                for nb, e in adj.get(c, ()):  # same-agg by construction
+                    if nb not in visited:
+                        visited.add(nb)
+                        parent_edge[nb] = e
+                        stack.append(nb)
+                        bfs.append(nb)
+            order.extend(reversed(bfs))
+        pos_in_order = {c: t for t, c in enumerate(order)}
+        cells_o = sorted(cells, key=lambda c: pos_in_order[c])
+        # dense local block over the union of excess columns
+        lcols_set = set()
+        for c in cells_o:
+            cols, _ = exc_rows.get(c, ((), ()))
+            lcols_set.update(int(x) for x in cols)
+        if not lcols_set:
+            continue
+        lcols = np.array(sorted(lcols_set), dtype=np.int64)
+        colpos = {int(x): t for t, x in enumerate(lcols)}
+        loc = np.zeros((len(cells_o), len(lcols)))
+        cpos = {c: t for t, c in enumerate(cells_o)}
+        for c in cells_o:
+            cols, vals = exc_rows.get(c, ((), ()))
+            for x, v in zip(cols, vals):
+                loc[cpos[c], colpos[int(x)]] += v
+        edge_ends = {int(e): (int(i), int(j))
+                     for i, j, e in zip(ie_i, ie_j, ie_e)}
+        for t, ci_ in enumerate(cells_o):
+            e = parent_edge.get(ci_, -1)
+            if e < 0:
+                continue
+            i, j = edge_ends[e]
+            other = j if i == ci_ else i
+            s_ = 1.0 if i == ci_ else -1.0
+            row = loc[t]
+            nz = np.flatnonzero(row)
+            if len(nz):
+                route_cb(e, s_, lcols[nz], row[nz])
+            loc[cpos[other]] += row
+            loc[t] = 0.0
+
+
+def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
+                    e2ce_parts):
+    """Scalar facet prolongation, distributed (serial flow_prolongation)."""
+    n_shards = sd.n_shards
+    ne_c = csd.ne
+    c_starts, ce_starts = csd.v_starts, csd.e_starts
+
+    # cross-facet coefficients: wsum per coarse edge, gathered back
+    idx_l, val_l = [], []
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        m = e2 >= 0
+        idx_l.append(e2[m])
+        val_l.append(np.abs(sd.flow_parts[s][m]))
+    wsum_parts = _reduce_nd(
+        ce_starts, np.concatenate(idx_l), np.concatenate(val_l)
+    )
+    lo_parts = [c[:, 0] for c in csd.edges_parts]
+    cross_rows = []  # per shard: (local rows, ce, coef signed)
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        m = np.flatnonzero(e2 >= 0)
+        ce = e2[m]
+        ws = _gather(wsum_parts, ce_starts, ce)
+        lo_of = _gather(lo_parts, ce_starts, ce)
+        sgn = np.where(ci_parts[s][m] == lo_of, 1.0, -1.0)
+        wcoef = np.abs(sd.flow_parts[s][m]) / np.maximum(ws, 1e-300)
+        cross_rows.append((m, ce, sgn * wcoef))
+
+    # per-cell boundary influx Bin rows (routed to CELL owners): fine
+    # cross facet e=(i,j): +v at (i, ce), -v at (j, ce)
+    ri, cj, vv = [], [], []
+    for s in range(n_shards):
+        m, ce, v = cross_rows[s]
+        e = sd.edges_parts[s][m]
+        ri.extend([e[:, 0], e[:, 1]])
+        cj.extend([ce, ce])
+        vv.extend([v, -v])
+    Bin_parts = _route_coo(
+        sd.v_starts,
+        np.concatenate(ri),
+        np.concatenate(cj),
+        np.concatenate(vv),
+        ne_c,
+    )
+    # coarse incidence rows Cout (coarse-cell-owner shards): +-1 columns
+    ri2, cj2, vv2 = [], [], []
+    for t in range(n_shards):
+        ce_g = np.arange(
+            ce_starts[t], ce_starts[t + 1], dtype=np.int64
+        )
+        E = csd.edges_parts[t]
+        ri2.extend([E[:, 0], E[:, 1]])
+        cj2.extend([ce_g, ce_g])
+        vv2.extend([np.ones(len(E)), -np.ones(len(E))])
+    Cout_parts = _route_coo(
+        c_starts,
+        np.concatenate(ri2),
+        np.concatenate(cj2),
+        np.concatenate(vv2),
+        ne_c,
+    )
+    # per-cell target rows: frac_i * Cout[v2agg[i]]; Excess = Tgt - Bin
+    exc_parts = []
+    for s in range(n_shards):
+        v2 = v2agg_parts[s]
+        aggvol = _gather(csd.vol_parts, c_starts, np.maximum(v2, 0))
+        frac = sd.vol_parts[s] / np.maximum(aggvol, 1e-300)
+        Crows = _gather_csr_rows(
+            Cout_parts, c_starts, np.maximum(v2, 0), ne_c
+        )
+        Tgt = sp.diags(np.where(v2 >= 0, frac, 0.0)) @ Crows
+        exc_parts.append((Tgt - Bin_parts[s]).tocsr())
+
+    # owner-computed interior routing
+    mem_parts, fac_parts = _agg_payload(
+        sd, v2agg_parts, c_starts, ci_parts, cj_parts, e2ce_parts
+    )
+    # excess rows shipped to aggregate owners alongside members
+    tri_e, tri_c, tri_v = [], [], []
+    for t in range(n_shards):
+        mem_a, mem_c, _mem_vol = mem_parts[t]
+        ie_a, ie_e, ie_i, ie_j = fac_parts[t]
+        # gather member excess rows from cell owners
+        Exc = _gather_csr_rows(exc_parts, sd.v_starts, mem_c, ne_c)
+        exc_rows = {}
+        for k, c in enumerate(mem_c):
+            r = Exc[k]
+            exc_rows[int(c)] = (r.indices.astype(np.int64), r.data)
+        agg_ids = np.arange(c_starts[t], c_starts[t + 1], dtype=np.int64)
+
+        def cb(edge_g, s_, cols, vals, _te=tri_e, _tc=tri_c, _tv=tri_v):
+            _te.append(np.full(len(cols), edge_g, dtype=np.int64))
+            _tc.append(cols)
+            _tv.append(s_ * vals)
+
+        _serial_forest_routing(
+            agg_ids, mem_a, mem_c, ie_e, ie_i, ie_j, exc_rows, cb
+        )
+    # P assembly per facet owner: cross rows + routed interior triples
+    ri3, cj3, vv3 = [], [], []
+    for s in range(n_shards):
+        m, ce, v = cross_rows[s]
+        ri3.append(m + sd.e_starts[s])
+        cj3.append(ce)
+        vv3.append(v)
+    if tri_e:
+        ri3.append(np.concatenate(tri_e))
+        cj3.append(np.concatenate(tri_c))
+        vv3.append(np.concatenate(tri_v))
+    P_parts = _route_coo(
+        sd.e_starts,
+        np.concatenate(ri3),
+        np.concatenate(cj3),
+        np.concatenate(vv3),
+        ne_c,
+    )
+    # incidence -> velocity units (serial conjugation): row scale 1/flow_f
+    # (local), column scale flow_c (gathered from coarse-facet owners)
+    out = []
+    for s in range(n_shards):
+        fl = sd.flow_parts[s]
+        gf = np.where(
+            np.abs(fl) > 1e-300, 1.0 / np.where(fl == 0, 1.0, fl), 1.0
+        )
+        P = sp.diags(gf) @ P_parts[s]
+        cols = (
+            np.unique(P.indices.astype(np.int64))
+            if P.nnz
+            else np.zeros(0, np.int64)
+        )
+        if len(cols):
+            cf = _gather(csd.flow_parts, ce_starts, cols)
+            gc_all = np.ones(ne_c)
+            gc_all[cols] = np.where(np.abs(cf) > 1e-300, cf, 1.0)
+            P = (P @ sp.diags(gc_all)).tocsr()
+        out.append(P.tocsr())
+    return out
+
+
+def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
+                        e2ce_parts):
+    """VECTOR facet prolongation, distributed (flow_prolongation_vec)."""
+    n_shards = sd.n_shards
+    ne_c = csd.ne
+    dim = sd.flow_parts[0].shape[1]
+    c_starts, ce_starts = csd.v_starts, csd.e_starts
+    k = np.arange(dim)
+
+    # cross facets copy the coarse vector (identity blocks)
+    ri, cj, vv = [], [], []
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        m = np.flatnonzero(e2 >= 0)
+        ce = e2[m]
+        fe_g = m + sd.e_starts[s]
+        ri.append((fe_g[:, None] * dim + k).ravel())
+        cj.append((ce[:, None] * dim + k).ravel())
+        vv.append(np.ones(len(m) * dim))
+
+    # interior base: |cflow|-weighted average of the aggregate's incident
+    # coarse vectors. Wavg rows live on coarse-CELL owners.
+    ri2, cj2, vv2 = [], [], []
+    for t in range(n_shards):
+        E = csd.edges_parts[t]
+        wE = np.linalg.norm(csd.flow_parts[t], axis=1)
+        ce_g = np.arange(ce_starts[t], ce_starts[t + 1], dtype=np.int64)
+        ri2.extend([E[:, 0], E[:, 1]])
+        cj2.extend([ce_g, ce_g])
+        vv2.extend([wE, wE])
+    AggInc_parts = _route_coo(
+        c_starts,
+        np.concatenate(ri2),
+        np.concatenate(cj2),
+        np.concatenate(vv2),
+        ne_c,
+    )
+    Wavg_parts = []
+    for t in range(n_shards):
+        M = AggInc_parts[t]
+        wsum = np.asarray(M.sum(axis=1)).ravel()
+        Wavg_parts.append(
+            (sp.diags(1.0 / np.maximum(wsum, 1e-300)) @ M).tocsr()
+        )
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        ci = ci_parts[s]
+        m = np.flatnonzero((e2 < 0) & (ci >= 0) & (ci == cj_parts[s]))
+        if not len(m):
+            continue
+        rows_g = m + sd.e_starts[s]
+        B = _gather_csr_rows(Wavg_parts, c_starts, ci[m], ne_c).tocoo()
+        ri.append((rows_g[B.row][:, None] * dim + k).ravel())
+        cj.append((B.col[:, None] * dim + k).ravel())
+        vv.append(np.repeat(B.data, dim))
+    P0_parts = _route_coo(
+        sd.e_starts * dim,
+        np.concatenate(ri),
+        np.concatenate(cj),
+        np.concatenate(vv),
+        ne_c * dim,
+    )
+
+    # per-cell flux imbalance Excess = diag(frac) Cout[v2agg] - Df P0
+    # Df rows (cells x fine vector dofs): +-flow components
+    ri3, cj3, vv3 = [], [], []
+    for s in range(n_shards):
+        e = sd.edges_parts[s]
+        fl = sd.flow_parts[s]
+        dof_g = (
+            (np.arange(len(e), dtype=np.int64) + sd.e_starts[s])[:, None]
+            * dim + k
+        ).ravel()
+        ri3.extend([np.repeat(e[:, 0], dim), np.repeat(e[:, 1], dim)])
+        cj3.extend([dof_g, dof_g])
+        vv3.extend([fl.ravel(), -fl.ravel()])
+    Df_parts = _route_coo(
+        sd.v_starts,
+        np.concatenate(ri3),
+        np.concatenate(cj3),
+        np.concatenate(vv3),
+        sd.ne * dim,
+    )
+    # Cout rows (coarse cells x coarse vector dofs): +-cflow components
+    ri4, cj4, vv4 = [], [], []
+    for t in range(n_shards):
+        E = csd.edges_parts[t]
+        cf = csd.flow_parts[t]
+        ce_g = (
+            (np.arange(len(E), dtype=np.int64) + ce_starts[t])[:, None]
+            * dim + k
+        ).ravel()
+        ri4.extend([np.repeat(E[:, 0], dim), np.repeat(E[:, 1], dim)])
+        cj4.extend([ce_g, ce_g])
+        vv4.extend([cf.ravel(), -cf.ravel()])
+    Cout_parts = _route_coo(
+        c_starts,
+        np.concatenate(ri4),
+        np.concatenate(cj4),
+        np.concatenate(vv4),
+        ne_c * dim,
+    )
+    exc_parts = []
+    for s in range(n_shards):
+        v2 = v2agg_parts[s]
+        aggvol = _gather(csd.vol_parts, c_starts, np.maximum(v2, 0))
+        frac = sd.vol_parts[s] / np.maximum(aggvol, 1e-300)
+        Crows = _gather_csr_rows(
+            Cout_parts, c_starts, np.maximum(v2, 0), ne_c * dim
+        )
+        Tgt = sp.diags(np.where(v2 >= 0, frac, 0.0)) @ Crows
+        # Df P0 on owned cells: gather halo P0 rows at Df's columns
+        Df = Df_parts[s]
+        cols = (
+            np.unique(Df.indices.astype(np.int64))
+            if Df.nnz
+            else np.zeros(0, np.int64)
+        )
+        P0_halo = _gather_csr_rows(
+            P0_parts, sd.e_starts * dim, cols, ne_c * dim
+        )
+        colmap = np.searchsorted(cols, Df.indices)
+        Dfc = sp.csr_matrix(
+            (Df.data, colmap, Df.indptr), shape=(Df.shape[0], len(cols))
+        )
+        exc_parts.append((Tgt - Dfc @ P0_halo).tocsr())
+
+    # owner-computed interior routing with normal-direction corrections
+    mem_parts, fac_parts = _agg_payload(
+        sd, v2agg_parts, c_starts, ci_parts, cj_parts, e2ce_parts
+    )
+    tri_e, tri_c, tri_v = [], [], []
+    for t in range(n_shards):
+        mem_a, mem_c, _mv = mem_parts[t]
+        ie_a, ie_e, ie_i, ie_j = fac_parts[t]
+        Exc = _gather_csr_rows(
+            exc_parts, sd.v_starts, mem_c, ne_c * dim
+        )
+        exc_rows = {}
+        for q, c in enumerate(mem_c):
+            r = Exc[q]
+            exc_rows[int(c)] = (r.indices.astype(np.int64), r.data)
+        # per-facet flow vectors of the aggregate's interior facets
+        fl_int = _gather(sd.flow_parts, sd.e_starts, ie_e)
+        f2 = {int(e): float((f * f).sum())
+              for e, f in zip(ie_e, fl_int)}
+        fvec = {int(e): f for e, f in zip(ie_e, fl_int)}
+        agg_ids = np.arange(c_starts[t], c_starts[t + 1], dtype=np.int64)
+
+        def cb(edge_g, s_, cols, vals, _te=tri_e, _tc=tri_c, _tv=tri_v,
+               _f2=f2, _fv=fvec):
+            if _f2[edge_g] <= 1e-300:
+                return
+            coef = s_ / _f2[edge_g]
+            fv = _fv[edge_g]
+            for kk in range(len(fv)):
+                _te.append(
+                    np.full(len(cols), edge_g * len(fv) + kk,
+                            dtype=np.int64)
+                )
+                _tc.append(cols)
+                _tv.append(coef * fv[kk] * vals)
+
+        _serial_forest_routing(
+            agg_ids, mem_a, mem_c, ie_e, ie_i, ie_j, exc_rows, cb
+        )
+    if tri_e:
+        dP_parts = _route_coo(
+            sd.e_starts * dim,
+            np.concatenate(tri_e),
+            np.concatenate(tri_c),
+            np.concatenate(tri_v),
+            ne_c * dim,
+        )
+        P0_parts = [
+            (P0_parts[s] + dP_parts[s]).tocsr() for s in range(n_shards)
+        ]
+    return P0_parts
+
+
+# ---------------------------------------------------------------------------
+# distributed facet loops (serial apps/stokes.build_loops[_vec] analog)
+# ---------------------------------------------------------------------------
+
+
+def _local_bfs_forest(nv_local, v0, intra):
+    """Deterministic BFS forest over a shard's intra edges.
+
+    ``intra`` = (i_l, j_l, e_g) sorted by e_g. Returns (parent_g, pedge,
+    depth, comp, roots): parent as GLOBAL cell id (-1 at roots), pedge the
+    global facet id used, comp the local component index.
+    """
+    from collections import deque
+
+    i_l, j_l, e_g = intra
+    adj: list[list] = [[] for _ in range(nv_local)]
+    for i, j, e in zip(i_l, j_l, e_g):
+        adj[int(i)].append((int(j), int(e)))
+        adj[int(j)].append((int(i), int(e)))
+    parent = np.full(nv_local, -1, dtype=np.int64)
+    pedge = np.full(nv_local, -1, dtype=np.int64)
+    depth = np.zeros(nv_local, dtype=np.int64)
+    comp = np.full(nv_local, -1, dtype=np.int64)
+    roots = []
+    nc = 0
+    for root in range(nv_local):
+        if comp[root] >= 0:
+            continue
+        comp[root] = nc
+        roots.append(root)
+        q = deque([root])
+        while q:
+            c = q.popleft()
+            for nb, e in adj[c]:
+                if comp[nb] < 0:
+                    comp[nb] = nc
+                    parent[nb] = c + v0
+                    pedge[nb] = e
+                    depth[nb] = depth[c] + 1
+                    q.append(nb)
+        nc += 1
+    return parent, pedge, depth, comp, np.asarray(roots, dtype=np.int64), nc
+
+
+def _dist_forest(sd: _ShardedDual):
+    """Global spanning forest over the dual graph, sharded state.
+
+    Shard-local BFS forests + a leader-solved quotient spanning tree over
+    the components (the reference gathers the processor graph to rank 0
+    the same way, grid_contract.cpp:84-98). Returns per-cell-shard
+    (parent_g, pedge, depth_global) and per-edge-shard intree masks.
+    """
+    n_shards = sd.n_shards
+    # route intra edges to cell shards; keep cross edges
+    intra_dest, intra_i, intra_j, intra_e = [], [], [], []
+    cross_i, cross_j, cross_e = [], [], []
+    for s in range(n_shards):
+        e = sd.edges_parts[s]
+        if not len(e):
+            continue
+        e_g = np.arange(len(e), dtype=np.int64) + sd.e_starts[s]
+        oi = _owner(sd.v_starts, e[:, 0])
+        oj = _owner(sd.v_starts, e[:, 1])
+        m = oi == oj
+        intra_dest.append(oi[m])
+        intra_i.append(e[m, 0])
+        intra_j.append(e[m, 1])
+        intra_e.append(e_g[m])
+        cross_i.append(e[~m, 0])
+        cross_j.append(e[~m, 1])
+        cross_e.append(e_g[~m])
+    z = np.zeros(0, dtype=np.int64)
+    intra_parts = _route(
+        np.concatenate(intra_dest) if intra_dest else z,
+        n_shards,
+        np.concatenate(intra_i) if intra_i else z,
+        np.concatenate(intra_j) if intra_j else z,
+        np.concatenate(intra_e) if intra_e else z,
+    )
+    parent_parts, pedge_parts, depth_parts, comp_parts = [], [], [], []
+    roots_parts, ncomp = [], []
+    tree_edges = []  # global facet ids used by local forests
+    for s in range(n_shards):
+        i_l, j_l, e_g = intra_parts[s]
+        o = np.argsort(e_g, kind="stable")
+        v0 = int(sd.v_starts[s])
+        nvl = int(sd.v_starts[s + 1] - v0)
+        p, pe, d, c, r, nc = _local_bfs_forest(
+            nvl, v0, (i_l[o] - v0, j_l[o] - v0, e_g[o])
+        )
+        parent_parts.append(p)
+        pedge_parts.append(pe)
+        depth_parts.append(d)
+        comp_parts.append(c)
+        roots_parts.append(r)
+        ncomp.append(nc)
+        tree_edges.append(pe[pe >= 0])
+    comp_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    comp_starts[1:] = np.cumsum(ncomp)
+    compg_parts = [
+        np.where(c >= 0, c + comp_starts[s], -1)
+        for s, c in enumerate(comp_parts)
+    ]
+
+    # leader solves the quotient spanning tree over cross edges
+    ci = np.concatenate(cross_i) if cross_i else z
+    cj = np.concatenate(cross_j) if cross_j else z
+    ce = np.concatenate(cross_e) if cross_e else z
+    qi = _gather(compg_parts, sd.v_starts, ci) if len(ci) else z
+    qj = _gather(compg_parts, sd.v_starts, cj) if len(cj) else z
+    o = np.argsort(ce, kind="stable")
+    qi, qj, ci, cj, ce = qi[o], qj[o], ci[o], cj[o], ce[o]
+    ncq = int(comp_starts[-1])
+    from collections import deque
+
+    qadj: list[list] = [[] for _ in range(ncq)]
+    for t in range(len(ce)):
+        qadj[int(qi[t])].append((int(qj[t]), t))
+        qadj[int(qj[t])].append((int(qi[t]), t))
+    q_parent = np.full(ncq, -1, dtype=np.int64)
+    q_link = np.full(ncq, -1, dtype=np.int64)  # cross-edge slot used
+    q_order = []
+    seen = np.zeros(ncq, dtype=bool)
+    for root in range(ncq):
+        if seen[root]:
+            continue
+        seen[root] = True
+        q_order.append(root)
+        q = deque([root])
+        while q:
+            c = q.popleft()
+            for nb, t in qadj[c]:
+                if not seen[nb]:
+                    seen[nb] = True
+                    q_parent[nb] = c
+                    q_link[nb] = t
+                    q_order.append(nb)
+                    q.append(nb)
+    link_slots = q_link[q_link >= 0]
+    link_set = set(int(ce[t]) for t in link_slots)
+
+    # re-root linked components at their attach cells (shard-local flips)
+    # attach cell w_c: the link edge endpoint inside comp c
+    attach_cell = np.full(ncq, -1, dtype=np.int64)  # global cell id
+    attach_parent = np.full(ncq, -1, dtype=np.int64)  # cell in parent comp
+    attach_edge = np.full(ncq, -1, dtype=np.int64)
+    for c in range(ncq):
+        t = q_link[c]
+        if t < 0:
+            continue
+        # endpoints: which one lies in comp c?
+        if int(qi[t]) == c:
+            attach_cell[c], attach_parent[c] = int(ci[t]), int(cj[t])
+        else:
+            attach_cell[c], attach_parent[c] = int(cj[t]), int(ci[t])
+        attach_edge[c] = int(ce[t])
+    for s in range(n_shards):
+        p, pe = parent_parts[s], pedge_parts[s]
+        v0 = int(sd.v_starts[s])
+        for c in range(int(comp_starts[s]), int(comp_starts[s + 1])):
+            w = attach_cell[c]
+            if w < 0:
+                continue
+            # flip parents along w -> old root
+            chain = []
+            x = int(w)
+            while True:
+                par = int(p[x - v0])
+                chain.append((x, par, int(pe[x - v0])))
+                if par < 0:
+                    break
+                x = par
+            for (a, b, e) in chain:
+                if b < 0:
+                    break
+                p[b - v0] = a
+                pe[b - v0] = e
+            p[w - v0] = attach_parent[c]
+            pe[w - v0] = attach_edge[c]
+        # recompute local depths from comp roots (post re-root)
+        d = depth_parts[s]
+        d[:] = 0
+        kids: dict[int, list[int]] = {}
+        root_cells = []
+        for x in range(len(p)):
+            par = int(p[x])
+            if par >= v0 and par < int(sd.v_starts[s + 1]):
+                kids.setdefault(par - v0, []).append(x)
+            else:
+                root_cells.append(x)  # global root or attach cell
+        q = deque(root_cells)
+        while q:
+            x = q.popleft()
+            for y in kids.get(x, ()):
+                d[y] = d[x] + 1
+                q.append(y)
+    # comp depth offsets down the quotient tree (leader), then scatter
+    offs = np.zeros(ncq, dtype=np.int64)
+    # local depth of each attach-parent cell
+    ap = attach_parent[attach_parent >= 0]
+    ap_d = (
+        _gather(depth_parts, sd.v_starts, ap)
+        if len(ap)
+        else z
+    )
+    ap_depth = np.zeros(ncq, dtype=np.int64)
+    ap_depth[attach_parent >= 0] = ap_d
+    ap_comp = np.zeros(ncq, dtype=np.int64)
+    if (attach_parent >= 0).any():
+        ap_comp[attach_parent >= 0] = _gather(
+            compg_parts, sd.v_starts, ap
+        )
+    for c in q_order:  # parents precede children
+        if q_parent[c] >= 0:
+            offs[c] = offs[int(ap_comp[c])] + int(ap_depth[c]) + 1
+    for s in range(n_shards):
+        cg = compg_parts[s]
+        depth_parts[s] = depth_parts[s] + np.where(cg >= 0, offs[cg], 0)
+
+    # intree marks per edge owner
+    used = np.concatenate(
+        [np.concatenate(tree_edges) if tree_edges else z,
+         np.asarray(sorted(link_set), dtype=np.int64)]
+    )
+    intree_parts = []
+    for s in range(n_shards):
+        m = np.zeros(int(sd.e_starts[s + 1] - sd.e_starts[s]), dtype=bool)
+        intree_parts.append(m)
+    own = _owner(sd.e_starts, used)
+    for s in range(n_shards):
+        mm = own == s
+        if mm.any():
+            intree_parts[s][used[mm] - sd.e_starts[s]] = True
+    return parent_parts, pedge_parts, depth_parts, intree_parts
+
+
+def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
+                 depth_parts, intree_parts):
+    """Fundamental-cycle rows via batched climbs with per-round gathers.
+
+    Returns (C_parts incidence CSR per facet shard, n_loops). Loop
+    columns are shard-major over the owning (non-tree) facets.
+    """
+    n_shards = sd.n_shards
+    # loop numbering: shard-major over non-tree owned edges
+    nt_counts = np.array(
+        [int((~m).sum()) for m in intree_parts], dtype=np.int64
+    )
+    loop_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    loop_starts[1:] = np.cumsum(nt_counts)
+    n_loops = int(loop_starts[-1])
+    if n_loops == 0:
+        return None, 0
+    loops_e, loops_a, loops_b, loops_id = [], [], [], []
+    for s in range(n_shards):
+        nt = np.flatnonzero(~intree_parts[s])
+        e = sd.edges_parts[s][nt]
+        loops_e.append(nt + sd.e_starts[s])
+        loops_a.append(e[:, 0])
+        loops_b.append(e[:, 1])
+        loops_id.append(loop_starts[s] + np.arange(len(nt)))
+    E = np.concatenate(loops_e)
+    A_ = np.concatenate(loops_a)
+    B_ = np.concatenate(loops_b)
+    LID = np.concatenate(loops_id)
+    tri_r, tri_c, tri_v = [E], [LID], [np.ones(len(E))]
+
+    U = B_.copy()
+    V = A_.copy()
+    active = np.ones(len(E), dtype=bool)
+    guard = 0
+    while active.any():
+        guard += 1
+        if guard > 4 * sd.nv + 8:
+            raise RuntimeError("forest climb did not terminate")
+        idx = np.flatnonzero(active)
+        dU = _gather(depth_parts, sd.v_starts, U[idx])
+        dV = _gather(depth_parts, sd.v_starts, V[idx])
+        done = U[idx] == V[idx]
+        active[idx[done]] = False
+        idx = idx[~done]
+        if not len(idx):
+            break
+        dU, dV = dU[~done], dV[~done]
+        climb_u = dU >= dV
+        # climb U where climb_u, else V (one side per round, serial rule)
+        for side, mask in (("u", climb_u), ("v", ~climb_u)):
+            ii = idx[mask]
+            if not len(ii):
+                continue
+            X = U if side == "u" else V
+            ed = _gather(pedge_parts, sd.v_starts, X[ii])
+            assert (ed >= 0).all(), "climbed past a root"
+            ends = _gather(sd.edges_parts, sd.e_starts, ed)
+            sgn = np.where(ends[:, 0] == X[ii], 1.0, -1.0)
+            tri_r.append(ed)
+            tri_c.append(LID[ii])
+            tri_v.append(sgn if side == "u" else -sgn)
+            par = _gather(parent_parts, sd.v_starts, X[ii])
+            X[ii] = par
+    C_parts = _route_coo(
+        sd.e_starts,
+        np.concatenate(tri_r),
+        np.concatenate(tri_c),
+        np.concatenate(tri_v),
+        n_loops,
+    )
+    # drop cancelled entries like the serial coefficient dict
+    C_parts = [M.copy() for M in C_parts]
+    for M in C_parts:
+        M.eliminate_zeros()
+    return C_parts, n_loops
+
+
+def _dist_loops(sd: _ShardedDual, bs: int):
+    """Per-facet-shard curl-matrix rows (scalar or vector dofs).
+
+    Returns (C_parts, l_starts): CSR rows over the shard's owned facet
+    dofs with GLOBAL loop columns, and the contiguous loop-ownership
+    partition (cycle loops shard-major by owning non-tree facet, plus —
+    for vector dofs — each shard's (dim-1) tangential columns per owned
+    facet). The incidence cycles come from the distributed forest; the
+    scalar flow lift / vector normal-lift + tangential columns are purely
+    local per owned facet (serial build_loops_tree / build_loops_vec).
+    """
+    parent_p, pedge_p, depth_p, intree_p = _dist_forest(sd)
+    Ci_parts, n_loops = _dist_cycles(
+        sd, parent_p, pedge_p, depth_p, intree_p
+    )
+    n_shards = sd.n_shards
+    if bs == 1:
+        if Ci_parts is None:
+            return None, None
+        # cycle-loop ownership partition from _dist_cycles' numbering
+        nt_counts = np.array(
+            [int((~m).sum()) for m in intree_p], dtype=np.int64
+        )
+        l_starts = np.zeros(n_shards + 1, dtype=np.int64)
+        l_starts[1:] = np.cumsum(nt_counts)
+        out = []
+        for s in range(n_shards):
+            fl = sd.flow_parts[s]
+            g = np.where(
+                np.abs(fl) > 1e-300,
+                1.0 / np.where(fl == 0, 1.0, fl),
+                1.0,
+            )
+            out.append((sp.diags(g) @ Ci_parts[s]).tocsr())
+        return out, l_starts
+    # vector dofs: normal lifts of the incidence cycles + per-facet
+    # tangential columns (serial build_loops_vec). Loop columns are
+    # re-numbered CONTIGUOUSLY per owner shard: shard s owns its cycle
+    # loops followed by its (dim-1) * ne_local tangential columns.
+    dim = bs
+    nt_counts = np.array(
+        [int((~m).sum()) for m in intree_p], dtype=np.int64
+    )
+    ne_counts = np.diff(sd.e_starts)
+    own_counts = nt_counts + (dim - 1) * ne_counts
+    l_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    l_starts[1:] = np.cumsum(own_counts)
+    # old cycle-loop id (shard-major by nt_counts) -> new id
+    old_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    old_starts[1:] = np.cumsum(nt_counts)
+    remap = np.zeros(int(old_starts[-1]), dtype=np.int64)
+    for s in range(n_shards):
+        remap[old_starts[s]: old_starts[s + 1]] = l_starts[s] + np.arange(
+            nt_counts[s]
+        )
+    k = np.arange(dim)
+    out = []
+    for s in range(n_shards):
+        rows_l, cols_l, vals_l = [], [], []
+        fl = sd.flow_parts[s]
+        ne_l = len(fl)
+        if Ci_parts is not None and Ci_parts[s].nnz:
+            Cc = Ci_parts[s].tocoo()
+            f2 = (fl * fl).sum(axis=1)
+            g = fl / np.maximum(f2, 1e-300)[:, None]
+            rows_l.append(((Cc.row[:, None]) * dim + k).ravel())
+            cols_l.append(np.repeat(remap[Cc.col], dim))
+            vals_l.append((Cc.data[:, None] * g[Cc.row]).ravel())
+        if ne_l:
+            f2 = (fl * fl).sum(axis=1)
+            nrm = np.sqrt(np.maximum(f2, 1e-300))
+            n_unit = fl / nrm[:, None]
+            e_l = np.arange(ne_l, dtype=np.int64)
+            if dim == 2:
+                tangents = [
+                    np.stack([-n_unit[:, 1], n_unit[:, 0]], axis=1)
+                ]
+            else:
+                a = np.zeros_like(n_unit)
+                small = np.argmin(np.abs(n_unit), axis=1)
+                a[np.arange(ne_l), small] = 1.0
+                t1 = a - (a * n_unit).sum(axis=1)[:, None] * n_unit
+                t1 /= np.maximum(
+                    np.linalg.norm(t1, axis=1), 1e-300
+                )[:, None]
+                t2 = np.cross(n_unit, t1)
+                tangents = [t1, t2]
+            base = l_starts[s] + nt_counts[s]
+            for ti, t_vec in enumerate(tangents):
+                rows_l.append((e_l[:, None] * dim + k).ravel())
+                cols_l.append(
+                    np.repeat(base + ti * ne_l + e_l, dim)
+                )
+                vals_l.append(t_vec.ravel())
+        if not rows_l:
+            out.append(sp.csr_matrix((ne_l * dim, int(l_starts[-1]))))
+            continue
+        out.append(
+            sp.coo_matrix(
+                (
+                    np.concatenate(vals_l),
+                    (np.concatenate(rows_l), np.concatenate(cols_l)),
+                ),
+                shape=(ne_l * dim, int(l_starts[-1])),
+            ).tocsr()
+        )
+    if int(l_starts[-1]) == 0:
+        return None, None
+    return out, l_starts
+
+
+# ---------------------------------------------------------------------------
+# distributed curl-space prolongation smoothing (precond/stokes.
+# _curl_smooth_prol) and the level driver
+# ---------------------------------------------------------------------------
+
+
+def _csr_cols_compress(M: sp.csr_matrix):
+    """(columns present, column-compressed copy) of a CSR block."""
+    cols = (
+        np.unique(M.indices.astype(np.int64))
+        if M.nnz
+        else np.zeros(0, np.int64)
+    )
+    colmap = np.searchsorted(cols, M.indices)
+    return cols, sp.csr_matrix(
+        (M.data, colmap, M.indptr), shape=(M.shape[0], len(cols))
+    )
+
+
+def _dist_spmm_rows(A_parts, row_starts, B_parts, b_starts, ncols_b):
+    """Per-shard (A @ B) rows: gather halo B rows at A's columns."""
+    out = []
+    for s in range(len(A_parts)):
+        A_s = A_parts[s].tocsr()
+        cols, Ac = _csr_cols_compress(A_s)
+        B_halo = _gather_csr_rows(B_parts, b_starts, cols, ncols_b)
+        out.append((Ac @ B_halo).tocsr())
+    return out
+
+
+def _dist_ATB_rows(A_parts, row_starts, B_parts, a_cols_starts, ncols_b):
+    """Owner-routed A^T @ B: per-shard partials reduced to A-column owners.
+
+    ``A_parts``/``B_parts`` share the row partition ``row_starts``; the
+    result rows follow ``a_cols_starts`` (the ownership of A's columns).
+    """
+    ri, cj, vv = [], [], []
+    for s in range(len(A_parts)):
+        M = (A_parts[s].T.tocsr() @ B_parts[s]).tocoo()
+        if M.nnz:
+            ri.append(M.row.astype(np.int64))
+            cj.append(M.col.astype(np.int64))
+            vv.append(M.data)
+    z = np.zeros(0, dtype=np.int64)
+    return _route_coo(
+        a_cols_starts,
+        np.concatenate(ri) if ri else z,
+        np.concatenate(cj) if cj else z,
+        np.concatenate(vv) if vv else np.zeros(0),
+        ncols_b,
+    )
+
+
+def _dist_curl_smooth(sd, C_parts, l_starts, P_parts, nc_dofs, omega):
+    """P += C Y, one damped-Jacobi step in the curl space (distributed).
+
+    Mirrors precond/stokes._curl_smooth_prol: d = diag(C^T A C), rho by
+    power iteration on D^-1 C^T A C, Y = -(omega/rho) D^-1 (C^T A P).
+    The correction stays exactly divergence-free per construction.
+    """
+    n_shards = sd.n_shards
+    # facet-DOF row partition: infer block size from A rows
+    bs = sd.A_parts[0].shape[0] // max(
+        int(sd.e_starts[1] - sd.e_starts[0]), 1
+    )
+    dof_starts = sd.e_starts * bs
+    n_loops = int(l_starts[-1])
+    # AC rows + d = colsum(C .* AC) routed to loop owners
+    AC_parts = _dist_spmm_rows(
+        sd.A_parts, dof_starts, C_parts, dof_starts, n_loops
+    )
+    ri, vv = [], []
+    for s in range(n_shards):
+        M = C_parts[s].multiply(AC_parts[s]).tocoo()
+        if M.nnz:
+            ri.append(M.col.astype(np.int64))
+            vv.append(M.data)
+    z = np.zeros(0, dtype=np.int64)
+    d_parts = _reduce_nd(
+        l_starts,
+        np.concatenate(ri) if ri else z,
+        np.concatenate(vv) if vv else np.zeros(0),
+    )
+    dinv_parts = [
+        np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
+        for d in d_parts
+    ]
+    # rho(D^-1 C^T A C) via power iteration (serial seeds/iters)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n_loops)
+    lam = 2.0
+    for _ in range(8):
+        # y = dinv * C^T A C x: Cx rows live on facet owners; the A
+        # product gathers halo Cx values
+        y = np.zeros(n_loops)
+        Cx_parts = [C_parts[s] @ x for s in range(n_shards)]
+        ACx_parts = []
+        for s in range(n_shards):
+            A_s = sd.A_parts[s].tocsr()
+            xj = _gather(Cx_parts, dof_starts, A_s.indices.astype(np.int64))
+            rows_l = np.repeat(
+                np.arange(A_s.shape[0], dtype=np.int64),
+                np.diff(A_s.indptr),
+            )
+            ACx_parts.append(
+                np.bincount(
+                    rows_l, weights=A_s.data * xj, minlength=A_s.shape[0]
+                )
+            )
+        ri2, vv2 = [], []
+        for s in range(n_shards):
+            M = C_parts[s].tocsr()
+            rows_l = np.repeat(
+                np.arange(M.shape[0], dtype=np.int64), np.diff(M.indptr)
+            )
+            contrib = M.data * ACx_parts[s][rows_l]
+            ri2.append(M.indices.astype(np.int64))
+            vv2.append(contrib)
+        cty = _reduce_nd(
+            l_starts,
+            np.concatenate(ri2) if ri2 else z,
+            np.concatenate(vv2) if vv2 else np.zeros(0),
+        )
+        for s in range(n_shards):
+            y[l_starts[s]: l_starts[s + 1]] = dinv_parts[s] * cty[s]
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            break
+        lam = nrm
+        x = y / nrm
+    scale = omega / max(lam, 1e-12)
+    # Y = -scale * D^-1 (C^T A P), rows owned by loop owners
+    AP_parts = _dist_spmm_rows(
+        sd.A_parts, dof_starts, P_parts, dof_starts, nc_dofs
+    )
+    Y_parts = _dist_ATB_rows(
+        C_parts, dof_starts, AP_parts, l_starts, nc_dofs
+    )
+    Y_parts = [
+        (sp.diags(-scale * dinv_parts[s]) @ Y_parts[s]).tocsr()
+        for s in range(n_shards)
+    ]
+    # P += C Y (gather halo Y rows at C's loop columns)
+    CY_parts = _dist_spmm_rows(
+        C_parts, dof_starts, Y_parts, l_starts, nc_dofs
+    )
+    return [
+        (P_parts[s] + CY_parts[s]).tocsr() for s in range(n_shards)
+    ]
+
+
+def dist_stokes_levels(
+    A: sp.csr_matrix,
+    mesh0: AlgebraicMesh,
+    bs: int,
+    opts: AMGOptions,
+    n_shards: int,
+):
+    """Build the Stokes level list from sharded inputs (serial-equal).
+
+    Mirrors precond/stokes.StokesAMG.setup's level loop; returns the same
+    assembled `StokesLevel` list (the staging step before device
+    placement, like dist_setup.dist_setup_levels).
+    """
+    from .dist_setup import _dist_rap
+
+    lc = opts.levels
+    sd = _shard_level0(mesh0, A, bs, n_shards)
+    levels: list[st.StokesLevel] = []
+    lvl = 0
+    while True:
+        mesh = sd.assemble_mesh()
+        cap = st.StokesLevel(
+            A=sp.vstack(sd.A_parts, format="csr"), mesh=mesh
+        )
+        C_parts, l_starts = _dist_loops(sd, bs)
+        cap.C = (
+            None
+            if C_parts is None
+            else sp.vstack(C_parts, format="csr")
+        )
+        levels.append(cap)
+        if (
+            lvl + 1 >= lc.max_levels
+            or mesh.ne * bs <= lc.max_coarse_size
+            or mesh.nv <= 8
+        ):
+            break
+        v2agg_parts, c_starts = _dist_coarsen_cells(sd)
+        n_agg = int(c_starts[-1])
+        if n_agg >= lc.min_coarsen_ratio * mesh.nv:
+            break
+        (ce_starts, cedges_parts, ci_parts, cj_parts,
+         e2ce_parts) = _dist_map_edges(sd, v2agg_parts, c_starts)
+        csd = _dist_map_mesh(
+            sd, v2agg_parts, c_starts, ce_starts, cedges_parts,
+            ci_parts, e2ce_parts,
+        )
+        if bs == 1:
+            P_parts = _dist_flow_prol(
+                sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts
+            )
+        else:
+            P_parts = _dist_flow_prol_vec(
+                sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts
+            )
+        if (
+            ProlType(opts.prol.type.get(lvl)) == ProlType.SMOOTHED
+            and C_parts is not None
+        ):
+            P_parts = _dist_curl_smooth(
+                sd, C_parts, l_starts, P_parts, csd.ne * bs,
+                float(opts.prol.omega.get(lvl)),
+            )
+        cap.P = sp.vstack(P_parts, format="csr")
+        cap.v2agg = np.concatenate(v2agg_parts)
+        Ac_parts = _dist_rap(
+            sd.A_parts, sd.e_starts * bs, P_parts, ce_starts * bs
+        )
+        Ac = sp.vstack(Ac_parts, format="csr")
+        Ac = ((Ac + Ac.T) * 0.5).tocsr()
+        Ac = Ac.astype(np.float32).astype(np.float64)  # serial f32 parity
+        csd.A_parts = [
+            Ac[ce_starts[t] * bs: ce_starts[t + 1] * bs]
+            for t in range(n_shards)
+        ]
+        sd = csd
+        lvl += 1
+    return levels

@@ -108,6 +108,23 @@ class StokesAMG:
         opts = self.options
         lc = opts.levels
         bs = self.facet_bs
+        if opts.dist_setup > 1:
+            # distributed (shard-local) Stokes setup — parallel/
+            # dist_stokes.py. Lattice dual meshes keep the serial path
+            # (serial coarsen_cells takes the structured lattice
+            # coarsener there, a different algorithm by design).
+            from ..coarsen.lattice import lattice_aggregate
+
+            if lattice_aggregate(self.mesh0.vertex_data["pos"]) is None:
+                from ..parallel.dist_stokes import dist_stokes_levels
+
+                self.setup_levels_ = dist_stokes_levels(
+                    self.A_host, self.mesh0, bs, opts, opts.dist_setup
+                )
+                self._compile_device()
+                self.setup_time = time.perf_counter() - t0
+                self._is_setup = True
+                return self
         levels: list[st.StokesLevel] = []
         A, mesh = self.A_host, self.mesh0
         lvl = 0

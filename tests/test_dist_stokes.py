@@ -1,0 +1,195 @@
+"""Distributed Stokes setup vs serial setup (parallel/dist_stokes.py).
+
+Completes the distributed-setup parity suite (test_dist_setup.py for H1,
+dist-elasticity tests) for the Stokes family: hierarchies built from
+cell-/facet-sharded inputs must reproduce the serial hierarchy — bitwise
+on aggregates and coarse-edge numbering, to fp roundoff on operators and
+prolongations (under the piecewise prolongation; the smoothed variant
+uses the distributed loop basis, which spans the same ker(D) but is a
+different basis, so there parity is convergence-level).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ngsamg_tpu import AMGOptions, SpecOpt
+from ngsamg_tpu.apps import stokes as st
+from ngsamg_tpu.config import ProlType
+from ngsamg_tpu.parallel.dist_stokes import dist_stokes_levels
+from ngsamg_tpu.precond.stokes import StokesAMG
+from ngsamg_tpu.utils.stokes_fem import stokes_cr, stokes_tri
+
+
+def _serial_levels(prob, opts):
+    pc = StokesAMG(
+        prob.A,
+        cell_pos=prob.cell_pos,
+        cell_vol=prob.cell_vol,
+        facet_cells=prob.facet_cells,
+        facet_flow=prob.facet_flow,
+        options=opts,
+    ).setup()
+    return pc
+
+
+def _div_op(mesh, bs):
+    """Flow-weighted divergence of a level's dual mesh."""
+    e = mesh.edges
+    fl = mesh.edge_data["flow"]
+    if bs == 1:
+        rows = np.concatenate([e[:, 0], e[:, 1]])
+        cols = np.concatenate([np.arange(mesh.ne)] * 2)
+        vals = np.concatenate([fl, -fl])
+        return sp.coo_matrix((vals, (rows, cols)),
+                             shape=(mesh.nv, mesh.ne)).tocsr()
+    dim = fl.shape[1]
+    dofs = (np.arange(mesh.ne)[:, None] * dim + np.arange(dim)).ravel()
+    rows = np.concatenate(
+        [np.repeat(e[:, 0], dim), np.repeat(e[:, 1], dim)]
+    )
+    cols = np.concatenate([dofs, dofs])
+    vals = np.concatenate([fl.ravel(), -fl.ravel()])
+    return sp.coo_matrix(
+        (vals, (rows, cols)), shape=(mesh.nv, mesh.ne * dim)
+    ).tocsr()
+
+
+@pytest.mark.parametrize("n_shards", [2, 3])
+def test_dist_stokes_scalar_piecewise_parity(n_shards):
+    p, _ = stokes_tri(10, dim=2, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 60
+    opts.prol.type = SpecOpt(ProlType.PIECEWISE)
+    pc = _serial_levels(p, opts)
+    d_levels = dist_stokes_levels(
+        pc.A_host, pc.mesh0, 1, opts, n_shards
+    )
+    s_levels = pc.setup_levels_
+    assert len(s_levels) == len(d_levels)
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        assert sl.mesh.nv == dl.mesh.nv, f"level {i} nv"
+        assert sl.mesh.ne == dl.mesh.ne, f"level {i} ne"
+        if sl.v2agg is not None:
+            np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+            np.testing.assert_array_equal(sl.mesh.edges, dl.mesh.edges)
+        if i > 0:
+            np.testing.assert_allclose(
+                sl.mesh.edge_data["flow"], dl.mesh.edge_data["flow"],
+                rtol=1e-12, atol=1e-14,
+            )
+            np.testing.assert_allclose(
+                sl.mesh.vertex_data["vol"], dl.mesh.vertex_data["vol"],
+                rtol=1e-12,
+            )
+        if sl.P is not None:
+            dP = abs(sl.P - dl.P)
+            assert dP.max() < 1e-11, f"level {i} P differs {dP.max():.2e}"
+        scale = max(abs(sl.A).max(), 1e-300)
+        dA = abs(sl.A - dl.A).max()
+        assert dA < 1e-5 * scale, f"level {i} A differs {dA:.2e}"
+
+
+@pytest.mark.parametrize("n_shards", [3])
+def test_dist_stokes_vector_piecewise_parity(n_shards):
+    p, _ = stokes_cr(8, dim=2, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 80
+    opts.prol.type = SpecOpt(ProlType.PIECEWISE)
+    pc = _serial_levels(p, opts)
+    d_levels = dist_stokes_levels(
+        pc.A_host, pc.mesh0, pc.facet_bs, opts, n_shards
+    )
+    s_levels = pc.setup_levels_
+    assert pc.facet_bs == 2
+    assert len(s_levels) == len(d_levels)
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        if sl.v2agg is not None:
+            np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+        if sl.P is not None:
+            dP = abs(sl.P - dl.P)
+            assert dP.max() < 1e-10, f"level {i} P differs {dP.max():.2e}"
+        scale = max(abs(sl.A).max(), 1e-300)
+        dA = abs(sl.A - dl.A).max()
+        assert dA < 1e-5 * scale, f"level {i} A differs {dA:.2e}"
+
+
+@pytest.mark.parametrize("dim,gen,bs", [(2, stokes_tri, 1),
+                                        (2, stokes_cr, 2)])
+def test_dist_stokes_loops_span_kernel(dim, gen, bs):
+    """The distributed loop basis spans exactly ker(D) on every level."""
+    p = gen(8, dim=dim, alpha=10.0)
+    p = p[0] if isinstance(p, tuple) else p
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 60
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    )
+    d_levels = dist_stokes_levels(pc.A_host, pc.mesh0, bs, opts, 3)
+    assert len(d_levels) >= 2
+    for i, dl in enumerate(d_levels):
+        if dl.C is None:
+            continue
+        D = _div_op(dl.mesh, bs)
+        dmax = np.abs(D @ dl.C).max()
+        fmax = max(np.abs(D.data).max(), 1.0)
+        assert dmax < 1e-10 * fmax, f"level {i}: D C = {dmax:.2e}"
+        # dimension: cycle space + (bs-1) tangential fields per facet
+        ncomp = sp.csgraph.connected_components(
+            st.AlgebraicMesh(
+                nv=dl.mesh.nv, edges=dl.mesh.edges
+            ).edge_graph(),
+            directed=False,
+            return_labels=False,
+        ) if dl.mesh.ne else dl.mesh.nv
+        want = (dl.mesh.ne - dl.mesh.nv + ncomp) + (bs - 1) * dl.mesh.ne
+        rank = np.linalg.matrix_rank(dl.C.toarray())
+        assert rank == dl.C.shape[1] == want, (i, rank, dl.C.shape, want)
+
+
+def test_dist_stokes_solve_end_to_end():
+    """Full StokesAMG through options.dist_setup: smoothed prolongation
+    with the distributed loop basis; convergence matches serial."""
+    p, _ = stokes_tri(12, dim=2, alpha=10.0)
+    opts_s = AMGOptions()
+    opts_s.levels.max_coarse_size = 80
+    pc_s = _serial_levels(p, opts_s)
+    x_s, info_s = pc_s.solve(p.b, tol=1e-8, maxiter=150)
+    assert info_s.converged
+
+    opts_d = AMGOptions(dist_setup=3)
+    opts_d.levels.max_coarse_size = 80
+    pc_d = _serial_levels(p, opts_d)  # takes the dist path internally
+    x_d, info_d = pc_d.solve(p.b, tol=1e-8, maxiter=150)
+    r = np.linalg.norm(p.A @ x_d - p.b) / np.linalg.norm(p.b)
+    assert info_d.converged and r < 1e-7
+    assert info_d.iterations <= info_s.iterations + 10, (
+        info_d.iterations, info_s.iterations,
+    )
+
+
+def test_dist_stokes_vector_solve_end_to_end():
+    """CR (vector facet dof) dist setup incl. the distributed curl-space
+    prolongation smoothing, end to end."""
+    p = stokes_cr(8, dim=2, alpha=10.0)
+    p = p[0] if isinstance(p, tuple) else p
+    opts_s = AMGOptions()
+    opts_s.levels.max_coarse_size = 100
+    pc_s = _serial_levels(p, opts_s)
+    x_s, info_s = pc_s.solve(p.b, tol=1e-8, maxiter=200)
+    assert info_s.converged
+
+    opts_d = AMGOptions(dist_setup=3)
+    opts_d.levels.max_coarse_size = 100
+    pc_d = _serial_levels(p, opts_d)
+    x_d, info_d = pc_d.solve(p.b, tol=1e-8, maxiter=200)
+    r = np.linalg.norm(p.A @ x_d - p.b) / np.linalg.norm(p.b)
+    assert info_d.converged and r < 1e-7
+    assert info_d.iterations <= info_s.iterations + 15, (
+        info_d.iterations, info_s.iterations,
+    )
