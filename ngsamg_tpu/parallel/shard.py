@@ -151,6 +151,26 @@ def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
             color_bounds=sm.color_bounds,
             steps=sm.steps,
         )
+    from ..smoothers.hiptmair import HiptmairSmoother
+
+    if isinstance(sm, HiptmairSmoother):
+        # two-space smoother: C's rows live in the level's (range) row
+        # space and follow its sharding; the potential space (loops) is
+        # its own row space — shard its operator/CT/pot-smoother when the
+        # padded pot dimension divides the mesh, else replicate (the
+        # coarse-level/contraction rule applied to the pot space)
+        n = mesh.devices.size
+        pot_ok = (
+            shard
+            and sm.A_pot.nrows_pad % n == 0
+        )
+        return HiptmairSmoother(
+            range_sm=_shard_smoother(sm.range_sm, mesh, axis, shard),
+            pot_sm=_shard_smoother(sm.pot_sm, mesh, axis, pot_ok),
+            A_pot=_shard_mat(sm.A_pot, mesh, axis, pot_ok),
+            C=_shard_mat(sm.C, mesh, axis, shard),
+            CT=_shard_mat(sm.CT, mesh, axis, pot_ok),
+        )
     if isinstance(sm, GSSmoother):
         # GS shards fine: the coloring is GLOBAL, so rows of one color are
         # mutually independent across shards — simultaneous updates within
