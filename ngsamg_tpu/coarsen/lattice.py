@@ -71,9 +71,17 @@ def detect_lattice_rowmajor(coords: np.ndarray | None):
         if len(c) <= 1:
             m = 1
         else:
-            dv = np.diff(c)
-            neg = np.flatnonzero(dv <= 0)
-            m = int(neg[0]) + 1 if len(neg) else len(c)
+            # blockwise early-exit scan: the first non-increase is at
+            # ~dims[k], so diffing the WHOLE 10M-long slice allocates
+            # 80 MB of fresh pages (slow first-touch faults) for nothing
+            m = len(c)
+            B = 1 << 16
+            for i0 in range(0, len(c) - 1, B):
+                dv = np.diff(c[i0: min(i0 + B + 1, len(c))])
+                neg = np.flatnonzero(dv <= 0)
+                if len(neg):
+                    m = i0 + int(neg[0]) + 1
+                    break
         dims[k] = m
         axes[k] = np.ascontiguousarray(c[:m])
         stride *= m
@@ -83,13 +91,27 @@ def detect_lattice_rowmajor(coords: np.ndarray | None):
         C = coords.reshape(tuple(dims) + (d,))
     except ValueError:
         return None
+    # chunked verification over the leading axis with a reusable scratch
+    # buffer: full-size temporaries (5 x 80 MB per axis at 10M) are all
+    # fresh-page writes, ~15x slower than warm pages on this host
+    tail = int(np.prod([float(m) for m in dims[1:]])) if d > 1 else 1
+    B0 = max(1, int(2_000_000 // max(tail, 1)))
+    buf = np.empty(min(dims[0], B0) * tail, dtype=np.float64)
     for k in range(d):
         shape = [1] * d
         shape[k] = dims[k]
         ref = axes[k].reshape(shape)
         scale = max(float(np.abs(axes[k]).max()), 1.0)
-        if not np.all(np.abs(C[..., k] - ref) <= 1e-9 * scale):
-            return None
+        tol = 1e-9 * scale
+        for i0 in range(0, dims[0], B0):
+            i1 = min(i0 + B0, dims[0])
+            block = C[i0:i1, ..., k]
+            ref_b = ref[i0:i1] if k == 0 else ref[0]
+            out = buf[: block.size].reshape(block.shape)
+            np.subtract(block, ref_b, out=out)
+            np.abs(out, out=out)
+            if float(out.max()) > tol:
+                return None
     return np.asarray(dims, dtype=np.int64)
 
 

@@ -309,19 +309,31 @@ def _stencil_setup(
             return None  # not row-major ordered
     if int(np.prod(dims)) != nv:
         return None
+    op = None
+    offs_u = vals = None
     if isinstance(A, sp.dia_matrix):
-        op = st.from_dia(A, dims)
+        # uniform fast path first: avoids materializing the (noffs, n)
+        # LatticeOp (~1.2 GB of slow first-touch pages at 10M rows)
+        uni = st.uniform_from_dia(A, dims)
+        if uni is not None:
+            offs_u, vals = uni
+        else:
+            op = st.from_dia(A, dims)
+            if op is None:
+                return None
     else:
         op = st.from_csr(A.tocsr(), dims)
-    if op is None:
-        return None
+        if op is None:
+            return None
     # constant-coefficient detection: the whole hierarchy is then
     # clamp-structured and computed on small patches (stencil.ClampedOp)
-    vals = st.detect_uniform(op)
+    if op is not None:
+        vals = st.detect_uniform(op)
+        offs_u = op.offs
     if CoarsenType(opts.coarsen.algo.get(0)) == CoarsenType.AUTO:
         # AUTO requires near-uniform couplings (jump problems need
         # energy-driven matching; same criterion as build_coarse_map)
-        t0 = st._find_zero_offset(op.offs)
+        t0 = st._find_zero_offset(offs_u)
         if vals is not None:
             w = np.abs(np.delete(vals, t0))
         else:  # subsampled: statistically equivalent for a 30x criterion
@@ -339,11 +351,12 @@ def _stencil_setup(
             np.quantile(w, 0.01)
         ):
             return None
-    cur = (
-        st.compress_uniform(op.dims, op.offs, vals)
-        if vals is not None and op.n > 32768
-        else op
-    )
+    if vals is not None and nv > 32768:
+        cur = st.compress_uniform(tuple(int(x) for x in dims), offs_u, vals)
+    elif op is not None:
+        cur = op
+    else:  # small uniform lattice: materialize (cheap at this size)
+        cur = st.synth_uniform(tuple(int(x) for x in dims), offs_u, vals)
 
     def ph_mesh(n):
         return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
@@ -351,10 +364,10 @@ def _stencil_setup(
     log = FactoryLog()
     levels = [
         SetupLevel(
-            index=0, A=A, row_bs=1, mesh=ph_mesh(op.n), stencil=cur
+            index=0, A=A, row_bs=1, mesh=ph_mesh(nv), stencil=cur
         )
     ]
-    log.nvs.append(op.n)
+    log.nvs.append(nv)
     log.nnzs.append(cur.nnz)
     lvl = 0
     # stencil-domain loop for the big levels; once patches stop compressing

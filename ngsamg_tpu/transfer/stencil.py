@@ -218,6 +218,71 @@ def from_dia(A: sp.dia_matrix, dims) -> LatticeOp | None:
     return op
 
 
+def uniform_from_dia(A: sp.dia_matrix, dims):
+    """Detect an exactly-uniform clipped stencil directly on DIA arrays.
+
+    The dominant ingest path (constant-coefficient lattice problems)
+    previously materialized the full (noffs, n) LatticeOp data — ~1.2 GB
+    of FIRST-TOUCH pages at 10M rows, which this host faults in at only
+    ~170 MB/s (measured: the same copies run 15x faster on warm pages).
+    This check reads A.data through ONE reusable row buffer and returns
+    (offs, vals) — the `detect_uniform` result — without ever building
+    the LatticeOp; None when the matrix is not an exactly-uniform clipped
+    lattice stencil (callers fall back to `from_dia`).
+    """
+    dims = tuple(int(x) for x in dims)
+    n = int(np.prod(dims))
+    if A.shape[0] != n:
+        return None
+    offs_lin = np.asarray(A.offsets, dtype=np.int64)
+    order = np.argsort(offs_lin)
+    strides = _strides(dims)
+    d = len(dims)
+    vecs = np.zeros((len(offs_lin), d), dtype=np.int64)
+    rem = offs_lin[order].copy()
+    for k in range(d):
+        o = np.round(rem / strides[k]).astype(np.int64)
+        vecs[:, k] = o
+        rem = rem - o * strides[k]
+    if (rem != 0).any():
+        return None
+    reach = np.abs(vecs).max(axis=0)
+    if any(2 * int(r) + 1 > dims[k] for k, r in enumerate(reach)):
+        return None
+    buf = np.zeros(n, dtype=np.float64)
+    D = buf.reshape(dims)
+    vals = np.empty(len(offs_lin))
+    for t, src in enumerate(order):
+        off = int(offs_lin[src])
+        lo_r, hi_r = max(0, -off), min(n, n - off)
+        buf[:lo_r] = 0.0
+        buf[max(hi_r, 0):] = 0.0
+        if hi_r > lo_r:
+            buf[lo_r:hi_r] = A.data[src, lo_r + off: hi_r + off]
+        sl = []
+        for k, o in enumerate(vecs[t]):
+            lo = max(0, -int(o))
+            hi = dims[k] - max(0, int(o))
+            if hi <= lo:
+                sl = None
+                break
+            sl.append(slice(lo, hi))
+        if sl is not None:
+            box = D[tuple(sl)]
+            v0 = box.flat[0]
+            if not (box == v0).all():
+                return None
+            vals[t] = v0
+        else:
+            vals[t] = 0.0
+        # entries outside the clip box (incl. lattice-wrapping rows) must
+        # be zero — the same validation from_dia does, on slab views
+        probe = LatticeOp(dims=dims, offs=vecs[t: t + 1], data=D[None])
+        if _out_of_range_mass(probe, 0) != 0.0:
+            return None
+    return vecs, vals
+
+
 def _out_of_range_mass(op: LatticeOp, t: int) -> float:
     """Max |data| over cells whose column x+off lies outside the lattice.
 
