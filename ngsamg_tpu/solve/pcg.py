@@ -133,10 +133,17 @@ def pcg(
     done = 0
     # Chunks are dispatched speculatively and the residual scalar is read
     # only every `sync_every` chunks: on remote-TPU tunnels a device->host
-    # sync serializes the pipeline, while dependent async dispatches overlap
-    # (measured: per-chunk syncing is ~15% SLOWER even at 2M DoF where the
-    # speculatively dispatched chunks do wasted work).
-    sync_every = 4 if _is_axon() else 1
+    # sync serializes the pipeline, while dependent async dispatches
+    # overlap (measured: per-chunk syncing is ~15% SLOWER at 2M DoF where
+    # a chunk costs ~30 ms). Speculation only pays while a wasted chunk is
+    # cheaper than the ~26 ms sync it hides: at 10M DoF one chunk is
+    # ~110 ms of V-cycles, so overshooting by 3 chunks burns ~330 ms —
+    # scale the speculation depth down with problem size.
+    if _is_axon():
+        n_rows = int(np.prod(b.shape))
+        sync_every = 4 if n_rows < 4_000_000 else 1
+    else:
+        sync_every = 1
     pending = 0
     while done < maxiter:
         state = _pcg_chunk(op, A, state, tol_abs2, chunk=chunk)

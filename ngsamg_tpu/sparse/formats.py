@@ -139,6 +139,14 @@ class StencilDia:
 
 
 def _stencil_dia_matvec(A: StencilDia, x: jax.Array) -> jax.Array:
+    if (
+        A.nrows >= 32768
+        and x.dtype == jnp.float32
+        and pallas_available()
+    ):
+        from ..ops.stencil_pallas import stencil_matvec_pallas
+
+        return stencil_matvec_pallas(A, x)
     d = len(A.dims)
     xf = x[: A.nrows, 0].reshape(A.dims)
     r = [max(abs(int(o[k])) for o in A.offs) for k in range(d)]
@@ -341,13 +349,21 @@ def dia_from_clamped(
     lin = (cop.offs * strides).sum(axis=1)
     order = np.argsort(lin, kind="stable")
     uniq, first = np.unique(lin[order], return_index=True)
-    data = np.zeros((len(uniq), n_pad), dtype=np.dtype(dtype))
+    # np.empty + per-row assignment: a zeros() prefill writes the whole
+    # (noffs, n_pad) array through slow first-touch faults before the
+    # expansion writes it AGAIN; expanding from a dtype-cast patch keeps
+    # every gather/temp in the (half-width) target dtype
+    dt = np.dtype(dtype)
+    patch_cast = cop.patch.data.astype(dt, copy=False)
+    data = np.empty((len(uniq), n_pad), dtype=dt)
     for u in range(len(uniq)):
         hi = first[u + 1] if u + 1 < len(uniq) else len(order)
-        for t in order[first[u] : hi]:
-            data[u, :n] += cop._expand_field(
-                cop.patch.data[t]
-            ).reshape(-1).astype(np.dtype(dtype), copy=False)
+        ts = order[first[u]: hi]
+        field = patch_cast[ts[0]][np.ix_(*cop.maps)].reshape(-1)
+        for t in ts[1:]:
+            field = field + patch_cast[t][np.ix_(*cop.maps)].reshape(-1)
+        data[u, :n] = field
+        data[u, n:] = 0
     return DiaMatrix(
         data=data if stage else jnp.asarray(data),
         offsets=tuple(int(o) for o in uniq),
