@@ -111,7 +111,11 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
     if isinstance(A, (LatticeProlongation, LatticeRestriction)):
         import dataclasses as _dc
 
-        rows2 = NamedSharding(mesh, P(axis, None)) if shard else repl
+        rows2 = (
+            NamedSharding(mesh, P(axis, None))
+            if shard and A.Dinv.shape[0] != 1
+            else repl
+        )
         return _dc.replace(
             A,
             A=_shard_mat(A.A, mesh, axis, shard),
@@ -129,13 +133,20 @@ def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
         else NamedSharding(mesh, P())
     )
     repl = NamedSharding(mesh, P())
+
+    def dinv_sh(Dinv):
+        # broadcast-scalar Dinv (uniform stencil levels) replicates
+        return repl if Dinv.shape[0] == 1 else rows3
+
     if isinstance(sm, JacobiSmoother):
         return JacobiSmoother(
-            Dinv=_put(sm.Dinv, rows3), omega=sm.omega, steps=sm.steps
+            Dinv=_put(sm.Dinv, dinv_sh(sm.Dinv)),
+            omega=sm.omega,
+            steps=sm.steps,
         )
     if isinstance(sm, ChebyshevSmoother):
         return ChebyshevSmoother(
-            Dinv=_put(sm.Dinv, rows3),
+            Dinv=_put(sm.Dinv, dinv_sh(sm.Dinv)),
             lam_max=_put(sm.lam_max, repl),
             lam_min=_put(sm.lam_min, repl),
             order=sm.order,

@@ -476,15 +476,27 @@ class AMGPreconditioner:
                     )
 
                     meta = lev.lattice_transfer
-                    d = (
-                        lev.stencil.diagonal()
+                    cd = (
+                        lev.stencil.constant_diagonal()
                         if lev.stencil is not None
-                        else lev.A.diagonal()
+                        else None
                     )
-                    dinv = np.zeros(nf_pad, dtype=np.dtype(self.dtype))
-                    dinv[: len(d)] = np.where(
-                        d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0
-                    )
+                    if cd is not None and cd > 0:
+                        # broadcast scalar: uniform level (pad rows stay
+                        # zero because A's matvec zeroes its tail)
+                        dinv = np.full(
+                            1, 1.0 / cd, dtype=np.dtype(self.dtype)
+                        )
+                    else:
+                        d = (
+                            lev.stencil.diagonal()
+                            if lev.stencil is not None
+                            else lev.A.diagonal()
+                        )
+                        dinv = np.zeros(nf_pad, dtype=np.dtype(self.dtype))
+                        dinv[: len(d)] = np.where(
+                            d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0
+                        )
                     if isinstance(A_fmts[i], formats.StencilDia):
                         placeholder = A_fmts[i]  # tiny: no re-point needed
                     else:

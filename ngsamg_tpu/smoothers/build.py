@@ -105,6 +105,27 @@ def build_smoother(
     if stencil is not None:
         if bs != 1:
             raise ValueError("stencil levels are scalar")
+        if kind in (SmootherType.JACOBI, SmootherType.CHEBYSHEV):
+            # uniform levels: broadcast-scalar Dinv (skips expanding the
+            # full diagonal — 80 MB of f64 staging at 10M rows — and all
+            # of its transfer/per-sweep HBM traffic)
+            cd = stencil.constant_diagonal()
+            if cd is not None and cd > 0:
+                Dinv1 = np.full((1, 1, 1), 1.0 / cd, dtype=np.dtype(dtype))
+                if kind == SmootherType.JACOBI:
+                    return JacobiSmoother(
+                        Dinv=Dinv1,
+                        omega=float(opts.omega.get(level)) * 0.5,
+                        steps=max(steps, 1),
+                    )
+                lam_max = stencil.power_lam()
+                lam_min = float(opts.cheby_lower.get(level)) * lam_max
+                return ChebyshevSmoother(
+                    Dinv=Dinv1,
+                    lam_max=np.asarray(lam_max, dtype=np.dtype(dtype)),
+                    lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
+                    order=int(opts.cheby_order.get(level)),
+                )
         nv = stencil.n
         D = stencil.diagonal().reshape(-1, 1, 1)
     else:

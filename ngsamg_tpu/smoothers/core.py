@@ -31,7 +31,15 @@ from ..sparse.formats import matvec
 
 
 def _block_mul(Dinv: jax.Array, r: jax.Array) -> jax.Array:
-    """(n, bs, bs) x (n, bs) batched block multiply."""
+    """(n, bs, bs) x (n, bs) batched block multiply.
+
+    A leading dimension of 1 broadcasts one block over every row — the
+    constant-diagonal fast path of uniform stencil levels.
+    """
+    if Dinv.shape[0] == 1 and r.shape[0] != 1:
+        return jnp.einsum(
+            "ij,nj->ni", Dinv[0], r, preferred_element_type=Dinv.dtype
+        )
     return jnp.einsum(
         "nij,nj->ni", Dinv, r, preferred_element_type=Dinv.dtype
     )

@@ -83,6 +83,20 @@ class LatticeOp:
         )
         return s.reshape(-1)
 
+    def constant_diagonal(self) -> float | None:
+        """The diagonal value when it is constant over the lattice.
+
+        Uniform clipped stencils keep a constant diagonal everywhere
+        (clipping removes off-diagonal terms only): smoothers and the
+        implicit lattice transfers can then use a broadcast scalar
+        instead of an (n,) inverse-diagonal array — at 10M rows that
+        array is 40 MB of host staging + transfer + per-sweep HBM reads.
+        """
+        t0 = _find_zero_offset(self.offs)
+        d0 = self.data[t0]
+        v = d0.flat[0]
+        return float(v) if bool((d0 == v).all()) else None
+
     def matvec(self, v: np.ndarray) -> np.ndarray:
         V = v.reshape(self.dims)
         y = np.zeros_like(V)
@@ -590,6 +604,9 @@ class ClampedOp:
             self.patch.data[_find_zero_offset(self.patch.offs)]
         )
         return self._expand_field(s).reshape(-1)
+
+    def constant_diagonal(self) -> float | None:
+        return self.patch.constant_diagonal()
 
 
 def expand(cop: ClampedOp) -> LatticeOp:
