@@ -88,13 +88,120 @@ def _dia_matvec_call(data2d, xflat, offsets, n_pad, pl_rows, xp_rows):
     return y.reshape(n_pad)
 
 
+def _roll_rows(rows, lane, s, nrows_out):
+    """rolled[i, j] = rows[i + (j + s) // LANES, (j + s) % LANES]."""
+    if s == 0:
+        return rows[:nrows_out]
+    rolled = pltpu.roll(rows, np.int32(LANES - s), axis=1)
+    return jnp.where(
+        lane < LANES - s, rolled[:nrows_out], rolled[1: nrows_out + 1]
+    )
+
+
+def _dia_sym_kernel(
+    offsets, pl_rows, tile_rows, n, d2_ref, d1_ref, dc_ref, x_ref, o_ref
+):
+    """Symmetric half-storage tile: offsets are the NON-NEGATIVE half.
+
+    The minus-direction term uses A[g, g-o] = A[g-o, g] = data_o[g-o]:
+    the positive diagonal's array read with a backward shift, streamed
+    through a two-tile-deep data halo (d2/d1 = blocks i-2/i-1, clamped;
+    the clamp keeps trailing window slots aligned for the first tiles,
+    and rows the clamp garbles are exactly the g < o masked ones).
+    """
+    i = pl.program_id(0)
+    r0 = i * tile_rows
+    acc = jnp.zeros((tile_rows, LANES), dtype=o_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    g = (r0 + row) * LANES + lane
+    win_d = jnp.concatenate([d2_ref[:], d1_ref[:], dc_ref[:]], axis=1)
+    for d, off in enumerate(offsets):
+        # + direction: y[g] += data[d, g] * x[g + off]
+        eff = off + pl_rows * LANES
+        q, s = divmod(eff, LANES)
+        xs = _roll_rows(
+            x_ref[pl.ds(r0 + q, tile_rows + 1), :], lane, s, tile_rows
+        )
+        acc = acc + dc_ref[d] * xs
+        if off == 0:
+            continue
+        # - direction: y[g] += data[d, g - off] * x[g - off]  (g >= off)
+        eff_x = pl_rows * LANES - off  # >= 0: pl_rows covers -off_max
+        qx, sx = divmod(eff_x, LANES)
+        xs2 = _roll_rows(
+            x_ref[pl.ds(r0 + qx, tile_rows + 1), :], lane, sx, tile_rows
+        )
+        eff_d = 2 * tile_rows * LANES - off  # window-relative position
+        qd, sd = divmod(eff_d, LANES)
+        ds_ = _roll_rows(
+            win_d[d, qd: qd + tile_rows + 1, :], lane, sd, tile_rows
+        )
+        acc = acc + jnp.where(g >= off, ds_ * xs2, 0)
+    o_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n_pad", "pl_rows", "xp_rows", "n")
+)
+def _dia_sym_matvec_call(
+    data2d, xflat, offsets, n_pad, pl_rows, xp_rows, n
+):
+    """Half-storage DIA matvec: data2d holds the offsets >= 0 rows only."""
+    ndiag = data2d.shape[0]
+    nrows = n_pad // LANES
+    xp = jnp.pad(
+        xflat, (pl_rows * LANES, xp_rows * LANES - n_pad - pl_rows * LANES)
+    )
+    X = xp.reshape(xp_rows, LANES)
+    D = data2d.reshape(ndiag, nrows, LANES)
+    ntiles = nrows // ROWS_PER_TILE
+
+    kern = functools.partial(
+        _dia_sym_kernel, offsets, pl_rows, ROWS_PER_TILE, n
+    )
+
+    def dspec(k):
+        return pl.BlockSpec(
+            (ndiag, ROWS_PER_TILE, LANES),
+            lambda i, _k=k: (0, jnp.maximum(i - _k, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    y = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            dspec(2),
+            dspec(1),
+            dspec(0),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS_PER_TILE, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nrows, LANES), data2d.dtype),
+    )(D, D, D, X)
+    return y.reshape(n_pad)
+
+
 def dia_matvec_pallas(A, x: jax.Array) -> jax.Array:
     """Pallas DIA matvec for a :class:`ngsamg_tpu.sparse.formats.DiaMatrix`.
 
     ``A.nrows_pad`` must be a multiple of LANES * ROWS_PER_TILE; x is the
-    (nrows_pad, 1) block vector.
+    (nrows_pad, 1) block vector. ``sym_half`` matrices store only the
+    offsets >= 0 diagonals (exact symmetry verified at construction).
     """
     n_pad = A.nrows_pad
+    if getattr(A, "sym_half", False):
+        off_max = max(A.offsets)
+        pl_rows = (off_max + LANES - 1) // LANES  # covers -off_max
+        xp_rows = pl_rows + n_pad // LANES + pl_rows + 1
+        y = _dia_sym_matvec_call(
+            A.data, x[:, 0], A.offsets, n_pad, pl_rows, xp_rows, A.nrows
+        )
+        return y[:, None]
     off_min = min(A.offsets)
     off_max = max(A.offsets)
     pl_rows = max(0, -(off_min // LANES))  # left pad, whole rows

@@ -85,6 +85,8 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
             offsets=A.offsets,
             nrows=A.nrows,
             nrows_pad=A.nrows_pad,
+            use_pallas=A.use_pallas and not shard,
+            sym_half=A.sym_half,
         )
     if isinstance(A, StencilDia):
         # scalar stencil values are tiny — replicate; the n-d shift matvec

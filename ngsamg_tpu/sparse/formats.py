@@ -38,7 +38,7 @@ from . import bell as _bell
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data"],
-    meta_fields=["offsets", "nrows", "nrows_pad", "use_pallas"],
+    meta_fields=["offsets", "nrows", "nrows_pad", "use_pallas", "sym_half"],
 )
 @dataclass(frozen=True)
 class DiaMatrix:
@@ -48,6 +48,11 @@ class DiaMatrix:
     dimension is padded to ``nrows_pad``. Vectors are (nrows_pad, 1) block
     vectors like everywhere else. With ``use_pallas`` the matvec runs as the
     fused single-pass kernel in :mod:`ngsamg_tpu.ops.dia_pallas`.
+
+    ``sym_half``: only the offsets >= 0 diagonals are stored; the minus
+    direction is read from the positive arrays by exact symmetry
+    (data[-o][i] = data[o][i - o], verified at construction) — halves the
+    HBM footprint and host->device shipping of symmetric operators.
     """
 
     data: jax.Array  # (ndiag, nrows_pad)
@@ -55,6 +60,7 @@ class DiaMatrix:
     nrows: int
     nrows_pad: int
     use_pallas: bool = False
+    sym_half: bool = False
 
     @property
     def shape(self):
@@ -206,6 +212,22 @@ def _dia_matvec_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """Shift-and-FMA: one fused VPU loop, no gathers."""
     n = A.nrows_pad
     xf = x[:, 0]
+    if A.sym_half:
+        hi = max(A.offsets[-1], 0)
+        xp = jnp.pad(xf, (hi, hi))
+        y = jnp.zeros_like(xf)
+        for d, off in enumerate(A.offsets):
+            y = y + A.data[d] * jax.lax.dynamic_slice_in_dim(
+                xp, hi + off, n
+            )
+            if off > 0:
+                # A[i, i-o] = data[o][i-o]; the zero pad of the shifted
+                # data supplies the i < o mask
+                dp = jnp.pad(A.data[d], (hi, hi))
+                y = y + jax.lax.dynamic_slice_in_dim(
+                    dp, hi - off, n
+                ) * jax.lax.dynamic_slice_in_dim(xp, hi - off, n)
+        return y[:, None]
     lo = -min(A.offsets[0], 0)
     hi = max(A.offsets[-1], 0)
     xp = jnp.pad(xf, (lo, hi))
@@ -232,6 +254,9 @@ def pallas_available() -> bool:
 
 # the fused kernel keeps x fully VMEM-resident; cap its size
 _DIA_PALLAS_MAX_ROWS = 2_500_000
+
+# symmetric halving pays off once shipping/residency dominate
+_DIA_SYM_MIN_ROWS = 100_000
 
 
 def dia_from_scipy(
@@ -364,9 +389,35 @@ def dia_from_clamped(
             field = field + patch_cast[t][np.ix_(*cop.maps)].reshape(-1)
         data[u, :n] = field
         data[u, n:] = 0
+    # symmetric halving: drop the negative diagonals when every +-pair
+    # verifies data[-o][o:] == data[o][:-o] exactly (the coarse operators
+    # are explicitly symmetrized) — halves shipping + HBM residency
+    offs_t = tuple(int(o) for o in uniq)
+    if n >= _DIA_SYM_MIN_ROWS and 0 < max(offs_t) <= 16384:
+        neg = {-o: u for u, o in enumerate(offs_t) if o < 0}
+        ok = set(neg) == {o for o in offs_t if o > 0}
+        if ok:
+            for o in neg:
+                up, un = offs_t.index(o), neg[o]
+                if not (
+                    np.array_equal(data[un, o:n], data[up, : n - o])
+                    and not data[un, :o].any()
+                ):
+                    ok = False
+                    break
+        if ok:
+            keep = [u for u, o in enumerate(offs_t) if o >= 0]
+            return DiaMatrix(
+                data=(data[keep] if stage else jnp.asarray(data[keep])),
+                offsets=tuple(o for o in offs_t if o >= 0),
+                nrows=n,
+                nrows_pad=n_pad,
+                use_pallas=bool(use_pallas),
+                sym_half=True,
+            )
     return DiaMatrix(
         data=data if stage else jnp.asarray(data),
-        offsets=tuple(int(o) for o in uniq),
+        offsets=offs_t,
         nrows=n,
         nrows_pad=n_pad,
         use_pallas=bool(use_pallas),

@@ -441,3 +441,74 @@ def test_implicit_lattice_transfer_matches_explicit_P():
     )
     yc = np.asarray(matvec(lev.R, xf_dev))[:nc, 0]
     np.testing.assert_allclose(yc, P_explicit.T @ xf, rtol=1e-4, atol=1e-5)
+
+
+def test_dia_sym_half_matvec_matches_full():
+    """Half-storage symmetric DIA (XLA path) == full-storage matvec."""
+    import jax.numpy as jnp
+
+    from ngsamg_tpu.sparse.formats import DiaMatrix, matvec
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    n_pad = -(-n // 8) * 8
+    offs = (0, 1, 70, 500)
+    data = np.zeros((2 * len(offs) - 1, n_pad))
+    full_offs = tuple(sorted({o for o in offs} | {-o for o in offs}))
+    vals = {o: rng.standard_normal(n) for o in offs}
+    for o in offs:  # clip: A[i, i+o] exists iff i+o < n
+        vals[o][max(n - o, 0):] = 0.0
+    for d, o in enumerate(full_offs):
+        if o >= 0:
+            data[d, :n] = vals[o]
+        else:  # data[-o][i] = data[o][i - o] (exact symmetry), 0 for i<o
+            data[d, -o:n] = vals[-o][: n + o]
+    A_full = DiaMatrix(
+        data=jnp.asarray(data, jnp.float32), offsets=full_offs,
+        nrows=n, nrows_pad=n_pad,
+    )
+    half = np.stack([np.pad(vals[o], (0, n_pad - n)) for o in offs])
+    A_half = DiaMatrix(
+        data=jnp.asarray(half, jnp.float32), offsets=offs,
+        nrows=n, nrows_pad=n_pad, sym_half=True,
+    )
+    x = jnp.asarray(rng.standard_normal((n_pad, 1)), jnp.float32)
+    y_full = matvec(A_full, x)
+    y_half = matvec(A_half, x)
+    np.testing.assert_allclose(
+        np.asarray(y_half), np.asarray(y_full), rtol=2e-6, atol=2e-5
+    )
+
+
+def test_dia_from_clamped_sym_halving_end_to_end():
+    """A big uniform lattice hierarchy halves its DIA levels and still
+    converges identically."""
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.utils import fem
+
+    import ngsamg_tpu.sparse.formats as fmts
+
+    prob = fem.poisson_3d(48)
+    opts = AMGOptions()
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    old = fmts._DIA_SYM_MIN_ROWS
+    fmts._DIA_SYM_MIN_ROWS = 10_000  # let the 47^3 level-1 take the path
+    try:
+        pc = AMGPreconditioner(
+            prob.A, coords=prob.coords, options=opts
+        ).setup()
+    finally:
+        fmts._DIA_SYM_MIN_ROWS = old
+    from ngsamg_tpu.sparse.formats import DiaMatrix
+
+    halved = [
+        l.A for l in pc.op.levels
+        if isinstance(l.A, DiaMatrix) and l.A.sym_half
+    ]
+    assert halved, "no level took the symmetric-half storage path"
+    assert all(min(A.offsets) == 0 for A in halved)
+    x, info = pc.solve(prob.b, tol=1e-8)
+    r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
+    assert info.converged and r < 1e-7
+    assert info.iterations < 25
