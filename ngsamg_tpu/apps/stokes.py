@@ -375,12 +375,16 @@ def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
       324 -> ~30 iterations at alpha=1e3 with/without the tangential
       columns).
 
-    Together the columns span ker(D) exactly.
+    Together the columns span ker(D) exactly. Facets whose flow vector
+    cancelled to zero (coarse oriented sums) carry no flux in ANY
+    direction: they stay out of the cycle graph and contribute ``dim``
+    standard-basis columns instead (their normal is undefined).
     """
-    C = _loops_incidence(mesh)
     flow = mesh.edge_data["flow"]
     ne, dim = flow.shape
     f2 = (flow * flow).sum(axis=1)
+    act = f2 > 1e-300
+    C = _loops_incidence(mesh, active=act)
     nrm = np.sqrt(np.maximum(f2, 1e-300))
     g = flow / np.maximum(f2, 1e-300)[:, None]
     rows_l, cols_l, vals_l = [], [], []
@@ -392,7 +396,7 @@ def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
         cols_l.append(np.repeat(Cc.col, dim))
         vals_l.append((Cc.data[:, None] * g[Cc.row]).ravel())
         nl = C.shape[1]
-    # orthonormal tangent frame per facet (complement of the unit normal)
+    # orthonormal tangent frame per ACTIVE facet (complement of n)
     n_unit = flow / nrm[:, None]
     if dim == 2:
         tangents = [np.stack([-n_unit[:, 1], n_unit[:, 0]], axis=1)]
@@ -406,13 +410,19 @@ def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
         t2 = np.cross(n_unit, t1)
         tangents = [t1, t2]
     k = np.arange(dim)
+    act_e = np.flatnonzero(act)
     for t_vec in tangents:
-        rows_l.append(
-            (np.arange(ne)[:, None] * dim + k).ravel()
-        )
-        cols_l.append(np.repeat(nl + np.arange(ne), dim))
-        vals_l.append(t_vec.ravel())
-        nl += ne
+        rows_l.append((act_e[:, None] * dim + k).ravel())
+        cols_l.append(np.repeat(nl + np.arange(len(act_e)), dim))
+        vals_l.append(t_vec[act_e].ravel())
+        nl += len(act_e)
+    dead = np.flatnonzero(~act)
+    if len(dead):
+        # all dim directions of a flux-free facet lie in ker(D)
+        rows_l.append((dead[:, None] * dim + k).ravel())
+        cols_l.append(nl + np.arange(len(dead) * dim))
+        vals_l.append(np.ones(len(dead) * dim))
+        nl += len(dead) * dim
     if nl == 0:
         return None
     return sp.coo_matrix(
@@ -458,12 +468,37 @@ def _spanning_forest(mesh, v2agg, interior_edges):
 
 
 def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
-    """Flow-scaled fundamental-cycle curl basis (any mesh, scalar dofs)."""
-    C = _loops_incidence(mesh)
-    return None if C is None else _flow_scale(mesh) @ C
+    """Flow-scaled fundamental-cycle curl basis (any mesh, scalar dofs).
+
+    Facets whose (coarse, oriented-sum) flow cancelled to zero carry no
+    flux for ANY dof value: they are flux-free kernel directions of their
+    own and must be EXCLUDED from the cycle graph — a cycle routed
+    through one loses that edge's flux and stops being divergence-free.
+    Each gets a singleton column instead; together with the cycles of the
+    nonzero-flow subgraph the columns span ker(D) exactly.
+    """
+    flow = mesh.edge_data["flow"]
+    act = np.abs(flow) > 1e-300
+    C = _loops_incidence(mesh, active=act)
+    cols = []
+    if C is not None:
+        cols.append(_flow_scale(mesh) @ C)
+    dead = np.flatnonzero(~act)
+    if len(dead):
+        cols.append(
+            sp.coo_matrix(
+                (np.ones(len(dead)), (dead, np.arange(len(dead)))),
+                shape=(mesh.ne, len(dead)),
+            ).tocsr()
+        )
+    if not cols:
+        return None
+    return sp.hstack(cols, format="csr")
 
 
-def _loops_incidence(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+def _loops_incidence(
+    mesh: AlgebraicMesh, active: np.ndarray | None = None
+) -> sp.csr_matrix | None:
     """Fundamental-cycle basis of the dual graph's UNWEIGHTED incidence.
 
     The discrete divergence D is the signed cell-facet incidence operator
@@ -482,6 +517,8 @@ def _loops_incidence(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     edges = mesh.edges
     adj: list[list] = [[] for _ in range(nv)]
     for e in range(ne):
+        if active is not None and not active[e]:
+            continue  # flux-free facets stay out of the cycle graph
         i, j = int(edges[e, 0]), int(edges[e, 1])
         adj[i].append((j, e))
         adj[j].append((i, e))
@@ -508,7 +545,7 @@ def _loops_incidence(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     rows, cols, vals = [], [], []
     nl = 0
     for e in range(ne):
-        if intree[e]:
+        if intree[e] or (active is not None and not active[e]):
             continue
         a, b = int(edges[e, 0]), int(edges[e, 1])
         coef: dict[int, float] = {e: 1.0}  # traversal a -> b

@@ -788,13 +788,15 @@ def _local_bfs_forest(nv_local, v0, intra):
     return parent, pedge, depth, comp, np.asarray(roots, dtype=np.int64), nc
 
 
-def _dist_forest(sd: _ShardedDual):
-    """Global spanning forest over the dual graph, sharded state.
+def _dist_forest(sd: _ShardedDual, act_parts=None):
+    """Global spanning forest over the ACTIVE dual graph, sharded state.
 
     Shard-local BFS forests + a leader-solved quotient spanning tree over
     the components (the reference gathers the processor graph to rank 0
     the same way, grid_contract.cpp:84-98). Returns per-cell-shard
     (parent_g, pedge, depth_global) and per-edge-shard intree masks.
+    ``act_parts`` masks the facets allowed in the forest (flux-free
+    facets stay out of the cycle graph entirely).
     """
     n_shards = sd.n_shards
     # route intra edges to cell shards; keep cross edges
@@ -802,9 +804,12 @@ def _dist_forest(sd: _ShardedDual):
     cross_i, cross_j, cross_e = [], [], []
     for s in range(n_shards):
         e = sd.edges_parts[s]
+        e_g = np.arange(len(e), dtype=np.int64) + sd.e_starts[s]
+        if act_parts is not None:
+            e = e[act_parts[s]]
+            e_g = e_g[act_parts[s]]
         if not len(e):
             continue
-        e_g = np.arange(len(e), dtype=np.int64) + sd.e_starts[s]
         oi = _owner(sd.v_starts, e[:, 0])
         oj = _owner(sd.v_starts, e[:, 1])
         m = oi == oj
@@ -981,16 +986,23 @@ def _dist_forest(sd: _ShardedDual):
 
 
 def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
-                 depth_parts, intree_parts):
+                 depth_parts, intree_parts, act_parts=None):
     """Fundamental-cycle rows via batched climbs with per-round gathers.
 
     Returns (C_parts incidence CSR per facet shard, n_loops). Loop
-    columns are shard-major over the owning (non-tree) facets.
+    columns are shard-major over the owning (active, non-tree) facets.
     """
     n_shards = sd.n_shards
-    # loop numbering: shard-major over non-tree owned edges
+
+    def nontree(s):
+        m = ~intree_parts[s]
+        if act_parts is not None:
+            m = m & act_parts[s]
+        return m
+
+    # loop numbering: shard-major over active non-tree owned edges
     nt_counts = np.array(
-        [int((~m).sum()) for m in intree_parts], dtype=np.int64
+        [int(nontree(s).sum()) for s in range(n_shards)], dtype=np.int64
     )
     loop_starts = np.zeros(n_shards + 1, dtype=np.int64)
     loop_starts[1:] = np.cumsum(nt_counts)
@@ -999,7 +1011,7 @@ def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
         return None, 0
     loops_e, loops_a, loops_b, loops_id = [], [], [], []
     for s in range(n_shards):
-        nt = np.flatnonzero(~intree_parts[s])
+        nt = np.flatnonzero(nontree(s))
         e = sd.edges_parts[s][nt]
         loops_e.append(nt + sd.e_starts[s])
         loops_a.append(e[:, 0])
@@ -1069,56 +1081,99 @@ def _dist_loops(sd: _ShardedDual, bs: int):
     scalar flow lift / vector normal-lift + tangential columns are purely
     local per owned facet (serial build_loops_tree / build_loops_vec).
     """
-    parent_p, pedge_p, depth_p, intree_p = _dist_forest(sd)
-    Ci_parts, n_loops = _dist_cycles(
-        sd, parent_p, pedge_p, depth_p, intree_p
-    )
     n_shards = sd.n_shards
+    # facets whose (coarse oriented-sum) flow cancelled to zero carry no
+    # flux for any dof value: excluded from the cycle graph, each spans
+    # its own flux-free kernel direction(s) — serial build_loops_tree /
+    # build_loops_vec semantics
     if bs == 1:
-        if Ci_parts is None:
-            return None, None
-        # cycle-loop ownership partition from _dist_cycles' numbering
-        nt_counts = np.array(
-            [int((~m).sum()) for m in intree_p], dtype=np.int64
-        )
-        l_starts = np.zeros(n_shards + 1, dtype=np.int64)
-        l_starts[1:] = np.cumsum(nt_counts)
-        out = []
-        for s in range(n_shards):
-            fl = sd.flow_parts[s]
-            g = np.where(
-                np.abs(fl) > 1e-300,
-                1.0 / np.where(fl == 0, 1.0, fl),
-                1.0,
-            )
-            out.append((sp.diags(g) @ Ci_parts[s]).tocsr())
-        return out, l_starts
-    # vector dofs: normal lifts of the incidence cycles + per-facet
-    # tangential columns (serial build_loops_vec). Loop columns are
-    # re-numbered CONTIGUOUSLY per owner shard: shard s owns its cycle
-    # loops followed by its (dim-1) * ne_local tangential columns.
-    dim = bs
-    nt_counts = np.array(
-        [int((~m).sum()) for m in intree_p], dtype=np.int64
+        act_parts = [
+            np.abs(fl) > 1e-300 for fl in sd.flow_parts
+        ]
+    else:
+        act_parts = [
+            (fl * fl).sum(axis=1) > 1e-300 for fl in sd.flow_parts
+        ]
+    parent_p, pedge_p, depth_p, intree_p = _dist_forest(sd, act_parts)
+    Ci_parts, n_cyc = _dist_cycles(
+        sd, parent_p, pedge_p, depth_p, intree_p, act_parts
     )
-    ne_counts = np.diff(sd.e_starts)
-    own_counts = nt_counts + (dim - 1) * ne_counts
-    l_starts = np.zeros(n_shards + 1, dtype=np.int64)
-    l_starts[1:] = np.cumsum(own_counts)
-    # old cycle-loop id (shard-major by nt_counts) -> new id
+    nt_counts = np.array(
+        [
+            int(((~intree_p[s]) & act_parts[s]).sum())
+            for s in range(n_shards)
+        ],
+        dtype=np.int64,
+    )
     old_starts = np.zeros(n_shards + 1, dtype=np.int64)
     old_starts[1:] = np.cumsum(nt_counts)
-    remap = np.zeros(int(old_starts[-1]), dtype=np.int64)
+    dead_counts = np.array(
+        [int((~m).sum()) for m in act_parts], dtype=np.int64
+    )
+    act_counts = np.diff(sd.e_starts) - dead_counts
+    if bs == 1:
+        own_counts = nt_counts + dead_counts
+    else:
+        own_counts = (
+            nt_counts + (bs - 1) * act_counts + bs * dead_counts
+        )
+    l_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    l_starts[1:] = np.cumsum(own_counts)
+    if int(l_starts[-1]) == 0:
+        return None, None
+    # cycle-loop id (shard-major by nt_counts) -> interleaved numbering
+    remap = np.zeros(max(int(old_starts[-1]), 1), dtype=np.int64)
     for s in range(n_shards):
         remap[old_starts[s]: old_starts[s + 1]] = l_starts[s] + np.arange(
             nt_counts[s]
         )
-    k = np.arange(dim)
+    nl_total = int(l_starts[-1])
     out = []
+    if bs == 1:
+        for s in range(n_shards):
+            fl = sd.flow_parts[s]
+            ne_l = len(fl)
+            rows_l, cols_l, vals_l = [], [], []
+            if Ci_parts is not None and Ci_parts[s].nnz:
+                Cc = Ci_parts[s].tocoo()
+                g = np.where(
+                    np.abs(fl) > 1e-300,
+                    1.0 / np.where(fl == 0, 1.0, fl),
+                    1.0,
+                )
+                rows_l.append(Cc.row.astype(np.int64))
+                cols_l.append(remap[Cc.col])
+                vals_l.append(Cc.data * g[Cc.row])
+            dead = np.flatnonzero(~act_parts[s])
+            if len(dead):
+                rows_l.append(dead)
+                cols_l.append(
+                    l_starts[s] + nt_counts[s] + np.arange(len(dead))
+                )
+                vals_l.append(np.ones(len(dead)))
+            if not rows_l:
+                out.append(sp.csr_matrix((ne_l, nl_total)))
+                continue
+            out.append(
+                sp.coo_matrix(
+                    (
+                        np.concatenate(vals_l),
+                        (np.concatenate(rows_l), np.concatenate(cols_l)),
+                    ),
+                    shape=(ne_l, nl_total),
+                ).tocsr()
+            )
+        return out, l_starts
+    # vector dofs: normal lifts of the incidence cycles + per-ACTIVE-facet
+    # tangential columns + per-dead-facet standard basis columns, numbered
+    # CONTIGUOUSLY per owner shard
+    dim = bs
+    k = np.arange(dim)
     for s in range(n_shards):
         rows_l, cols_l, vals_l = [], [], []
         fl = sd.flow_parts[s]
         ne_l = len(fl)
+        act = act_parts[s]
         if Ci_parts is not None and Ci_parts[s].nnz:
             Cc = Ci_parts[s].tocoo()
             f2 = (fl * fl).sum(axis=1)
@@ -1126,11 +1181,11 @@ def _dist_loops(sd: _ShardedDual, bs: int):
             rows_l.append(((Cc.row[:, None]) * dim + k).ravel())
             cols_l.append(np.repeat(remap[Cc.col], dim))
             vals_l.append((Cc.data[:, None] * g[Cc.row]).ravel())
-        if ne_l:
+        act_e = np.flatnonzero(act)
+        if len(act_e):
             f2 = (fl * fl).sum(axis=1)
             nrm = np.sqrt(np.maximum(f2, 1e-300))
             n_unit = fl / nrm[:, None]
-            e_l = np.arange(ne_l, dtype=np.int64)
             if dim == 2:
                 tangents = [
                     np.stack([-n_unit[:, 1], n_unit[:, 0]], axis=1)
@@ -1147,13 +1202,22 @@ def _dist_loops(sd: _ShardedDual, bs: int):
                 tangents = [t1, t2]
             base = l_starts[s] + nt_counts[s]
             for ti, t_vec in enumerate(tangents):
-                rows_l.append((e_l[:, None] * dim + k).ravel())
+                rows_l.append((act_e[:, None] * dim + k).ravel())
                 cols_l.append(
-                    np.repeat(base + ti * ne_l + e_l, dim)
+                    np.repeat(
+                        base + ti * len(act_e) + np.arange(len(act_e)),
+                        dim,
+                    )
                 )
-                vals_l.append(t_vec.ravel())
+                vals_l.append(t_vec[act_e].ravel())
+        dead = np.flatnonzero(~act)
+        if len(dead):
+            base = l_starts[s] + nt_counts[s] + (dim - 1) * len(act_e)
+            rows_l.append((dead[:, None] * dim + k).ravel())
+            cols_l.append(base + np.arange(len(dead) * dim))
+            vals_l.append(np.ones(len(dead) * dim))
         if not rows_l:
-            out.append(sp.csr_matrix((ne_l * dim, int(l_starts[-1]))))
+            out.append(sp.csr_matrix((ne_l * dim, nl_total)))
             continue
         out.append(
             sp.coo_matrix(
@@ -1161,11 +1225,9 @@ def _dist_loops(sd: _ShardedDual, bs: int):
                     np.concatenate(vals_l),
                     (np.concatenate(rows_l), np.concatenate(cols_l)),
                 ),
-                shape=(ne_l * dim, int(l_starts[-1])),
+                shape=(ne_l * dim, nl_total),
             ).tocsr()
         )
-    if int(l_starts[-1]) == 0:
-        return None, None
     return out, l_starts
 
 

@@ -90,6 +90,30 @@ def test_dist_stokes_scalar_piecewise_parity(n_shards):
         assert dA < 1e-5 * scale, f"level {i} A differs {dA:.2e}"
 
 
+def test_dist_stokes_3d_piecewise_parity():
+    """Tet-mesh (3D) scalar facet-flux dist setup == serial."""
+    p, _ = stokes_tri(5, dim=3, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 120
+    opts.prol.type = SpecOpt(ProlType.PIECEWISE)
+    pc = _serial_levels(p, opts)
+    d_levels = dist_stokes_levels(pc.A_host, pc.mesh0, 1, opts, 3)
+    s_levels = pc.setup_levels_
+    assert len(s_levels) == len(d_levels) >= 2
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        if sl.v2agg is not None:
+            np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+        if sl.P is not None:
+            assert abs(sl.P - dl.P).max() < 1e-10, f"level {i} P"
+        scale = max(abs(sl.A).max(), 1e-300)
+        assert abs(sl.A - dl.A).max() < 1e-5 * scale, f"level {i} A"
+        if dl.C is not None:
+            D = _div_op(dl.mesh, 1)
+            assert np.abs(D @ dl.C).max() < 1e-10 * max(
+                np.abs(D.data).max(), 1.0
+            )
+
+
 @pytest.mark.parametrize("n_shards", [3])
 def test_dist_stokes_vector_piecewise_parity(n_shards):
     p, _ = stokes_cr(8, dim=2, alpha=10.0)
@@ -139,15 +163,8 @@ def test_dist_stokes_loops_span_kernel(dim, gen, bs):
         dmax = np.abs(D @ dl.C).max()
         fmax = max(np.abs(D.data).max(), 1.0)
         assert dmax < 1e-10 * fmax, f"level {i}: D C = {dmax:.2e}"
-        # dimension: cycle space + (bs-1) tangential fields per facet
-        ncomp = sp.csgraph.connected_components(
-            st.AlgebraicMesh(
-                nv=dl.mesh.nv, edges=dl.mesh.edges
-            ).edge_graph(),
-            directed=False,
-            return_labels=False,
-        ) if dl.mesh.ne else dl.mesh.nv
-        want = (dl.mesh.ne - dl.mesh.nv + ncomp) + (bs - 1) * dl.mesh.ne
+        # completeness: the columns span ker(D) exactly
+        want = dl.mesh.ne * bs - np.linalg.matrix_rank(D.toarray())
         rank = np.linalg.matrix_rank(dl.C.toarray())
         assert rank == dl.C.shape[1] == want, (i, rank, dl.C.shape, want)
 

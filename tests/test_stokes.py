@@ -549,3 +549,56 @@ def test_stokes_api_export():
     assert pc.GetNLevels() >= 2
     x, info = pc.solve(p.b, tol=1e-8, maxiter=150)
     assert info.converged
+
+
+def test_loops_with_zero_flow_facets_span_kernel():
+    """Facets whose oriented flow sums cancelled to zero must become
+    standalone kernel columns — a cycle routed through one loses its
+    flux (latent until coarse 3D levels produced such facets)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    # small dual mesh with one zero-flow edge on a cycle
+    edges = np.array([[0, 1], [1, 2], [2, 3], [0, 3], [1, 3]])
+    mesh = st.AlgebraicMesh(nv=4, edges=edges)
+    mesh.vertex_data["pos"] = rng.standard_normal((4, 2))
+    mesh.vertex_data["vol"] = np.ones(4)
+    flow = np.array([1.0, 2.0, 0.0, 1.5, -0.7])
+    mesh.edge_data["flow"] = flow
+    C = st.build_loops_tree(mesh)
+    D = sp.coo_matrix(
+        (
+            np.concatenate([flow, -flow]),
+            (
+                np.concatenate([edges[:, 0], edges[:, 1]]),
+                np.concatenate([np.arange(5)] * 2),
+            ),
+        ),
+        shape=(4, 5),
+    ).tocsr()
+    assert np.abs(D @ C).max() < 1e-14
+    want = 5 - np.linalg.matrix_rank(D.toarray())
+    assert np.linalg.matrix_rank(C.toarray()) == C.shape[1] == want
+
+    # vector variant: a zero flow VECTOR must yield dim basis columns
+    mesh.edge_data["flow"] = np.stack(
+        [flow, rng.standard_normal(5) * (flow != 0)], axis=1
+    )
+    Cv = st.build_loops_vec(mesh)
+    fl = mesh.edge_data["flow"]
+    dofs = (np.arange(5)[:, None] * 2 + np.arange(2)).ravel()
+    Dv = sp.coo_matrix(
+        (
+            np.concatenate([fl.ravel(), -fl.ravel()]),
+            (
+                np.concatenate(
+                    [np.repeat(edges[:, 0], 2), np.repeat(edges[:, 1], 2)]
+                ),
+                np.concatenate([dofs, dofs]),
+            ),
+        ),
+        shape=(4, 10),
+    ).tocsr()
+    assert np.abs(Dv @ Cv).max() < 1e-14
+    wantv = 10 - np.linalg.matrix_rank(Dv.toarray())
+    assert np.linalg.matrix_rank(Cv.toarray()) == Cv.shape[1] == wantv
