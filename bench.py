@@ -148,6 +148,49 @@ def main():
             "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
         }
 
+    # Stokes leg (dual-mesh facet AMG, div-preserving prolongation,
+    # spanning-forest loop basis, Hiptmair smoothing — simplicial mesh)
+    stokes = None
+    if os.environ.get("NGSAMG_BENCH_STOKES", "1") != "0":
+        from ngsamg_tpu.precond.stokes import StokesAMG
+        from ngsamg_tpu.utils.stokes_fem import stokes_tri
+
+        sprob, _ = stokes_tri(
+            int(os.environ.get("NGSAMG_BENCH_STOKES_N", "20")),
+            dim=2, alpha=10.0,
+        )
+        sopts = AMGOptions()
+        sopts.levels.max_coarse_size = 80
+        ts_setup = ts_solve = float("inf")
+        for _rep in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            spc = StokesAMG(
+                sprob.A,
+                cell_pos=sprob.cell_pos,
+                cell_vol=sprob.cell_vol,
+                facet_cells=sprob.facet_cells,
+                facet_flow=sprob.facet_flow,
+                options=sopts,
+            ).setup()
+            ts_setup = min(ts_setup, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sx, sinfo = spc.solve(sprob.b, tol=tol, maxiter=150)
+            ts_solve = min(ts_solve, time.perf_counter() - t0)
+        sr = np.linalg.norm(sprob.A @ sx - sprob.b) / np.linalg.norm(
+            sprob.b
+        )
+        stokes = {
+            "n_dof": sprob.A.shape[0],
+            "iterations": int(sinfo.iterations),
+            "relres": float(sr),
+            "converged": bool(sinfo.converged and sr < 10 * tol),
+            "setup_s": round(ts_setup, 3),
+            "solve_s": round(ts_solve, 3),
+            "dofs_per_s": round(
+                sprob.A.shape[0] / (ts_setup + ts_solve), 1
+            ),
+        }
+
     # GS leg (the parity-default smoother: color-sorted sweeps)
     gs = None
     if os.environ.get("NGSAMG_BENCH_GS", "1") != "0":
@@ -202,12 +245,13 @@ def main():
             "tol": tol,
             "unstructured": unstructured,
             "elasticity": elasticity,
+            "stokes": stokes,
             "gs": gs,
         },
     }
     print(json.dumps(result))
     ok = result["extra"]["converged"]
-    for leg in (unstructured, elasticity, gs):
+    for leg in (unstructured, elasticity, stokes, gs):
         ok = ok and (leg is None or leg["converged"])
     return 0 if ok else 1
 
