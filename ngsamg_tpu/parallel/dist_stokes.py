@@ -1460,3 +1460,583 @@ def dist_stokes_levels(
         sd = csd
         lvl += 1
     return levels
+
+
+# ---------------------------------------------------------------------------
+# distributed HDiv variant: variable facet DOFs + preserved vectors
+# (serial apps/stokes_hdiv.preserved_prolongation; reference
+# /root/reference/src/stokes/hdiv/preserved_vectors.hpp computeCoarseBasis)
+# ---------------------------------------------------------------------------
+
+
+def _dist_preserved_prol(
+    sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts,
+    cnt_parts, V_parts, Pflux_parts, rank_tol=1e-10,
+):
+    """Distributed preserved-vector prolongation.
+
+    Sharded inputs: per-facet dof counts ``cnt_parts`` and preserved-
+    vector rows ``V_parts`` (dof rows live with their facet's owner),
+    plus the scalar flux prolongation rows ``Pflux_parts``. Coarse-facet
+    bases are OWNER-COMPUTED (the coarse facet's owner gathers its fine
+    members' higher-dof preserved restrictions, takes the rank-revealing
+    SVD, and routes the basis block back to the fine-dof owners); the
+    per-aggregate interior fits/cycle corrections run at the aggregate
+    owners — the reference's master-decides + scatter pattern.
+
+    Returns (P_parts over fine-dof rows, cnt_c_parts, Vc_parts).
+    """
+    n_shards = sd.n_shards
+    ne_c = csd.ne
+    ce_starts = csd.e_starts
+    m = V_parts[0].shape[1]
+    z = np.zeros(0, dtype=np.int64)
+
+    # global dof offsets per shard (fine)
+    loc_nd = np.array(
+        [int(c.sum()) for c in cnt_parts], dtype=np.int64
+    )
+    dof_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    dof_starts[1:] = np.cumsum(loc_nd)
+    off_parts = []  # per shard: local facet -> GLOBAL first dof
+    for s in range(n_shards):
+        o = np.zeros(len(cnt_parts[s]) + 1, dtype=np.int64)
+        o[1:] = np.cumsum(cnt_parts[s])
+        off_parts.append(o[:-1] + dof_starts[s])
+
+    # --- route member higher-dof restrictions to coarse-facet owners ----
+    mem_ce, mem_e, mem_cnt = [], [], []
+    hi_ce, hi_dof, hi_V = [], [], []
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        sel = np.flatnonzero(e2 >= 0)
+        mem_ce.append(e2[sel])
+        mem_e.append(sel + sd.e_starts[s])
+        mem_cnt.append(cnt_parts[s][sel])
+        for t in sel:  # higher dofs of each member facet
+            c = int(cnt_parts[s][t])
+            if c <= 1:
+                continue
+            g0 = off_parts[s][t]
+            l0 = g0 - dof_starts[s]
+            hi_ce.append(np.full(c - 1, e2[t], dtype=np.int64))
+            hi_dof.append(np.arange(g0 + 1, g0 + c))
+            hi_V.append(V_parts[s][l0 + 1: l0 + c])
+    hi_ce = np.concatenate(hi_ce) if hi_ce else z
+    hi_dof = np.concatenate(hi_dof) if hi_dof else z
+    hi_V = (
+        np.concatenate(hi_V) if len(hi_ce) else np.zeros((0, m))
+    )
+    own_hi = _owner(ce_starts, hi_ce)
+    hi_parts = _route(own_hi, n_shards, hi_ce, hi_dof, hi_V)
+
+    # --- per-coarse-facet SVD bases at the owners -----------------------
+    cnt_c_parts, basis_info = [], []
+    tri_r, tri_c_local, tri_v = [], [], []  # (fine dof, LOCAL c-dof slot, val)
+    coords_parts = []  # per shard: per local ce: (k, m) coords
+    for t in range(n_shards):
+        ces, dofs_g, Vh = hi_parts[t]
+        nloc = int(ce_starts[t + 1] - ce_starts[t])
+        cnt_c = np.ones(nloc, dtype=np.int64)
+        coords = [None] * nloc
+        blocks = [None] * nloc
+        order = np.argsort(dofs_g, kind="stable")  # serial member order
+        ces, dofs_g, Vh = ces[order], dofs_g[order], Vh[order]
+        for ce_l in range(nloc):
+            mset = ces == (ce_l + ce_starts[t])
+            if not mset.any():
+                continue
+            W = Vh[mset]
+            U, sv, _vt = np.linalg.svd(W, full_matrices=False)
+            k = int(
+                (sv > rank_tol * max(
+                    sv[0] if len(sv) else 0.0, 1e-300
+                )).sum()
+            )
+            if k == 0:
+                continue
+            B = U[:, :k]
+            cnt_c[ce_l] += k
+            blocks[ce_l] = (dofs_g[mset], B)
+            coords[ce_l] = B.T @ W
+        cnt_c_parts.append(cnt_c)
+        coords_parts.append(coords)
+        basis_info.append(blocks)
+
+    # coarse dof offsets (global)
+    loc_ndc = np.array(
+        [int(c.sum()) for c in cnt_c_parts], dtype=np.int64
+    )
+    cdof_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    cdof_starts[1:] = np.cumsum(loc_ndc)
+    c0_parts = []
+    for t in range(n_shards):
+        o = np.zeros(len(cnt_c_parts[t]) + 1, dtype=np.int64)
+        o[1:] = np.cumsum(cnt_c_parts[t])
+        c0_parts.append(o[:-1] + cdof_starts[t])
+    ndc = int(cdof_starts[-1])
+
+    # --- P entries -------------------------------------------------------
+    ri, cj, vv = [], [], []
+    # flux rows: Pflux (facet x coarse facet) -> (dof0 x coarse dof0)
+    for s in range(n_shards):
+        Pf = Pflux_parts[s].tocoo()
+        if not Pf.nnz:
+            continue
+        c0_of = _gather(c0_parts, ce_starts, Pf.col.astype(np.int64))
+        ri.append(off_parts[s][Pf.row])
+        cj.append(c0_of)
+        vv.append(Pf.data)
+    # coarse higher-dof basis blocks (emitted by ce owners)
+    for t in range(n_shards):
+        for ce_l, blk in enumerate(basis_info[t]):
+            if blk is None:
+                continue
+            dofs_g, B = blk
+            k = B.shape[1]
+            cd = np.arange(
+                c0_parts[t][ce_l] + 1, c0_parts[t][ce_l] + 1 + k
+            )
+            r, c = np.meshgrid(dofs_g, cd, indexing="ij")
+            ri.append(r.ravel())
+            cj.append(c.ravel())
+            vv.append(B.ravel())
+
+    # --- coarse preserved coordinates Vc (rows at coarse-facet owners) --
+    idx_l, val_l = [], []
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        sel = np.flatnonzero(e2 >= 0)
+        if not len(sel):
+            continue
+        ce = e2[sel]
+        lo_of = _gather(
+            [c[:, 0] for c in csd.edges_parts], ce_starts, ce
+        )
+        sgn = np.where(ci_parts[s][sel] == lo_of, 1.0, -1.0)
+        fl = sd.flow_parts[s][sel]
+        l0 = off_parts[s][sel] - dof_starts[s]
+        Vf = V_parts[s][l0]  # fine flux components
+        c0_of = _gather(c0_parts, ce_starts, ce)
+        idx_l.append(c0_of)
+        val_l.append((sgn * fl)[:, None] * Vf)
+    # reduce onto coarse-dof owners (partition = cdof_starts)
+    Vc_parts = _reduce_nd(
+        cdof_starts,
+        np.concatenate(idx_l) if idx_l else z,
+        np.concatenate(val_l) if idx_l else np.zeros((0, m)),
+        shape_tail=(m,),
+    )
+    for t in range(n_shards):
+        cfl = csd.flow_parts[t]
+        gc = np.where(np.abs(cfl) > 1e-300, cfl, 1.0)
+        l0 = c0_parts[t] - cdof_starts[t]
+        Vc_parts[t][l0] /= gc[:, None]
+        for ce_l, co in enumerate(coords_parts[t]):
+            if co is None:
+                continue
+            k = co.shape[0]
+            Vc_parts[t][l0[ce_l] + 1: l0[ce_l] + 1 + k] = co
+    return (
+        (ri, cj, vv), cnt_c_parts, Vc_parts, off_parts, c0_parts,
+        dof_starts, cdof_starts, ndc,
+    )
+
+
+def _dist_hdiv_interior(
+    sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts, cnt_parts,
+    V_parts, off_parts, c0_parts, dof_starts, cdof_starts, ndc,
+    Vc_parts, tri, P_shape_rows,
+):
+    """Aggregate-owner interior fits + cycle-space flux corrections."""
+    n_shards = sd.n_shards
+    m = V_parts[0].shape[1]
+    ce_starts = csd.e_starts
+    c_starts = csd.v_starts
+    z = np.zeros(0, dtype=np.int64)
+    ri, cj, vv = tri
+
+    # incident coarse-edge sets per coarse cell (at coarse-cell owners)
+    inc_a, inc_ce = [], []
+    for t in range(n_shards):
+        E = csd.edges_parts[t]
+        ce_g = np.arange(
+            ce_starts[t], ce_starts[t + 1], dtype=np.int64
+        )
+        inc_a.extend([E[:, 0], E[:, 1]])
+        inc_ce.extend([ce_g, ce_g])
+    ia = np.concatenate(inc_a) if inc_a else z
+    ic = np.concatenate(inc_ce) if inc_ce else z
+    inc_parts = _route(_owner(c_starts, ia), n_shards, ia, ic)
+
+    # interior facets routed to aggregate owners with their data
+    ie_agg, ie_e, ie_i, ie_j, ie_cnt, ie_off, ie_flow = (
+        [], [], [], [], [], [], []
+    )
+    iv_agg, iv_dof, iv_V = [], [], []
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        ci = ci_parts[s]
+        sel = np.flatnonzero((e2 < 0) & (ci >= 0) & (ci == cj_parts[s]))
+        if not len(sel):
+            continue
+        e = sd.edges_parts[s][sel]
+        ie_agg.append(ci[sel])
+        ie_e.append(sel + sd.e_starts[s])
+        ie_i.append(e[:, 0])
+        ie_j.append(e[:, 1])
+        ie_cnt.append(cnt_parts[s][sel])
+        ie_off.append(off_parts[s][sel])
+        ie_flow.append(sd.flow_parts[s][sel])
+        for t in sel:
+            c = int(cnt_parts[s][t])
+            g0 = off_parts[s][t]
+            l0 = g0 - dof_starts[s]
+            iv_agg.append(np.full(c, ci[t], dtype=np.int64))
+            iv_dof.append(np.arange(g0, g0 + c))
+            iv_V.append(V_parts[s][l0: l0 + c])
+    if not ie_agg:
+        return ri, cj, vv
+    ia2 = np.concatenate(ie_agg)
+    fac_parts = _route(
+        _owner(c_starts, ia2), n_shards, ia2,
+        np.concatenate(ie_e), np.concatenate(ie_i),
+        np.concatenate(ie_j), np.concatenate(ie_cnt),
+        np.concatenate(ie_off), np.concatenate(ie_flow),
+    )
+    iva = np.concatenate(iv_agg)
+    ivd_parts = _route(
+        _owner(c_starts, iva), n_shards, iva,
+        np.concatenate(iv_dof), np.concatenate(iv_V),
+    )
+
+    for t in range(n_shards):
+        a_arr, e_arr, i_arr, j_arr, cnt_arr, off_arr, fl_arr = (
+            fac_parts[t]
+        )
+        va_arr, vd_arr, vV_arr = ivd_parts[t]
+        inc_a_arr, inc_c_arr = inc_parts[t]
+        if not len(a_arr):
+            continue
+        o = np.argsort(e_arr, kind="stable")
+        a_arr, e_arr, i_arr, j_arr = (
+            a_arr[o], e_arr[o], i_arr[o], j_arr[o]
+        )
+        cnt_arr, off_arr, fl_arr = cnt_arr[o], off_arr[o], fl_arr[o]
+        vmap = {int(d): v for d, v in zip(vd_arr, vV_arr)}
+        # per-aggregate processing
+        for a in np.unique(a_arr):
+            sel = np.flatnonzero(a_arr == a)
+            ces = np.unique(inc_c_arr[inc_a_arr == a])
+            if not len(ces):
+                continue
+            c0_of = _gather(c0_parts, ce_starts, ces)
+            # counts per ce gathered from the coarse-facet owners
+            kcnt = _gather(
+                _cnt_c_view(c0_parts, cdof_starts), ce_starts, ces
+            )
+            stencil = np.concatenate(
+                [np.arange(c0_of[q], c0_of[q] + kcnt[q])
+                 for q in range(len(ces))]
+            )
+            Vs = _gather(
+                [np.asarray(V) for V in Vc_parts],
+                cdof_starts, stencil,
+            )
+            pinvVs = np.linalg.pinv(Vs, rcond=1e-10)
+            # higher-dof fits per interior facet
+            for q in sel:
+                c = int(cnt_arr[q])
+                if c <= 1:
+                    continue
+                hi = np.arange(off_arr[q] + 1, off_arr[q] + c)
+                Vhi = np.stack([vmap[int(d)] for d in hi])
+                R = Vhi @ pinvVs
+                r, cc = np.meshgrid(hi, stencil, indexing="ij")
+                ri.append(r.ravel())
+                cj.append(cc.ravel())
+                vv.append(R.ravel())
+        # NOTE: the cycle-space flux correction needs P rows times Vc;
+        # handled by the caller after P assembly (gather-based), see
+        # dist_stokes_hdiv_levels.
+    return ri, cj, vv
+
+
+def _cnt_c_view(c0_parts, cdof_starts):
+    """Per-shard coarse-facet dof counts from offsets."""
+    out = []
+    for t in range(len(c0_parts)):
+        ends = np.append(
+            c0_parts[t][1:], cdof_starts[t + 1]
+        )
+        out.append(ends - c0_parts[t])
+    return out
+
+
+def _dist_hdiv_cycle_fix(
+    sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts, off_parts,
+    c0_parts, dof_starts, cdof_starts, Vc_parts, V_parts, P_parts, ndc,
+):
+    """Aggregate-owner cycle-space flux correction (serial final pass).
+
+    The tree routing completes divergence uniquely on a spanning tree;
+    the preserved vectors' circulation on non-tree interior facets lies
+    in the aggregate's interior cycle space. Each aggregate owner gathers
+    its interior flux P rows + the referenced Vc rows, computes the local
+    residual, and fits the cycle-space part against the incident coarse
+    dofs (serial preserved_prolongation's `_local_cycles` pass).
+    """
+    from ..apps.stokes_hdiv import _local_cycles
+    from ..mesh.topo import AlgebraicMesh as _AM
+
+    n_shards = sd.n_shards
+    ce_starts = csd.e_starts
+    c_starts = csd.v_starts
+    z = np.zeros(0, dtype=np.int64)
+
+    inc_a, inc_ce = [], []
+    for t in range(n_shards):
+        E = csd.edges_parts[t]
+        ce_g = np.arange(ce_starts[t], ce_starts[t + 1], dtype=np.int64)
+        inc_a.extend([E[:, 0], E[:, 1]])
+        inc_ce.extend([ce_g, ce_g])
+    inc_parts = _route(
+        _owner(c_starts, np.concatenate(inc_a) if inc_a else z),
+        n_shards,
+        np.concatenate(inc_a) if inc_a else z,
+        np.concatenate(inc_ce) if inc_ce else z,
+    )
+
+    ie_agg, ie_e, ie_i, ie_j, ie_off, ie_flow, ie_V0 = (
+        [], [], [], [], [], [], []
+    )
+    for s in range(n_shards):
+        e2 = e2ce_parts[s]
+        ci = ci_parts[s]
+        sel = np.flatnonzero((e2 < 0) & (ci >= 0) & (ci == cj_parts[s]))
+        if not len(sel):
+            continue
+        e = sd.edges_parts[s][sel]
+        l0 = off_parts[s][sel] - dof_starts[s]
+        ie_agg.append(ci[sel])
+        ie_e.append(sel + sd.e_starts[s])
+        ie_i.append(e[:, 0])
+        ie_j.append(e[:, 1])
+        ie_off.append(off_parts[s][sel])
+        ie_flow.append(sd.flow_parts[s][sel])
+        ie_V0.append(V_parts[s][l0])
+    if not ie_agg:
+        return P_parts
+    ia = np.concatenate(ie_agg)
+    fac_parts = _route(
+        _owner(c_starts, ia), n_shards, ia,
+        np.concatenate(ie_e), np.concatenate(ie_i),
+        np.concatenate(ie_j), np.concatenate(ie_off),
+        np.concatenate(ie_flow), np.concatenate(ie_V0),
+    )
+    tri_r, tri_c, tri_v = [], [], []
+    for t in range(n_shards):
+        a_arr, e_arr, i_arr, j_arr, off_arr, fl_arr, V0_arr = (
+            fac_parts[t]
+        )
+        inc_a_arr, inc_c_arr = inc_parts[t]
+        if not len(a_arr):
+            continue
+        o = np.argsort(e_arr, kind="stable")
+        a_arr, e_arr, i_arr, j_arr = (
+            a_arr[o], e_arr[o], i_arr[o], j_arr[o]
+        )
+        off_arr, fl_arr, V0_arr = off_arr[o], fl_arr[o], V0_arr[o]
+        for a in np.unique(a_arr):
+            sel = np.flatnonzero(a_arr == a)
+            if len(sel) < 2:
+                continue
+            flux_rows = off_arr[sel]
+            # residual at the flux rows: V0 - P[rows] @ Vc
+            Prow = _gather_csr_rows(P_parts, dof_starts, flux_rows, ndc)
+            cols = (
+                np.unique(Prow.indices.astype(np.int64))
+                if Prow.nnz
+                else z
+            )
+            Vc_sub = _gather(Vc_parts, cdof_starts, cols)
+            colmap = np.searchsorted(cols, Prow.indices)
+            Pc = sp.csr_matrix(
+                (Prow.data, colmap, Prow.indptr),
+                shape=(Prow.shape[0], len(cols)),
+            )
+            resid = V0_arr[sel] - (Pc @ Vc_sub if len(cols) else 0.0)
+            if np.abs(resid).max() < 1e-13:
+                continue
+            # local cycles over the aggregate's interior facet subgraph
+            lmesh = _AM(
+                nv=sd.nv,
+                edges=np.stack(
+                    [i_arr[sel], j_arr[sel]], axis=1
+                ),
+            )
+            lmesh.edge_data["flow"] = fl_arr[sel]
+            Ca = _local_cycles(
+                _FacView(lmesh), list(range(len(sel)))
+            )
+            if Ca is None:
+                continue
+            y, *_ = np.linalg.lstsq(Ca, resid, rcond=None)
+            corr = Ca @ y
+            ces = np.unique(inc_c_arr[inc_a_arr == a])
+            if not len(ces):
+                continue
+            c0_of = _gather(c0_parts, ce_starts, ces)
+            kcnt = _gather(
+                _cnt_c_view(c0_parts, cdof_starts), ce_starts, ces
+            )
+            stencil = np.concatenate(
+                [np.arange(c0_of[q], c0_of[q] + kcnt[q])
+                 for q in range(len(ces))]
+            )
+            Vs = _gather(Vc_parts, cdof_starts, stencil)
+            X = corr @ np.linalg.pinv(Vs, rcond=1e-10)
+            r, c = np.meshgrid(flux_rows, stencil, indexing="ij")
+            tri_r.append(r.ravel())
+            tri_c.append(c.ravel())
+            tri_v.append(X.ravel())
+    if not tri_r:
+        return P_parts
+    dP_parts = _route_coo(
+        dof_starts,
+        np.concatenate(tri_r),
+        np.concatenate(tri_c),
+        np.concatenate(tri_v),
+        ndc,
+    )
+    return [
+        (P_parts[s] + dP_parts[s]).tocsr() for s in range(len(P_parts))
+    ]
+
+
+class _FacView:
+    """Minimal mesh view for _local_cycles over routed facet arrays."""
+
+    def __init__(self, mesh):
+        self.edges = mesh.edges
+        self.edge_data = mesh.edge_data
+
+
+def dist_stokes_hdiv_levels(
+    A: sp.csr_matrix,
+    mesh0: AlgebraicMesh,
+    dofs0,
+    pres0,
+    opts: AMGOptions,
+    n_shards: int,
+):
+    """Distributed HDiv Stokes level loop (serial StokesHDivAMG.setup).
+
+    Variable per-facet DOFs (`MeshDOFs`) shard with their facets; the
+    preserved-vector machinery runs owner-computed per coarse facet /
+    aggregate. Returns the assembled `StokesLevel` list with dofs/pres
+    per level, matching the serial hierarchy.
+    """
+    from ..apps.stokes_hdiv import MeshDOFs, PreservedVectors
+    from .dist_setup import _dist_rap
+
+    lc = opts.levels
+    n_shards = int(n_shards)
+    # level-0 sharded state: facet partition + DOF-aligned matrix rows
+    v_starts = _split(mesh0.nv, n_shards)
+    e_starts = _split(mesh0.ne, n_shards)
+    A = A.tocsr().astype(np.float64)
+    counts0 = dofs0.counts()
+    off_all = dofs0.offsets
+    sd = _ShardedDual(
+        v_starts,
+        e_starts,
+        [mesh0.vertex_data["pos"][v_starts[s]: v_starts[s + 1]]
+         for s in range(n_shards)],
+        [mesh0.vertex_data["vol"][v_starts[s]: v_starts[s + 1]]
+         for s in range(n_shards)],
+        [mesh0.edges[e_starts[s]: e_starts[s + 1]]
+         for s in range(n_shards)],
+        [mesh0.edge_data["flow"][e_starts[s]: e_starts[s + 1]]
+         for s in range(n_shards)],
+        [A[off_all[e_starts[s]]: off_all[e_starts[s + 1]]]
+         for s in range(n_shards)],
+    )
+    cnt_parts = [
+        counts0[e_starts[s]: e_starts[s + 1]] for s in range(n_shards)
+    ]
+    V_parts = [
+        pres0.vectors[off_all[e_starts[s]]: off_all[e_starts[s + 1]]]
+        for s in range(n_shards)
+    ]
+    levels = []
+    lvl = 0
+    while True:
+        mesh = sd.assemble_mesh()
+        cnt_all = np.concatenate(cnt_parts)
+        dofs = MeshDOFs.from_counts(cnt_all)
+        pres = PreservedVectors(
+            pres0.n_special, np.concatenate(V_parts, axis=0)
+        )
+        cap = st.StokesLevel(
+            A=sp.vstack(sd.A_parts, format="csr"), mesh=mesh
+        )
+        cap.dofs = dofs
+        cap.pres = pres
+        levels.append(cap)
+        if (
+            lvl + 1 >= lc.max_levels
+            or dofs.ndof <= lc.max_coarse_size
+            or mesh.nv <= 8
+        ):
+            break
+        v2agg_parts, c_starts = _dist_coarsen_cells(sd)
+        n_agg = int(c_starts[-1])
+        if n_agg >= lc.min_coarsen_ratio * mesh.nv:
+            break
+        (ce_starts, cedges_parts, ci_parts, cj_parts,
+         e2ce_parts) = _dist_map_edges(sd, v2agg_parts, c_starts)
+        csd = _dist_map_mesh(
+            sd, v2agg_parts, c_starts, ce_starts, cedges_parts,
+            ci_parts, e2ce_parts,
+        )
+        Pflux_parts = _dist_flow_prol(
+            sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts
+        )
+        (tri, cnt_c_parts, Vc_parts, off_parts, c0_parts, dof_starts,
+         cdof_starts, ndc) = _dist_preserved_prol(
+            sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts,
+            cnt_parts, V_parts, Pflux_parts,
+        )
+        ri, cj_l, vv = _dist_hdiv_interior(
+            sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts,
+            cnt_parts, V_parts, off_parts, c0_parts, dof_starts,
+            cdof_starts, ndc, Vc_parts, tri, None,
+        )
+        z = np.zeros(0, dtype=np.int64)
+        P_parts = _route_coo(
+            dof_starts,
+            np.concatenate(ri) if ri else z,
+            np.concatenate(cj_l) if cj_l else z,
+            np.concatenate(vv) if vv else np.zeros(0),
+            ndc,
+        )
+        P_parts = _dist_hdiv_cycle_fix(
+            sd, csd, v2agg_parts, ci_parts, cj_parts, e2ce_parts,
+            off_parts, c0_parts, dof_starts, cdof_starts, Vc_parts,
+            V_parts, P_parts, ndc,
+        )
+        cap.P = sp.vstack(P_parts, format="csr")
+        cap.v2agg = np.concatenate(v2agg_parts)
+        Ac_parts = _dist_rap(sd.A_parts, dof_starts, P_parts, cdof_starts)
+        Ac = sp.vstack(Ac_parts, format="csr")
+        Ac = ((Ac + Ac.T) * 0.5).tocsr()
+        csd.A_parts = [
+            Ac[cdof_starts[t]: cdof_starts[t + 1]]
+            for t in range(n_shards)
+        ]
+        cnt_parts = cnt_c_parts
+        V_parts = Vc_parts
+        sd = csd
+        lvl += 1
+    return levels

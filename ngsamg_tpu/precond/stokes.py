@@ -461,6 +461,22 @@ class StokesHDivAMG:
 
         t0 = time.perf_counter()
         lc = self.options.levels
+        if self.options.dist_setup > 1:
+            # distributed HDiv setup (parallel/dist_stokes.py); lattice
+            # dual meshes keep the serial path (structured coarsener)
+            from ..coarsen.lattice import lattice_aggregate
+
+            if lattice_aggregate(self.mesh0.vertex_data["pos"]) is None:
+                from ..parallel.dist_stokes import dist_stokes_hdiv_levels
+
+                self.setup_levels_ = dist_stokes_hdiv_levels(
+                    self.A_host, self.mesh0, self.dofs0, self.pres0,
+                    self.options, self.options.dist_setup,
+                )
+                self._compile_device()
+                self.setup_time = time.perf_counter() - t0
+                self._is_setup = True
+                return self
         levels = []
         A, mesh, dofs, pres = self.A_host, self.mesh0, self.dofs0, self.pres0
         lvl = 0

@@ -210,3 +210,53 @@ def test_dist_stokes_vector_solve_end_to_end():
     assert info_d.iterations <= info_s.iterations + 15, (
         info_d.iterations, info_s.iterations,
     )
+
+
+def test_dist_stokes_hdiv_parity():
+    """Distributed HDiv setup (variable facet DOFs + preserved vectors)
+    reproduces the serial hierarchy; preservation stays exact."""
+    from ngsamg_tpu.precond.stokes import StokesHDivAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri_hdiv
+
+    p, counts, V = stokes_tri_hdiv(8, dim=2, alpha=10.0)
+
+    def build(dist):
+        o = AMGOptions(dist_setup=3 if dist else 0)
+        o.levels.max_coarse_size = 120
+        return StokesHDivAMG(
+            p.A,
+            cell_pos=p.cell_pos,
+            cell_vol=p.cell_vol,
+            facet_cells=p.facet_cells,
+            facet_flow=p.facet_flow,
+            facet_dof_counts=counts,
+            preserved=V,
+            options=o,
+        ).setup()
+
+    pc_s = build(False)
+    pc_d = build(True)
+    s_levels, d_levels = pc_s.setup_levels_, pc_d.setup_levels_
+    assert len(s_levels) == len(d_levels) >= 2
+    for i, (sl, dl) in enumerate(zip(s_levels, d_levels)):
+        np.testing.assert_array_equal(
+            sl.dofs.offsets, dl.dofs.offsets
+        ), f"level {i} dofs"
+        if sl.v2agg is not None:
+            np.testing.assert_array_equal(sl.v2agg, dl.v2agg)
+        if sl.P is not None:
+            dP = abs(sl.P - dl.P).max()
+            assert dP < 1e-9, f"level {i} P differs {dP:.2e}"
+            # preservation stays exact through the distributed P
+            Vf = sl.pres.vectors
+            Vc = s_levels[i + 1].pres.vectors
+            dV = np.abs(dl.P @ d_levels[i + 1].pres.vectors - Vf).max()
+            dVs = np.abs(sl.P @ Vc - Vf).max()
+            assert dV < max(5 * dVs, 1e-9), (i, dV, dVs)
+        scale = max(abs(sl.A).max(), 1e-300)
+        dA = abs(sl.A - dl.A).max()
+        assert dA < 1e-8 * scale, f"level {i} A differs {dA:.2e}"
+    # end-to-end solve through the dist-setup hierarchy
+    x, info = pc_d.solve(p.b, tol=1e-8, maxiter=200)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7
