@@ -98,24 +98,26 @@ def _roll_rows(rows, lane, s, nrows_out):
     )
 
 
-def _dia_sym_kernel(
-    offsets, pl_rows, tile_rows, n, d2_ref, d1_ref, dc_ref, x_ref, o_ref
-):
+def _dia_sym_kernel(offsets, pl_rows, tile_rows, K, *refs):
     """Symmetric half-storage tile: offsets are the NON-NEGATIVE half.
 
     The minus-direction term uses A[g, g-o] = A[g-o, g] = data_o[g-o]:
     the positive diagonal's array read with a backward shift, streamed
-    through a two-tile-deep data halo (d2/d1 = blocks i-2/i-1, clamped;
-    the clamp keeps trailing window slots aligned for the first tiles,
-    and rows the clamp garbles are exactly the g < o masked ones).
+    through a K-tile-deep data halo (refs = d_{i-K}..d_i blocks, clamped
+    at 0; the clamp keeps trailing window slots aligned for the first
+    tiles, and rows the clamp garbles are exactly the g < o masked ones).
     """
+    d_refs = refs[: K + 1]
+    x_ref = refs[K + 1]
+    o_ref = refs[K + 2]
+    dc_ref = d_refs[-1]
     i = pl.program_id(0)
     r0 = i * tile_rows
     acc = jnp.zeros((tile_rows, LANES), dtype=o_ref.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
     g = (r0 + row) * LANES + lane
-    win_d = jnp.concatenate([d2_ref[:], d1_ref[:], dc_ref[:]], axis=1)
+    win_d = jnp.concatenate([r[:] for r in d_refs], axis=1)
     for d, off in enumerate(offsets):
         # + direction: y[g] += data[d, g] * x[g + off]
         eff = off + pl_rows * LANES
@@ -132,7 +134,7 @@ def _dia_sym_kernel(
         xs2 = _roll_rows(
             x_ref[pl.ds(r0 + qx, tile_rows + 1), :], lane, sx, tile_rows
         )
-        eff_d = 2 * tile_rows * LANES - off  # window-relative position
+        eff_d = K * tile_rows * LANES - off  # window-relative position
         qd, sd = divmod(eff_d, LANES)
         ds_ = _roll_rows(
             win_d[d, qd: qd + tile_rows + 1, :], lane, sd, tile_rows
@@ -141,11 +143,22 @@ def _dia_sym_kernel(
     o_ref[:] = acc
 
 
+def sym_halo_tiles(off_max: int) -> int:
+    """Data-halo depth K: the minus shift reaches K tiles back."""
+    return -(-int(off_max) // (ROWS_PER_TILE * LANES))
+
+
+# VMEM of the data window scales with (K+1) * ndiag tiles; keep it under
+# ~7 MB ((K+1) * ndiag * 64 * 128 * 4 B)
+_SYM_PALLAS_MAX_TILES = 220
+
+
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "n_pad", "pl_rows", "xp_rows", "n")
+    jax.jit,
+    static_argnames=("offsets", "n_pad", "pl_rows", "xp_rows", "n", "K"),
 )
 def _dia_sym_matvec_call(
-    data2d, xflat, offsets, n_pad, pl_rows, xp_rows, n
+    data2d, xflat, offsets, n_pad, pl_rows, xp_rows, n, K
 ):
     """Half-storage DIA matvec: data2d holds the offsets >= 0 rows only."""
     ndiag = data2d.shape[0]
@@ -158,7 +171,7 @@ def _dia_sym_matvec_call(
     ntiles = nrows // ROWS_PER_TILE
 
     kern = functools.partial(
-        _dia_sym_kernel, offsets, pl_rows, ROWS_PER_TILE, n
+        _dia_sym_kernel, offsets, pl_rows, ROWS_PER_TILE, K
     )
 
     def dspec(k):
@@ -171,18 +184,14 @@ def _dia_sym_matvec_call(
     y = pl.pallas_call(
         kern,
         grid=(ntiles,),
-        in_specs=[
-            dspec(2),
-            dspec(1),
-            dspec(0),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[dspec(k) for k in range(K, -1, -1)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (ROWS_PER_TILE, LANES), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data2d.dtype),
-    )(D, D, D, X)
+    )(*([D] * (K + 1)), X)
     return y.reshape(n_pad)
 
 
@@ -199,7 +208,8 @@ def dia_matvec_pallas(A, x: jax.Array) -> jax.Array:
         pl_rows = (off_max + LANES - 1) // LANES  # covers -off_max
         xp_rows = pl_rows + n_pad // LANES + pl_rows + 1
         y = _dia_sym_matvec_call(
-            A.data, x[:, 0], A.offsets, n_pad, pl_rows, xp_rows, A.nrows
+            A.data, x[:, 0], A.offsets, n_pad, pl_rows, xp_rows,
+            A.nrows, sym_halo_tiles(off_max),
         )
         return y[:, None]
     off_min = min(A.offsets)

@@ -150,9 +150,17 @@ def _stencil_dia_matvec(A: StencilDia, x: jax.Array) -> jax.Array:
         and x.dtype == jnp.float32
         and pallas_available()
     ):
-        from ..ops.stencil_pallas import stencil_matvec_pallas
+        from ..ops.stencil_pallas import (
+            stencil_matvec_pallas,
+            stencil_tile_rows,
+        )
 
-        return stencil_matvec_pallas(A, x)
+        # the row tile must span the largest linear offset (~dims[0]^2 in
+        # 3D); past ~1100 rows the kernel's scoped VMEM blows the 16 MB
+        # limit (measured: 50M rows / tile 1059 compiles, 83M / 1483 does
+        # not) — larger lattices take the XLA shift path
+        if stencil_tile_rows(A.offs, A.dims) <= 1100:
+            return stencil_matvec_pallas(A, x)
     d = len(A.dims)
     xf = x[: A.nrows, 0].reshape(A.dims)
     r = [max(abs(int(o[k])) for o in A.offs) for k in range(d)]
@@ -258,6 +266,12 @@ _DIA_PALLAS_MAX_ROWS = 2_500_000
 # symmetric halving pays off once shipping/residency dominate
 _DIA_SYM_MIN_ROWS = 100_000
 
+# per-tile VMEM of the fused kernel scales with the diagonal count
+# (ndiag x 64 x 128 x 4 B, double-buffered); past ~120 diagonals the
+# 16 MB scoped-vmem limit blows (seen at 83M rows: a 249-diagonal coarse
+# level) — such levels take the XLA shift path
+_DIA_PALLAS_MAX_DIAGS = 120
+
 
 def dia_from_scipy(
     A: sp.spmatrix,
@@ -290,7 +304,7 @@ def dia_from_scipy(
         offsets=tuple(int(o) for o in offs),
         nrows=n,
         nrows_pad=n_pad,
-        use_pallas=bool(use_pallas),
+        use_pallas=bool(use_pallas and len(offs) <= _DIA_PALLAS_MAX_DIAGS),
     )
 
 
@@ -322,7 +336,7 @@ def dia_from_stencil(
         offsets=tuple(int(o) for o in offs),
         nrows=n,
         nrows_pad=n_pad,
-        use_pallas=bool(use_pallas),
+        use_pallas=bool(use_pallas and len(offs) <= _DIA_PALLAS_MAX_DIAGS),
     )
 
 
@@ -393,7 +407,7 @@ def dia_from_clamped(
     # verifies data[-o][o:] == data[o][:-o] exactly (the coarse operators
     # are explicitly symmetrized) — halves shipping + HBM residency
     offs_t = tuple(int(o) for o in uniq)
-    if n >= _DIA_SYM_MIN_ROWS and 0 < max(offs_t) <= 16384:
+    if n >= _DIA_SYM_MIN_ROWS and 0 < max(offs_t):
         neg = {-o: u for u, o in enumerate(offs_t) if o < 0}
         ok = set(neg) == {o for o in offs_t if o > 0}
         if ok:
@@ -407,12 +421,22 @@ def dia_from_clamped(
                     break
         if ok:
             keep = [u for u, o in enumerate(offs_t) if o >= 0]
+            from ..ops.dia_pallas import (
+                _SYM_PALLAS_MAX_TILES,
+                sym_halo_tiles,
+            )
+
+            K = sym_halo_tiles(max(offs_t))
             return DiaMatrix(
                 data=(data[keep] if stage else jnp.asarray(data[keep])),
                 offsets=tuple(o for o in offs_t if o >= 0),
                 nrows=n,
                 nrows_pad=n_pad,
-                use_pallas=bool(use_pallas),
+                use_pallas=bool(
+                    use_pallas
+                    and len(keep) <= _DIA_PALLAS_MAX_DIAGS
+                    and (K + 1) * len(keep) <= _SYM_PALLAS_MAX_TILES
+                ),
                 sym_half=True,
             )
     return DiaMatrix(
@@ -420,7 +444,9 @@ def dia_from_clamped(
         offsets=offs_t,
         nrows=n,
         nrows_pad=n_pad,
-        use_pallas=bool(use_pallas),
+        use_pallas=bool(
+            use_pallas and len(offs_t) <= _DIA_PALLAS_MAX_DIAGS
+        ),
     )
 
 
