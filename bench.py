@@ -128,15 +128,18 @@ def main():
         ep = fem.unstructured_elasticity(
             int(os.environ.get("NGSAMG_BENCH_ELAST_N", "28")), dim=2
         )
-        t0 = time.perf_counter()
-        epc = AMGPreconditioner(
-            ep.A, energy="elasticity", block_size=2, coords=ep.coords
-        ).setup()
-        te_setup = time.perf_counter() - t0
-        epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
-        t0 = time.perf_counter()
-        ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120)
-        te_solve = time.perf_counter() - t0
+        te_setup = te_solve = float("inf")
+        for _rep in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            epc = AMGPreconditioner(
+                ep.A, energy="elasticity", block_size=2, coords=ep.coords
+            ).setup()
+            te_setup = min(te_setup, time.perf_counter() - t0)
+            if _rep == 0:
+                epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
+            t0 = time.perf_counter()
+            ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120)
+            te_solve = min(te_solve, time.perf_counter() - t0)
         er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
         elasticity = {
             "n_dof": ep.n,

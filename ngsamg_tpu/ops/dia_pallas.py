@@ -55,9 +55,12 @@ def _dia_kernel(offsets, pl_rows, data_ref, x_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "n_pad", "pl_rows", "xp_rows")
+    jax.jit,
+    static_argnames=("offsets", "n_pad", "pl_rows", "xp_rows", "interpret"),
 )
-def _dia_matvec_call(data2d, xflat, offsets, n_pad, pl_rows, xp_rows):
+def _dia_matvec_call(
+    data2d, xflat, offsets, n_pad, pl_rows, xp_rows, interpret=False
+):
     """data2d: (ndiag, n_pad); xflat: (n_pad,). Returns y: (n_pad,)."""
     ndiag = data2d.shape[0]
     nrows = n_pad // LANES
@@ -84,6 +87,7 @@ def _dia_matvec_call(data2d, xflat, offsets, n_pad, pl_rows, xp_rows):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data2d.dtype),
+        interpret=interpret,
     )(D, X)
     return y.reshape(n_pad)
 
@@ -155,10 +159,12 @@ _SYM_PALLAS_MAX_TILES = 220
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "n_pad", "pl_rows", "xp_rows", "n", "K"),
+    static_argnames=(
+        "offsets", "n_pad", "pl_rows", "xp_rows", "n", "K", "interpret"
+    ),
 )
 def _dia_sym_matvec_call(
-    data2d, xflat, offsets, n_pad, pl_rows, xp_rows, n, K
+    data2d, xflat, offsets, n_pad, pl_rows, xp_rows, n, K, interpret=False
 ):
     """Half-storage DIA matvec: data2d holds the offsets >= 0 rows only."""
     ndiag = data2d.shape[0]
@@ -191,11 +197,12 @@ def _dia_sym_matvec_call(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, LANES), data2d.dtype),
+        interpret=interpret,
     )(*([D] * (K + 1)), X)
     return y.reshape(n_pad)
 
 
-def dia_matvec_pallas(A, x: jax.Array) -> jax.Array:
+def dia_matvec_pallas(A, x: jax.Array, interpret=False) -> jax.Array:
     """Pallas DIA matvec for a :class:`ngsamg_tpu.sparse.formats.DiaMatrix`.
 
     ``A.nrows_pad`` must be a multiple of LANES * ROWS_PER_TILE; x is the
@@ -209,7 +216,7 @@ def dia_matvec_pallas(A, x: jax.Array) -> jax.Array:
         xp_rows = pl_rows + n_pad // LANES + pl_rows + 1
         y = _dia_sym_matvec_call(
             A.data, x[:, 0], A.offsets, n_pad, pl_rows, xp_rows,
-            A.nrows, sym_halo_tiles(off_max),
+            A.nrows, sym_halo_tiles(off_max), interpret=interpret,
         )
         return y[:, None]
     off_min = min(A.offsets)
@@ -218,6 +225,7 @@ def dia_matvec_pallas(A, x: jax.Array) -> jax.Array:
     extra_hi = (off_max + LANES - 1) // LANES + 1
     xp_rows = pl_rows + n_pad // LANES + max(extra_hi, 1)
     y = _dia_matvec_call(
-        A.data, x[:, 0], A.offsets, n_pad, pl_rows, xp_rows
+        A.data, x[:, 0], A.offsets, n_pad, pl_rows, xp_rows,
+        interpret=interpret,
     )
     return y[:, None]

@@ -35,7 +35,8 @@ decision (parallel/shard.py replicate_below), not a setup-algorithm switch.
 
 Scope: scalar H1 energies (dpv == 1), SPW coarsening, smoothed prolongation
 with kernel-preserving truncation and the semi-aux classic-row choice.
-Block energies (elasticity) keep the serial setup for now.
+Block energies route to their own distributed setups: elasticity to
+parallel/dist_elast.py, Stokes to parallel/dist_stokes.py.
 """
 
 from __future__ import annotations

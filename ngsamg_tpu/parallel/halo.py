@@ -68,9 +68,7 @@ def dia_halo_matvec(A: DiaMatrix, mesh: Mesh, axis: str = "rows"):
             )
         return y[:, None]
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis), P(axis, None)),

@@ -364,6 +364,14 @@ class StokesHDGEmbeddedAMG:
         # dyn-block smoother over the per-facet dof blocks of S
         from ..smoothers.block import build_block_gs
 
+        if self.n % self.aux.mesh0.ne != 0:
+            raise ValueError(
+                "StokesHDGEmbeddedAMG: condensed facet space size "
+                f"{self.n} is not a multiple of the facet count "
+                f"{self.aux.mesh0.ne}; non-uniform per-facet dof counts "
+                "need explicit per-facet blocks (use the HDiv variant's "
+                "MeshDOFs path)"
+            )
         nfd = self.n // self.aux.mesh0.ne
         blocks = [
             np.arange(e * nfd, (e + 1) * nfd)

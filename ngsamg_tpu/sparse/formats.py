@@ -251,7 +251,18 @@ def _dia_matvec_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
 
 
 def pallas_available() -> bool:
-    """True when the backend runs real Mosaic kernels (TPU, incl. axon)."""
+    """True when the backend runs real Mosaic kernels (TPU, incl. axon).
+
+    Also requires a single device: a pallas_call on row-sharded x would
+    force full replication (or error) under SPMD, whereas the XLA
+    shift/roll lowerings partition cleanly, so sharded levels must take
+    the XLA paths.
+    """
+    try:
+        if len(jax.devices()) != 1:
+            return False
+    except Exception:
+        return False
     if "axon" in str(jax.config.jax_platforms or ""):
         return True
     try:
