@@ -37,6 +37,17 @@ def handshake_match(S: sp.csr_matrix, theta: float, can_match: np.ndarray):
     """
     n = S.shape[0]
     indptr, indices, vals = S.indptr, S.indices, S.data
+
+    # native single-pass implementation when built (ngsamg_tpu.native);
+    # the tie-break jitter below is applied in-kernel (jitter=True)
+    from ..native import handshake_match as _native_match
+
+    nat = _native_match(
+        indptr, indices, vals, can_match, theta, 8, jitter=True
+    )
+    if nat is not None:
+        return np.asarray(nat)
+
     rowmax = csr_rowwise_max(indptr, vals)
     # Symmetric tie-break jitter: on structured grids all strengths tie and
     # deterministic argmax yields zero mutual proposals (every vertex points
@@ -50,13 +61,6 @@ def handshake_match(S: sp.csr_matrix, theta: float, can_match: np.ndarray):
         0xFFFFFFFF
     )
     vals = vals * (1.0 + 1e-9 * (h.astype(np.float64) / 2**32))
-
-    # native single-pass implementation when built (ngsamg_tpu.native)
-    from ..native import handshake_match as _native_match
-
-    nat = _native_match(indptr, indices, vals, can_match, theta, 8)
-    if nat is not None:
-        return np.asarray(nat)
     # eligibility by strength threshold (relative to both endpoints' rows,
     # cf. the reference's strength filters in agglomerator_utils.hpp)
     rows = np.repeat(np.arange(n), np.diff(indptr))
@@ -91,16 +95,25 @@ def aggregates_from_partner(partner: np.ndarray, active: np.ndarray):
     n = len(partner)
     v2agg = np.full(n, -1, dtype=np.int64)
     # aggregate representative: min(v, partner) for pairs, v for singletons
-    rep = np.where(partner >= 0, np.minimum(np.arange(n), partner), np.arange(n))
-    rep[~active] = -1
-    act = np.flatnonzero(active)
-    uniq, inv = np.unique(rep[act], return_inverse=True)
-    v2agg[act] = inv
-    return v2agg, len(uniq)
+    ar = np.arange(n)
+    rep = np.where(partner >= 0, np.minimum(ar, partner), ar)
+    # O(n) compaction (ids in ascending-representative order, exactly the
+    # ordering np.unique produced): every representative is its own rep,
+    # so cumsum over the is-rep flags numbers them ascending
+    is_rep = active & (rep == ar)
+    ids = np.cumsum(is_rep) - 1
+    act = active & (rep >= 0)
+    v2agg[act] = ids[rep[act]]
+    return v2agg, int(is_rep.sum())
 
 
 def coarse_strength_graph(S: sp.csr_matrix, v2agg: np.ndarray, n_agg: int):
     """Galerkin-collapse the strength graph onto aggregates (sum weights)."""
+    from ..native import collapse_graph as _native_collapse
+
+    Sc = _native_collapse(S, v2agg, n_agg)
+    if Sc is not None:
+        return Sc
     n = S.shape[0]
     act = v2agg >= 0
     rows = np.flatnonzero(act)
@@ -142,7 +155,10 @@ def spw_aggregate(
     v2c[act_idx] = np.arange(len(act_idx))
     n_cur = len(act_idx)
     n0 = n_cur
-    S_cur = S[act_idx][:, act_idx].tocsr()
+    if n_cur == n:  # all active: skip the (identity) submatrix copy
+        S_cur = S.tocsr()
+    else:
+        S_cur = S[act_idx][:, act_idx].tocsr()
 
     if aaf is not None:
         rounds = 10  # goal-driven: bound, not target
@@ -280,12 +296,15 @@ def _adopt_orphans(S_c, v2c, n_c):
     tgt = np.arange(n_c)
     ok = orphan & (best >= 0) & ~orphan[np.clip(best, 0, n_c - 1)]
     tgt[ok] = best[ok]
-    uniq, inv = np.unique(tgt, return_inverse=True)
-    remap = inv  # old coarse index -> new compacted index
+    # O(n) compaction: surviving ids = set(tgt); every survivor is its own
+    # target, so numbering survivors ascending reproduces np.unique's order
+    keep = np.zeros(n_c, dtype=bool)
+    keep[tgt] = True
+    newid = np.cumsum(keep) - 1
     out = v2c.copy()
     m = out >= 0
-    out[m] = remap[out[m]]
-    return out, len(uniq)
+    out[m] = newid[tgt[out[m]]]
+    return out, int(keep.sum())
 
 
 def plate_test_aggregate(coords: np.ndarray, active=None, nz: int = 0):

@@ -37,6 +37,11 @@ class AlgebraicMesh:
         """
         i, j = self.edges[:, 0], self.edges[:, 1]
         w = weights if weights is not None else np.arange(self.ne) + 1.0
+        from ..native import edges_to_adj
+
+        G = edges_to_adj(self.edges, w, self.nv)
+        if G is not None:
+            return G
         G = sp.coo_matrix(
             (np.concatenate([w, w]), (np.concatenate([i, j]), np.concatenate([j, i]))),
             shape=(self.nv, self.nv),
@@ -79,6 +84,11 @@ def map_edges(mesh: AlgebraicMesh, v2agg: np.ndarray, n_agg: int):
 
     Returns (coarse_edges (nec,2), e2ce (ne,) int64 with -1 for collapsed).
     """
+    from ..native import map_edges_agg
+
+    nat = map_edges_agg(mesh.edges, v2agg, n_agg)
+    if nat is not None:
+        return nat
     ci = v2agg[mesh.edges[:, 0]]
     cj = v2agg[mesh.edges[:, 1]]
     lo = np.minimum(ci, cj)

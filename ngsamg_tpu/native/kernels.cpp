@@ -22,7 +22,9 @@
 #include <numpy/arrayobject.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -64,21 +66,25 @@ PyObject *greedy_color(PyObject *, PyObject *args) {
 
 // ---------------------------------------------------------------------
 // handshake_match(indptr, indices, weights f64, can_match uint8,
-//                 theta f64, iters int)
+//                 theta f64, iters int[, jitter int])
 //   -> partner int64[n]  (-1 unmatched)
 // Vertices with can_match == 0 never propose and are never proposed to.
+// With jitter != 0 the symmetric tie-break hash of coarsen/pairwise.py
+// (w *= 1 + 1e-9 * hash(lo, hi)/2^32) is applied in-kernel, saving the
+// five O(nnz) numpy passes the python wrapper otherwise spends on it.
 // ---------------------------------------------------------------------
 PyObject *handshake_match(PyObject *, PyObject *args) {
   PyArrayObject *indptr_o, *indices_o, *w_o, *cm_o;
   double theta;
   int iters;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!di", &PyArray_Type, &indptr_o,
+  int jitter = 0;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!di|i", &PyArray_Type, &indptr_o,
                         &PyArray_Type, &indices_o, &PyArray_Type, &w_o,
-                        &PyArray_Type, &cm_o, &theta, &iters))
+                        &PyArray_Type, &cm_o, &theta, &iters, &jitter))
     return nullptr;
   auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
   auto *indices = static_cast<const int64_t *>(PyArray_DATA(indices_o));
-  auto *w = static_cast<const double *>(PyArray_DATA(w_o));
+  auto *w_raw = static_cast<const double *>(PyArray_DATA(w_o));
   auto *cm = static_cast<const uint8_t *>(PyArray_DATA(cm_o));
   const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
 
@@ -87,6 +93,25 @@ PyObject *handshake_match(PyObject *, PyObject *args) {
       (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
   auto *partner = static_cast<int64_t *>(PyArray_DATA(out));
   std::fill(partner, partner + n, (int64_t)-1);
+
+  const int64_t nnz = indptr[n];
+  std::vector<double> w_jit;
+  const double *w = w_raw;
+  if (jitter) {
+    w_jit.resize((size_t)nnz);
+    for (int64_t v = 0; v < n; ++v)
+      for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+        const int64_t nb = indices[k];
+        const int64_t lo = v < nb ? v : nb;
+        const int64_t hi = v < nb ? nb : v;
+        const int64_t h =
+            (lo * (int64_t)2654435761LL + hi * (int64_t)40503LL) &
+            (int64_t)0xFFFFFFFFLL;
+        w_jit[(size_t)k] =
+            w_raw[k] * (1.0 + 1e-9 * ((double)h / 4294967296.0));
+      }
+    w = w_jit.data();
+  }
 
   // row maxima for the strength threshold
   std::vector<double> rowmax(n, 0.0);
@@ -287,6 +312,495 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
   return Py_BuildValue("(NNN)", out_ptr, out_col, out_val);
 }
 
+// ---------------------------------------------------------------------
+// collapse_graph(indptr, indices, data f64, v2agg int64[n], nc)
+//   -> (C_indptr int64[nc+1], C_indices int64, C_data f64)
+// Galerkin-collapse of a scalar graph onto aggregates with the diagonal
+// (intra-aggregate mass) dropped — the native form of
+// coarsen/pairwise.coarse_strength_graph (C^T S C; setdiag(0);
+// eliminate_zeros). Entries per coarse row come out in ascending column
+// order; exact zeros are dropped like scipy's eliminate_zeros.
+// ---------------------------------------------------------------------
+PyObject *collapse_graph(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o, *agg_o;
+  long nc_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!l", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &PyArray_Type, &agg_o, &nc_l))
+    return nullptr;
+  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
+  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  const int64_t nc = (int64_t)nc_l;
+
+  // bucket fine rows by coarse row (counting sort over v2agg)
+  std::vector<int64_t> cptr(nc + 1, 0);
+  for (int64_t v = 0; v < n; ++v)
+    if (agg[v] >= 0) cptr[agg[v] + 1]++;
+  for (int64_t c = 0; c < nc; ++c) cptr[c + 1] += cptr[c];
+  std::vector<int64_t> members(cptr[nc]);
+  {
+    std::vector<int64_t> cur(cptr.begin(), cptr.end() - 1);
+    for (int64_t v = 0; v < n; ++v)
+      if (agg[v] >= 0) members[(size_t)cur[agg[v]]++] = v;
+  }
+
+  std::vector<int64_t> out_ptr(nc + 1, 0);
+  std::vector<int64_t> out_col;
+  std::vector<double> out_val;
+  out_col.reserve((size_t)ai[n] / 2);
+  out_val.reserve((size_t)ai[n] / 2);
+  std::vector<double> acc(nc, 0.0);
+  std::vector<int64_t> stamp(nc, -1);
+  std::vector<int64_t> touched;
+  for (int64_t c = 0; c < nc; ++c) {
+    touched.clear();
+    for (int64_t m = cptr[c]; m < cptr[c + 1]; ++m) {
+      const int64_t v = members[(size_t)m];
+      for (int64_t k = ai[v]; k < ai[v + 1]; ++k) {
+        const int64_t cj = agg[aj[k]];
+        if (cj < 0 || cj == c) continue;  // dropped / diagonal
+        if (stamp[cj] != c) {
+          stamp[cj] = c;
+          acc[cj] = 0.0;
+          touched.push_back(cj);
+        }
+        acc[cj] += av[k];
+      }
+    }
+    std::sort(touched.begin(), touched.end());
+    for (int64_t cj : touched) {
+      if (acc[cj] == 0.0) continue;  // eliminate_zeros parity
+      out_col.push_back(cj);
+      out_val.push_back(acc[cj]);
+    }
+    out_ptr[c + 1] = (int64_t)out_col.size();
+  }
+
+  npy_intp d_ptr[1] = {nc + 1};
+  npy_intp d_nnz[1] = {(npy_intp)out_col.size()};
+  PyArrayObject *o_ptr =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT64);
+  PyArrayObject *o_val =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_FLOAT64);
+  std::copy(out_ptr.begin(), out_ptr.end(),
+            static_cast<int64_t *>(PyArray_DATA(o_ptr)));
+  std::copy(out_col.begin(), out_col.end(),
+            static_cast<int64_t *>(PyArray_DATA(o_col)));
+  std::copy(out_val.begin(), out_val.end(),
+            static_cast<double *>(PyArray_DATA(o_val)));
+  return Py_BuildValue("(NNN)", o_ptr, o_col, o_val);
+}
+
+// ---------------------------------------------------------------------
+// smoothed_prol_scalar(
+//   A_indptr, A_indices, A_data,            // level CSR (diag included)
+//   edge_i, edge_j int64[ne], edge_w f64,   // algebraic-mesh edges
+//   l2wt f64[n],                            // vertex L2 weights
+//   v2agg int64[n], nc,
+//   scale_aux, scale_real f64,              // omega / rho, precomputed
+//   max_per_row, max_classic long, min_frac f64)
+//   -> (P_indptr int64[n+1], P_indices int32, P_data f64)
+//
+// The fused semi-aux smoothed prolongation for scalar (dpv == 1) H1
+// energies — one O(nnz) pass replacing the scipy SpGEMM chain of
+// transfer/prolongation.smoothed_prol (the reference's `SemiAuxSProlMap`,
+// vertex_factory_impl.hpp:1744-1831). Per row:
+//   * classic eligibility: distinct coarse images of the real-matrix row
+//     (zero entries and dropped columns excluded, own aggregate counted)
+//     <= max_classic  ->  smooth with the REAL row (D_A^-1),
+//     else with the aux replacement-matrix row (D_hat^-1, edge weights).
+//   * fan-out-bounded truncation with kernel-preserving transport: keep
+//     the <= max_per_row strongest entries (|val| >= min_frac * max,
+//     strongest always kept; ties broken toward the lower coarse column,
+//     matching the stable argsort of transfer/prolongation.truncate_prol),
+//     dropped mass added onto the strongest kept entry (Q == identity).
+// Output rows have ascending column order.
+// ---------------------------------------------------------------------
+PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o, *ei_o, *ej_o, *ew_o, *l2_o, *agg_o;
+  long nc_l, max_per_row_l, max_classic_l;
+  double scale_aux, scale_real, min_frac;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!lddlld", &PyArray_Type,
+                        &ai_o, &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &PyArray_Type, &ei_o, &PyArray_Type, &ej_o,
+                        &PyArray_Type, &ew_o, &PyArray_Type, &l2_o,
+                        &PyArray_Type, &agg_o, &nc_l, &scale_aux,
+                        &scale_real, &max_per_row_l, &max_classic_l,
+                        &min_frac))
+    return nullptr;
+  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
+  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
+  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  auto *ew = static_cast<const double *>(PyArray_DATA(ew_o));
+  auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
+  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t nc = (int64_t)nc_l;
+  const int64_t max_per_row = (int64_t)max_per_row_l;
+  const int64_t max_classic = (int64_t)max_classic_l;
+
+  // aux (replacement-matrix) adjacency from the edge list (counting sort)
+  std::vector<int64_t> hptr(n + 1, 0);
+  for (int64_t e = 0; e < ne; ++e) {
+    hptr[ei[e] + 1]++;
+    hptr[ej[e] + 1]++;
+  }
+  for (int64_t v = 0; v < n; ++v) hptr[v + 1] += hptr[v];
+  std::vector<int64_t> hcol(hptr[n]);
+  std::vector<double> hval(hptr[n]);
+  std::vector<double> dhat(n);
+  for (int64_t v = 0; v < n; ++v) dhat[(size_t)v] = l2[v];
+  {
+    std::vector<int64_t> cur(hptr.begin(), hptr.end() - 1);
+    for (int64_t e = 0; e < ne; ++e) {
+      const int64_t a = ei[e], b = ej[e];
+      const double w = ew[e];
+      int64_t d = cur[a]++;
+      hcol[(size_t)d] = b;
+      hval[(size_t)d] = w;
+      d = cur[b]++;
+      hcol[(size_t)d] = a;
+      hval[(size_t)d] = w;
+      dhat[(size_t)a] += w;
+      dhat[(size_t)b] += w;
+    }
+  }
+
+  // A diagonal
+  std::vector<double> da(n, 0.0);
+  for (int64_t v = 0; v < n; ++v)
+    for (int64_t k = ai[v]; k < ai[v + 1]; ++k)
+      if (aj[k] == v) da[(size_t)v] = av[k];
+
+  std::vector<int64_t> p_ptr(n + 1, 0);
+  std::vector<int32_t> p_col;
+  std::vector<double> p_val;
+  p_col.reserve((size_t)(n * max_per_row));
+  p_val.reserve((size_t)(n * max_per_row));
+
+  std::vector<double> acc(nc, 0.0);
+  std::vector<int64_t> stamp(nc, -1);
+  std::vector<int64_t> touched;
+  std::vector<int64_t> order;
+  for (int64_t v = 0; v < n; ++v) {
+    // -- classic eligibility: distinct coarse images of the real row ----
+    // stamp value spaces (disjoint, never the initial -1):
+    //   count pass: 3n + v;  accumulate pass: n + v;  dropped: ~(n + v)
+    int64_t ndist = 0;
+    bool classic = false;
+    if (agg[v] >= 0 && max_classic > 1) {
+      const int64_t sc = 3 * n + v;
+      stamp[agg[v]] = sc;
+      ndist = 1;
+      for (int64_t k = ai[v]; k < ai[v + 1]; ++k) {
+        const int64_t j = aj[k];
+        if (j == v || av[k] == 0.0) continue;
+        const int64_t c = agg[j];
+        if (c < 0 || stamp[c] == sc) continue;
+        stamp[c] = sc;
+        ++ndist;
+      }
+      classic = ndist <= max_classic;
+    }
+    // -- accumulate the smoothed row ------------------------------------
+    touched.clear();
+    if (classic) {
+      const double dinv =
+          da[(size_t)v] > 0.0 ? 1.0 / da[(size_t)v] : 0.0;
+      for (int64_t k = ai[v]; k < ai[v + 1]; ++k) {
+        const int64_t j = aj[k];
+        const int64_t c = agg[j];
+        if (c < 0) continue;
+        double coef = -scale_real * av[k] * dinv;
+        if (j == v) coef += 1.0;
+        if (stamp[c] != v + n) {
+          stamp[c] = v + n;
+          acc[c] = 0.0;
+          touched.push_back(c);
+        }
+        acc[c] += coef;
+      }
+    } else {
+      const double dinv =
+          dhat[(size_t)v] > 0.0 ? 1.0 / dhat[(size_t)v] : 0.0;
+      if (agg[v] >= 0) {
+        const int64_t c = agg[v];
+        stamp[c] = v + n;
+        acc[c] = 1.0 - scale_aux * dhat[(size_t)v] * dinv;
+        touched.push_back(c);
+      }
+      for (int64_t k = hptr[v]; k < hptr[v + 1]; ++k) {
+        const int64_t j = hcol[(size_t)k];
+        const int64_t c = agg[j];
+        if (c < 0) continue;
+        const double coef = scale_aux * hval[(size_t)k] * dinv;
+        if (stamp[c] != v + n) {
+          stamp[c] = v + n;
+          acc[c] = 0.0;
+          touched.push_back(c);
+        }
+        acc[c] += coef;
+      }
+    }
+    // -- truncation with kernel-preserving transport --------------------
+    const int64_t m = (int64_t)touched.size();
+    if (m > 0) {
+      std::sort(touched.begin(), touched.end());  // ascending column
+      order.resize((size_t)m);
+      for (int64_t k = 0; k < m; ++k) order[(size_t)k] = k;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t a, int64_t b) {
+                         return std::abs(acc[touched[(size_t)a]]) >
+                                std::abs(acc[touched[(size_t)b]]);
+                       });
+      const double rowmax = std::abs(acc[touched[(size_t)order[0]]]);
+      const double thr = min_frac * (rowmax > 0.0 ? rowmax : 0.0);
+      const int64_t s0 = touched[(size_t)order[0]];  // strongest column
+      double dropped = 0.0;
+      int64_t kept = 0;
+      for (int64_t r = 0; r < m; ++r) {
+        const int64_t c = touched[(size_t)order[r]];
+        const bool keep =
+            (r == 0) || (r < max_per_row && std::abs(acc[c]) >= thr);
+        if (keep) {
+          ++kept;
+        } else {
+          dropped += acc[c];
+          acc[c] = 0.0;
+          // mark as dropped: reuse stamp to exclude at emission
+          stamp[c] = ~(v + n);
+        }
+      }
+      acc[s0] += dropped;
+      (void)kept;
+      for (int64_t r = 0; r < m; ++r) {  // touched already ascending
+        const int64_t c = touched[(size_t)r];
+        if (stamp[c] != v + n) continue;  // dropped
+        p_col.push_back((int32_t)c);
+        p_val.push_back(acc[c]);
+      }
+    }
+    p_ptr[v + 1] = (int64_t)p_col.size();
+  }
+
+  npy_intp d_ptr[1] = {n + 1};
+  npy_intp d_nnz[1] = {(npy_intp)p_col.size()};
+  PyArrayObject *o_ptr =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT32);
+  PyArrayObject *o_val =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_FLOAT64);
+  std::copy(p_ptr.begin(), p_ptr.end(),
+            static_cast<int64_t *>(PyArray_DATA(o_ptr)));
+  std::copy(p_col.begin(), p_col.end(),
+            static_cast<int32_t *>(PyArray_DATA(o_col)));
+  std::copy(p_val.begin(), p_val.end(),
+            static_cast<double *>(PyArray_DATA(o_val)));
+  return Py_BuildValue("(NNN)", o_ptr, o_col, o_val);
+}
+
+// ---------------------------------------------------------------------
+// edges_to_adj(ei, ej int64[ne], w f64[ne], n)
+//   -> (indptr int64[n+1], indices int32[2ne], data f64[2ne])
+// Symmetric CSR adjacency from a unique (i < j) edge list, rows in
+// ascending-column order — the canonical form scipy's coo->csr emits, in
+// one counting-sort pass instead of four O(ne) numpy temporaries
+// (mesh/topo.edge_graph).
+// ---------------------------------------------------------------------
+PyObject *edges_to_adj(PyObject *, PyObject *args) {
+  PyArrayObject *ei_o, *ej_o, *w_o;
+  long n_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!l", &PyArray_Type, &ei_o,
+                        &PyArray_Type, &ej_o, &PyArray_Type, &w_o, &n_l))
+    return nullptr;
+  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
+  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  auto *w = static_cast<const double *>(PyArray_DATA(w_o));
+  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t n = (int64_t)n_l;
+
+  npy_intp d_ptr[1] = {n + 1};
+  npy_intp d_nnz[1] = {(npy_intp)(2 * ne)};
+  PyArrayObject *o_ptr =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT32);
+  PyArrayObject *o_val =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_FLOAT64);
+  auto *ptr = static_cast<int64_t *>(PyArray_DATA(o_ptr));
+  auto *col = static_cast<int32_t *>(PyArray_DATA(o_col));
+  auto *val = static_cast<double *>(PyArray_DATA(o_val));
+
+  std::fill(ptr, ptr + n + 1, (int64_t)0);
+  for (int64_t e = 0; e < ne; ++e) {
+    ptr[ei[e] + 1]++;
+    ptr[ej[e] + 1]++;
+  }
+  for (int64_t v = 0; v < n; ++v) ptr[v + 1] += ptr[v];
+  {
+    std::vector<int64_t> cur(ptr, ptr + n);
+    for (int64_t e = 0; e < ne; ++e) {
+      int64_t d = cur[ei[e]]++;
+      col[d] = (int32_t)ej[e];
+      val[d] = w[e];
+      d = cur[ej[e]]++;
+      col[d] = (int32_t)ei[e];
+      val[d] = w[e];
+    }
+  }
+  // ascending-column order per row (scipy canonical form)
+  std::vector<std::pair<int32_t, double>> buf;
+  for (int64_t v = 0; v < n; ++v) {
+    const int64_t lo = ptr[v], hi = ptr[v + 1];
+    if (hi - lo <= 1) continue;
+    bool sorted = true;
+    for (int64_t k = lo + 1; k < hi; ++k)
+      if (col[k] < col[k - 1]) { sorted = false; break; }
+    if (sorted) continue;
+    buf.clear();
+    for (int64_t k = lo; k < hi; ++k) buf.emplace_back(col[k], val[k]);
+    std::sort(buf.begin(), buf.end(),
+              [](const auto &a, const auto &b) { return a.first < b.first; });
+    for (int64_t k = lo; k < hi; ++k) {
+      col[k] = buf[(size_t)(k - lo)].first;
+      val[k] = buf[(size_t)(k - lo)].second;
+    }
+  }
+  return Py_BuildValue("(NNN)", o_ptr, o_col, o_val);
+}
+
+// ---------------------------------------------------------------------
+// map_edges(ei, ej int64[ne], v2agg int64[n], nc)
+//   -> (ce_lo int64[nec], ce_hi int64[nec], e2ce int64[ne])
+// Coarse edge list + fine->coarse edge map under aggregation, ids in
+// ascending (lo*nc + hi) key order (np.unique parity with
+// mesh/topo.map_edges). Radix sort over the aggregate ids: two stable
+// counting passes, O(ne + nc) — replaces the O(ne log ne) np.unique.
+// ---------------------------------------------------------------------
+PyObject *map_edges_agg(PyObject *, PyObject *args) {
+  PyArrayObject *ei_o, *ej_o, *agg_o;
+  long nc_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!l", &PyArray_Type, &ei_o,
+                        &PyArray_Type, &ej_o, &PyArray_Type, &agg_o, &nc_l))
+    return nullptr;
+  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
+  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
+  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t nc = (int64_t)nc_l;
+
+  npy_intp d_e[1] = {ne};
+  PyArrayObject *o_e2ce =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_e, NPY_INT64);
+  auto *e2ce = static_cast<int64_t *>(PyArray_DATA(o_e2ce));
+
+  std::vector<int64_t> lo((size_t)ne), hi((size_t)ne), cross;
+  cross.reserve((size_t)ne / 2);
+  for (int64_t e = 0; e < ne; ++e) {
+    const int64_t a = agg[ei[e]], b = agg[ej[e]];
+    const int64_t l = a < b ? a : b, h = a < b ? b : a;
+    lo[(size_t)e] = l;
+    hi[(size_t)e] = h;
+    e2ce[e] = -1;
+    if (l != h && l >= 0) cross.push_back(e);
+  }
+  const int64_t m = (int64_t)cross.size();
+  // stable radix: sort cross-edge ids by hi, then by lo
+  std::vector<int64_t> tmp((size_t)m), cnt((size_t)nc + 1);
+  std::fill(cnt.begin(), cnt.end(), (int64_t)0);
+  for (int64_t k = 0; k < m; ++k) cnt[(size_t)hi[(size_t)cross[(size_t)k]] + 1]++;
+  for (int64_t c = 0; c < nc; ++c) cnt[(size_t)c + 1] += cnt[(size_t)c];
+  for (int64_t k = 0; k < m; ++k)
+    tmp[(size_t)cnt[(size_t)hi[(size_t)cross[(size_t)k]]]++] = cross[(size_t)k];
+  std::fill(cnt.begin(), cnt.end(), (int64_t)0);
+  for (int64_t k = 0; k < m; ++k) cnt[(size_t)lo[(size_t)tmp[(size_t)k]] + 1]++;
+  for (int64_t c = 0; c < nc; ++c) cnt[(size_t)c + 1] += cnt[(size_t)c];
+  for (int64_t k = 0; k < m; ++k)
+    cross[(size_t)cnt[(size_t)lo[(size_t)tmp[(size_t)k]]]++] = tmp[(size_t)k];
+  // unique scan
+  std::vector<int64_t> ce_lo, ce_hi;
+  ce_lo.reserve((size_t)m / 2);
+  ce_hi.reserve((size_t)m / 2);
+  int64_t pl = -1, ph = -1;
+  for (int64_t k = 0; k < m; ++k) {
+    const int64_t e = cross[(size_t)k];
+    const int64_t l = lo[(size_t)e], h = hi[(size_t)e];
+    if (l != pl || h != ph) {
+      ce_lo.push_back(l);
+      ce_hi.push_back(h);
+      pl = l;
+      ph = h;
+    }
+    e2ce[e] = (int64_t)ce_lo.size() - 1;
+  }
+  npy_intp d_c[1] = {(npy_intp)ce_lo.size()};
+  PyArrayObject *o_lo =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_c, NPY_INT64);
+  PyArrayObject *o_hi =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_c, NPY_INT64);
+  std::copy(ce_lo.begin(), ce_lo.end(),
+            static_cast<int64_t *>(PyArray_DATA(o_lo)));
+  std::copy(ce_hi.begin(), ce_hi.end(),
+            static_cast<int64_t *>(PyArray_DATA(o_hi)));
+  return Py_BuildValue("(NNN)", o_lo, o_hi, o_e2ce);
+}
+
+// ---------------------------------------------------------------------
+// rho_power_h1(ei, ej int64[ne], w f64[ne], d f64[n], x0 f64[n], iters)
+//   -> float
+// Power iteration for rho(Dhat^-1 A-hat) on the H1 replacement matrix
+// given implicitly by the edge list (A-hat x = d*x - scatter of w), with
+// the start vector supplied by the caller (numpy RNG parity).
+// ---------------------------------------------------------------------
+PyObject *rho_power_h1(PyObject *, PyObject *args) {
+  PyArrayObject *ei_o, *ej_o, *w_o, *d_o, *x0_o;
+  int iters;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!i", &PyArray_Type, &ei_o,
+                        &PyArray_Type, &ej_o, &PyArray_Type, &w_o,
+                        &PyArray_Type, &d_o, &PyArray_Type, &x0_o, &iters))
+    return nullptr;
+  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
+  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  auto *w = static_cast<const double *>(PyArray_DATA(w_o));
+  auto *d = static_cast<const double *>(PyArray_DATA(d_o));
+  auto *x0 = static_cast<const double *>(PyArray_DATA(x0_o));
+  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t n = PyArray_DIM(d_o, 0);
+
+  std::vector<double> x(x0, x0 + n), y((size_t)n);
+  std::vector<double> dinv((size_t)n);
+  for (int64_t v = 0; v < n; ++v)
+    dinv[(size_t)v] = d[v] > 0.0 ? 1.0 / std::max(d[v], 1e-300) : 0.0;
+  double lam = 1.0;
+  for (int it = 0; it < iters; ++it) {
+    for (int64_t v = 0; v < n; ++v) y[(size_t)v] = d[v] * x[(size_t)v];
+    for (int64_t e = 0; e < ne; ++e) {
+      y[(size_t)ei[e]] -= w[e] * x[(size_t)ej[e]];
+      y[(size_t)ej[e]] -= w[e] * x[(size_t)ei[e]];
+    }
+    double nrm2 = 0.0;
+    for (int64_t v = 0; v < n; ++v) {
+      x[(size_t)v] = dinv[(size_t)v] * y[(size_t)v];
+      nrm2 += x[(size_t)v] * x[(size_t)v];
+    }
+    const double nrm = std::sqrt(nrm2);
+    if (nrm == 0.0) return PyFloat_FromDouble(2.0);
+    lam = nrm;
+    const double inv = 1.0 / nrm;
+    for (int64_t v = 0; v < n; ++v) x[(size_t)v] *= inv;
+  }
+  return PyFloat_FromDouble(lam);
+}
+
 PyMethodDef methods[] = {
     {"greedy_color", greedy_color, METH_VARARGS,
      "sequential greedy graph coloring"},
@@ -295,6 +809,16 @@ PyMethodDef methods[] = {
     {"ell_slots", ell_slots, METH_VARARGS, "CSR->ELL slot computation"},
     {"rap_csr", rap_csr, METH_VARARGS,
      "fused Galerkin triple product P^T A P (scalar CSR)"},
+    {"collapse_graph", collapse_graph, METH_VARARGS,
+     "Galerkin-collapse a scalar graph onto aggregates (diag dropped)"},
+    {"smoothed_prol_scalar", smoothed_prol_scalar, METH_VARARGS,
+     "fused semi-aux smoothed prolongation (scalar H1)"},
+    {"edges_to_adj", edges_to_adj, METH_VARARGS,
+     "edge list -> symmetric CSR adjacency (canonical order)"},
+    {"map_edges_agg", map_edges_agg, METH_VARARGS,
+     "coarse edges + fine->coarse edge map under aggregation"},
+    {"rho_power_h1", rho_power_h1, METH_VARARGS,
+     "power iteration for rho(Dhat^-1 A-hat) from edges"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_ngsamg_native", nullptr,

@@ -470,9 +470,28 @@ def _unique_offsets(off: np.ndarray, n: int) -> np.ndarray:
     return np.flatnonzero(present).astype(np.int64) - (n - 1)
 
 
-def count_diagonals(A: sp.spmatrix) -> int:
-    coo = A.tocoo()
+def count_diagonals(A: sp.spmatrix, limit: int | None = None) -> int:
+    """Number of distinct diagonals; with ``limit``, an early-out count.
+
+    When ``limit`` is given the exact count is only needed up to it (the
+    DIA-eligibility checks): a cheap row-sample that already exceeds the
+    limit skips the full O(nnz) offset pass — unstructured matrices at the
+    1M+ scale otherwise spend seconds here per setup.
+    """
     n = A.shape[0]
+    C = A.tocsr() if not sp.issparse(A) or A.format != "csr" else A
+    if limit is not None and n > 8192:
+        step = max(n // 4096, 1)
+        rows = np.arange(0, n, step)
+        lo, hi = C.indptr[rows], C.indptr[rows + 1]
+        cnt = np.minimum(hi - lo, 64)
+        idx = np.concatenate(
+            [C.indices[a: a + c] for a, c in zip(lo, lo + cnt)]
+        ) if len(rows) else np.zeros(0, np.int64)
+        offs = idx.astype(np.int64) - np.repeat(rows, cnt)
+        if len(np.unique(offs)) > limit:
+            return limit + 1  # definitely not DIA-eligible
+    coo = C.tocoo()
     return len(
         _unique_offsets(coo.col.astype(np.int64) - coo.row, n)
     )
@@ -551,7 +570,7 @@ def plan_reorder(A: sp.spmatrix, bs: int, row_align: int = 8):
     n = A.shape[0] // bs
     if bs != 1 or n <= DENSE_MAX_ROWS:
         return None
-    if count_diagonals(A) <= DIA_MAX_DIAGS:
+    if count_diagonals(A, limit=DIA_MAX_DIAGS) <= DIA_MAX_DIAGS:
         return None  # stencil level: DIA in natural order
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -582,7 +601,7 @@ def choose_format(
     # DIA wins over dense whenever the level is a stencil and not tiny:
     # same op count class, ~20x less memory/transfer for mid-size levels
     if bs == 1 and n > 512:
-        nd = count_diagonals(A)
+        nd = count_diagonals(A, limit=dia_max_diags)
         if nd <= dia_max_diags:
             return dia_from_scipy(A, dtype, row_align, stage=stage)
     if n <= dense_max_rows and (n * bs) ** 2 * 4 <= 512e6:

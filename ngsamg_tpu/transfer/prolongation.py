@@ -95,6 +95,14 @@ def smoothed_prol(
     units of 1/rho(D^-1 A); 4/3 is the classical SA optimum.
     """
     dpv = energy.dpv
+    if dpv == 1:
+        P = _smoothed_prol_scalar_native(
+            mesh_f, v2agg, P_pw.shape[1],
+            omega=omega, max_per_row=max_per_row, min_frac=min_frac,
+            A=A if row_bs == 1 else None, max_classic=max_classic,
+        )
+        if P is not None:
+            return P
     Ahat = energy.replacement_matrix(mesh_f).tocsr()
     nf = mesh_f.nv
 
@@ -161,6 +169,94 @@ def smoothed_prol(
     )
 
 
+def _rho_estimate_h1_edges(
+    edges: np.ndarray,
+    w: np.ndarray,
+    d: np.ndarray,
+    iters: int = 10,
+    seed: int = 0,
+) -> float:
+    """rho(Dhat^-1 A-hat) without assembling A-hat (edge-scatter matvecs).
+
+    Mirrors :func:`_rho_estimate`'s loop on the H1 replacement matrix
+    A-hat x = d*x - sum_edges w (x_j e_i + x_i e_j); fp association
+    differs from the assembled-CSR path only at the ~1e-15 level.
+    """
+    n = len(d)
+    ei, ej = edges[:, 0], edges[:, 1]
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n)
+    from ..native import rho_power_h1
+
+    nat = rho_power_h1(edges, w, d, x, iters)
+    if nat is not None:
+        return nat
+    dinv = np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
+    lam = 1.0
+    for _ in range(iters):
+        y = d * x
+        if len(ei):
+            y -= np.bincount(ei, weights=w * x[ej], minlength=n)
+            y -= np.bincount(ej, weights=w * x[ei], minlength=n)
+        x = dinv * y
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            return 2.0
+        lam = nrm
+        x /= nrm
+    return float(lam)
+
+
+def _smoothed_prol_scalar_native(
+    mesh_f: AlgebraicMesh,
+    v2agg: np.ndarray,
+    nc: int,
+    *,
+    omega: float,
+    max_per_row: int,
+    min_frac: float,
+    A: sp.spmatrix | None,
+    max_classic: int,
+) -> sp.bsr_matrix | None:
+    """Fused native (C++) path for the scalar H1 semi-aux smoothed prol.
+
+    Requires the H1 mesh-data layout (edge ``wt`` + vertex ``l2wt``, the
+    exact inputs of `H1Energy.replacement_matrix`) and the built native
+    extension; returns None otherwise so the numpy path runs.
+    """
+    from ..native import HAVE_NATIVE, smoothed_prol_scalar
+
+    if not HAVE_NATIVE:
+        return None
+    w = mesh_f.edge_data.get("wt")
+    l2 = mesh_f.vertex_data.get("l2wt")
+    if w is None or l2 is None or A is None:
+        return None
+    d = l2.astype(np.float64, copy=True)
+    ei, ej = mesh_f.edges[:, 0], mesh_f.edges[:, 1]
+    if len(ei):
+        np.add.at(d, ei, w)
+        np.add.at(d, ej, w)
+    rho = _rho_estimate_h1_edges(mesh_f.edges, w, d)
+    scale_aux = omega / max(rho, 1e-12)
+    scale_real = 0.0
+    use_classic = bool(max_classic and max_classic > 1)
+    if use_classic:
+        Ar = A.tocsr()
+        da = Ar.diagonal()
+        dainv = np.where(da > 0, 1.0 / np.maximum(da, 1e-300), 0.0)
+        rho_r = _rho_estimate(lambda x: dainv * x, Ar, seed=1)
+        scale_real = omega / max(rho_r, 1e-12)
+    P = smoothed_prol_scalar(
+        A.tocsr(), mesh_f.edges, w, l2, v2agg, nc,
+        scale_aux, scale_real, max_per_row,
+        max_classic if use_classic else 0, min_frac,
+    )
+    if P is None:
+        return None
+    return P.tobsr(blocksize=(1, 1))
+
+
 def _classic_rows(
     A: sp.spmatrix, dpv: int, v2agg: np.ndarray, nc: int, max_classic: int
 ) -> np.ndarray:
@@ -213,7 +309,9 @@ def truncate_prol(
         return P
     norms = np.sqrt((data**2).sum(axis=(2, 3)))
     norms[cols < 0] = -1.0
-    order = np.argsort(-norms, axis=1)  # descending
+    # stable: ties keep slot (ascending-column) order, matching the
+    # native kernel's deterministic tie-break
+    order = np.argsort(-norms, axis=1, kind="stable")  # descending
     rank = np.empty_like(order)
     np.put_along_axis(rank, order, np.arange(K)[None, :].repeat(nf, 0), axis=1)
     rowmax = norms.max(axis=1, keepdims=True)
