@@ -486,7 +486,7 @@ def count_diagonals(A: sp.spmatrix, limit: int | None = None) -> int:
         lo, hi = C.indptr[rows], C.indptr[rows + 1]
         cnt = np.minimum(hi - lo, 64)
         idx = np.concatenate(
-            [C.indices[a: a + c] for a, c in zip(lo, lo + cnt)]
+            [C.indices[a: a + c] for a, c in zip(lo, cnt)]
         ) if len(rows) else np.zeros(0, np.int64)
         offs = idx.astype(np.int64) - np.repeat(rows, cnt)
         if len(np.unique(offs)) > limit:

@@ -366,10 +366,72 @@ def _unstructured_mesh(n: int, dim: int, seed: int = 0, amp: float = 0.35):
     return verts, elems
 
 
+def refine_simplices(verts: np.ndarray, elems: np.ndarray):
+    """One uniform red refinement of a simplicial mesh (vectorized).
+
+    2D: each triangle -> 4 (corner + medial); 3D: Bey's rule — each tet
+    -> 4 corner tets + 4 octahedron tets split along the x02-x13 diagonal
+    (J. Bey, 'Tetrahedral grid refinement', Computing 55, 1995). This is
+    how production FEM stacks reach large unstructured meshes (coarse
+    mesh from a mesher, then uniform refinements — e.g. Netgen's
+    `Refine()` used with the reference); the refined mesh keeps the
+    parent's irregular connectivity and geometry.
+    """
+    nl = elems.shape[1]
+    nv = len(verts)
+    pairs = np.array(
+        [(a, b) for a in range(nl) for b in range(a + 1, nl)]
+    )
+    ea = elems[:, pairs[:, 0]]  # (ne, npairs)
+    eb = elems[:, pairs[:, 1]]
+    lo = np.minimum(ea, eb).astype(np.int64)
+    hi = np.maximum(ea, eb).astype(np.int64)
+    key = lo * nv + hi
+    uniq, inv = np.unique(key, return_inverse=True)
+    mid = nv + inv.reshape(elems.shape[0], -1)  # per-elem midpoint ids
+    mverts = 0.5 * (verts[uniq // nv] + verts[uniq % nv])
+    verts2 = np.concatenate([verts, mverts])
+    e = elems
+    if nl == 3:  # triangle: pairs = (01, 02, 12)
+        m01, m02, m12 = mid[:, 0], mid[:, 1], mid[:, 2]
+        children = [
+            (e[:, 0], m01, m02),
+            (e[:, 1], m01, m12),
+            (e[:, 2], m02, m12),
+            (m01, m02, m12),
+        ]
+    else:  # tet: pairs = (01, 02, 03, 12, 13, 23)
+        m01, m02, m03 = mid[:, 0], mid[:, 1], mid[:, 2]
+        m12, m13, m23 = mid[:, 3], mid[:, 4], mid[:, 5]
+        children = [
+            (e[:, 0], m01, m02, m03),
+            (m01, e[:, 1], m12, m13),
+            (m02, m12, e[:, 2], m23),
+            (m03, m13, m23, e[:, 3]),
+            (m01, m02, m03, m13),
+            (m01, m02, m12, m13),
+            (m02, m03, m13, m23),
+            (m02, m12, m13, m23),
+        ]
+    elems2 = np.concatenate(
+        [np.stack(c, axis=1) for c in children]
+    ).astype(elems.dtype)
+    return verts2, elems2
+
+
 def unstructured_poisson(n: int, dim: int = 2, jump: bool = False,
-                         f: float = 1.0, seed: int = 0) -> Problem:
-    """P1 Poisson on a perturbed Delaunay mesh, Dirichlet boundary."""
+                         f: float = 1.0, seed: int = 0,
+                         refine: int = 0) -> Problem:
+    """P1 Poisson on a perturbed Delaunay mesh, Dirichlet boundary.
+
+    ``refine`` uniform red refinements follow the Delaunay step: the
+    production route to large unstructured problems (3D Delaunay at the
+    1M-point scale costs ~10 min of Qhull; one refinement of a 180k-point
+    mesh reaches 1.3M DoF in seconds with the same irregular topology).
+    """
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    for _ in range(max(refine, 0)):
+        verts, elems = refine_simplices(verts, elems)
     if jump and dim == 2:
         centers = verts[elems].mean(axis=1)
         coeff = np.where(_in_inclusions_2d(centers), 1e4, 1.0)
