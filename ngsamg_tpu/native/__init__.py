@@ -115,6 +115,20 @@ def rho_power_h1(edges, w, d, x0, iters=10):
     )
 
 
+def tile_ell_pack(A, M, T):
+    """(data (T,K,M) f32, cols (T,K) i32, K) or None (extension absent)."""
+    if not HAVE_NATIVE:
+        return None
+    A = A.tocsr()
+    return _nat.tile_ell_pack(
+        np.ascontiguousarray(A.indptr, dtype=np.int64),
+        np.ascontiguousarray(A.indices, dtype=np.int64),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        int(M),
+        int(T),
+    )
+
+
 def collapse_graph(S, v2agg, n_agg):
     """C^T S C with the diagonal dropped; scipy CSR or None."""
     if not HAVE_NATIVE:

@@ -801,6 +801,78 @@ PyObject *rho_power_h1(PyObject *, PyObject *args) {
   return PyFloat_FromDouble(lam);
 }
 
+// ---------------------------------------------------------------------
+// tile_ell_pack(indptr int64[n+1], indices int64[nnz], data f64[nnz],
+//               M long, T long)
+//   -> (tdata f32[T, K, M], tcols int32[T, K], K)
+// Pack a scalar CSR into tile-ELL: T tiles of M consecutive rows; each
+// tile stores its rows' values at the tile's DISTINCT columns (ascending)
+// — tdata[t, k, m] = A[t*M+m, tcols[t, k]] (0 where absent). K is the
+// max distinct-column count over tiles; pad slots carry col 0 / value 0.
+// The TPU matvec then gathers T*K scalars of x (one per distinct column)
+// instead of one per nonzero, and runs a dense (K, M) FMA per tile.
+// ---------------------------------------------------------------------
+PyObject *tile_ell_pack(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o;
+  long M_l, T_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!ll", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o, &M_l,
+                        &T_l))
+    return nullptr;
+  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
+  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  const int64_t M = (int64_t)M_l;
+  const int64_t T = (int64_t)T_l;
+
+  // pass 1: K = max distinct columns per tile
+  int64_t K = 1;
+  std::vector<int64_t> cbuf;
+  for (int64_t t = 0; t < T; ++t) {
+    cbuf.clear();
+    const int64_t r1 = std::min(t * M + M, n);
+    for (int64_t r = t * M; r < r1; ++r)
+      for (int64_t k = ai[r]; k < ai[r + 1]; ++k) cbuf.push_back(aj[k]);
+    std::sort(cbuf.begin(), cbuf.end());
+    const int64_t d =
+        std::unique(cbuf.begin(), cbuf.end()) - cbuf.begin();
+    if (d > K) K = d;
+  }
+
+  npy_intp dd[3] = {T, K, M};
+  npy_intp dc[2] = {T, K};
+  PyArrayObject *o_dat =
+      (PyArrayObject *)PyArray_ZEROS(3, dd, NPY_FLOAT32, 0);
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_ZEROS(2, dc, NPY_INT32, 0);
+  auto *td = static_cast<float *>(PyArray_DATA(o_dat));
+  auto *tc = static_cast<int32_t *>(PyArray_DATA(o_col));
+
+  for (int64_t t = 0; t < T; ++t) {
+    cbuf.clear();
+    const int64_t r1 = std::min(t * M + M, n);
+    for (int64_t r = t * M; r < r1; ++r)
+      for (int64_t k = ai[r]; k < ai[r + 1]; ++k) cbuf.push_back(aj[k]);
+    std::sort(cbuf.begin(), cbuf.end());
+    const int64_t d =
+        std::unique(cbuf.begin(), cbuf.end()) - cbuf.begin();
+    int32_t *cols_t = tc + t * K;
+    for (int64_t k = 0; k < d; ++k) cols_t[k] = (int32_t)cbuf[(size_t)k];
+    float *dat_t = td + t * K * M;
+    for (int64_t r = t * M; r < r1; ++r) {
+      const int64_t m = r - t * M;
+      for (int64_t k = ai[r]; k < ai[r + 1]; ++k) {
+        const int64_t slot =
+            std::lower_bound(cbuf.begin(), cbuf.begin() + d, aj[k]) -
+            cbuf.begin();
+        dat_t[slot * M + m] = (float)av[k];
+      }
+    }
+  }
+  return Py_BuildValue("(NNl)", o_dat, o_col, (long)K);
+}
+
 PyMethodDef methods[] = {
     {"greedy_color", greedy_color, METH_VARARGS,
      "sequential greedy graph coloring"},
@@ -819,6 +891,8 @@ PyMethodDef methods[] = {
      "coarse edges + fine->coarse edge map under aggregation"},
     {"rho_power_h1", rho_power_h1, METH_VARARGS,
      "power iteration for rho(Dhat^-1 A-hat) from edges"},
+    {"tile_ell_pack", tile_ell_pack, METH_VARARGS,
+     "pack scalar CSR into tile-ELL (T, K, M)"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_ngsamg_native", nullptr,

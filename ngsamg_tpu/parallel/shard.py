@@ -31,6 +31,7 @@ from ..sparse.formats import (
     DiaMatrix,
     StencilDia,
     SupernodeELL,
+    TileELL,
 )
 
 
@@ -77,6 +78,21 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
             nrows_pad=A.nrows_pad,
             tile_r=A.tile_r,
             tile_c=A.tile_c,
+        )
+    if isinstance(A, TileELL):
+        rowd = (
+            NamedSharding(mesh, P(axis, None, None))
+            if shard
+            else repl
+        )
+        rowc = NamedSharding(mesh, P(axis, None)) if shard else repl
+        return TileELL(
+            data=_put(A.data, rowd),
+            cols=_put(A.cols, rowc),
+            nrows=A.nrows,
+            nrows_pad=A.nrows_pad,
+            ncols_pad=A.ncols_pad,
+            tile_m=A.tile_m,
         )
     if isinstance(A, DiaMatrix):
         sh = NamedSharding(mesh, P(None, axis)) if shard else repl

@@ -49,7 +49,12 @@ def _scalar_pad(fmt, bs: int) -> int:
     """Padded scalar length of a level's vectors."""
     if isinstance(
         fmt,
-        (formats.DiaMatrix, formats.SupernodeELL, formats.StencilDia),
+        (
+            formats.DiaMatrix,
+            formats.SupernodeELL,
+            formats.StencilDia,
+            formats.TileELL,
+        ),
     ):
         return fmt.nrows_pad  # scalar units (bs == 1 formats)
     return fmt.nrows_pad * bs
@@ -374,6 +379,14 @@ class AMGPreconditioner:
     def _compile_device(self):
         opts = self.options
         nlev = len(self.setup_levels_)
+        stages = self._device_stage_times = {}
+        _t0 = time.perf_counter()
+
+        def _mark(name):
+            nonlocal _t0
+            t = time.perf_counter()
+            stages[name] = stages.get(name, 0.0) + (t - _t0)
+            _t0 = t
 
         # 1) per-level row ordering: GS levels are permuted so that graph
         # colors occupy contiguous row slices (static-slice sweeps on device)
@@ -405,6 +418,7 @@ class AMGPreconditioner:
         self._iperm0 = (
             None if self._perm0 is None else np.argsort(self._perm0)
         )
+        _mark("row_order")
 
         # 2) pick a TPU format per level and build the operators + smoothers
         # in the (possibly color-permuted) ordering. GS levels must stay in
@@ -417,6 +431,7 @@ class AMGPreconditioner:
             A = lev.A
             if A is not None and scal_perms[i] is not None:
                 A = A[scal_perms[i]][:, scal_perms[i]].tocsr()
+            _mark("permute")
             A_perm.append(A)
             if lev.stencil is not None:
                 A_fmt = formats.format_from_stencil(
@@ -432,6 +447,7 @@ class AMGPreconditioner:
                     A, lev.row_bs, self.dtype, self._row_align, stage=True
                 )
             A_fmts.append(A_fmt)
+            _mark("pack_A")
             is_coarsest = i == nlev - 1
             need_smoother = (not is_coarsest) or (
                 opts.coarse_solve != CoarseSolveType.INV
@@ -446,6 +462,7 @@ class AMGPreconditioner:
                 if need_smoother
                 else None
             )
+            _mark("smoothers")
 
         dev_levels = []
         for i, lev in enumerate(self.setup_levels_):
@@ -530,15 +547,30 @@ class AMGPreconditioner:
                     P_fmt = LatticeProlongation(**common)
                     R_fmt = LatticeRestriction(**common)
                 elif lev.row_bs == 1 and dpv == 1:
-                    # scalar transfers: supernode (wide gathers + MXU tiles)
-                    P_fmt = formats.supernode_from_scipy(
-                        P, self.dtype, tile=8, nr_pad=nf_pad,
+                    # scalar transfers: tile-ELL (one gathered x scalar
+                    # per distinct coarse column of an 8-row tile);
+                    # supernode fallback without the native packer
+                    P_fmt = formats.tile_ell_from_scipy(
+                        P, self.dtype, tile_m=8, nr_pad=nf_pad,
                         nc_pad=nc_pad, stage=True,
                     )
-                    R_fmt = formats.supernode_from_scipy(
-                        P.T.tocsr(), self.dtype, tile=8, nr_pad=nc_pad,
-                        nc_pad=nf_pad, stage=True,
+                    R_fmt = (
+                        formats.tile_ell_from_scipy(
+                            P.T.tocsr(), self.dtype, tile_m=8,
+                            nr_pad=nc_pad, nc_pad=nf_pad, stage=True,
+                        )
+                        if P_fmt is not None
+                        else None
                     )
+                    if P_fmt is None or R_fmt is None:
+                        P_fmt = formats.supernode_from_scipy(
+                            P, self.dtype, tile=8, nr_pad=nf_pad,
+                            nc_pad=nc_pad, stage=True,
+                        )
+                        R_fmt = formats.supernode_from_scipy(
+                            P.T.tocsr(), self.dtype, tile=8,
+                            nr_pad=nc_pad, nc_pad=nf_pad, stage=True,
+                        )
                 else:
                     Pb = P.tobsr(blocksize=(lev.row_bs, dpv))
                     P_fmt = bell.from_scipy(
@@ -558,12 +590,14 @@ class AMGPreconditioner:
                     A=A_fmts[i], smoother=sms[i], P=P_fmt, R=R_fmt
                 )
             )
+            _mark("pack_PR")
         self._coarsest_perm = scal_perms[-1]
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
             # invert the PERMUTED coarsest matrix: the device format and the
             # restriction into the coarsest level are built in A_perm order
             coarse_inv = self._build_coarse_inv(dev_levels[-1], A_perm[-1])
+        _mark("coarse_inv")
         # single batched transfer of the whole hierarchy (remote-TPU
         # tunnels pay a round trip per individual device_put)
         op_host = AMGOperator(
@@ -572,6 +606,8 @@ class AMGPreconditioner:
             cycle=opts.cycle.value,
         )
         op = jax.device_put(op_host)
+        jax.block_until_ready(jax.tree_util.tree_leaves(op)[:1])
+        _mark("device_put")
         # re-point implicit lattice transfers at the level's device A
         import dataclasses as _dc
 

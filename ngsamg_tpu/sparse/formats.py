@@ -190,6 +190,8 @@ def matvec(A, x: jax.Array) -> jax.Array:
             A.data, x.reshape(-1), preferred_element_type=A.data.dtype
         )
         return y.reshape(n, bs)
+    if isinstance(A, TileELL):
+        return _tile_ell_matvec(A, x)
     if isinstance(A, SupernodeELL):
         xt = x.reshape(-1, A.tile_c)
         yt = _bell_spmv(A.inner, xt)
@@ -206,6 +208,52 @@ def matvec(A, x: jax.Array) -> jax.Array:
     if isinstance(A, LatticeRestriction):
         return lattice_restrict_apply(A, x)
     raise TypeError(type(A))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "cols"],
+    meta_fields=["nrows", "nrows_pad", "ncols_pad", "tile_m"],
+)
+@dataclass(frozen=True)
+class TileELL:
+    """Tile-ELL: M-row tiles sharing one DISTINCT-column slot list.
+
+    data[t, k, m] = A[t*M + m, cols[t, k]] (zero where absent). The
+    matvec gathers ONE x scalar per (tile, slot) — T*K indices instead of
+    one per nonzero — and runs a dense (K, M) FMA per tile on the VPU.
+    For mesh matrices 8 consecutive (RCM/natural-ordered) rows share most
+    of their column support, so K stays near the single-row degree and
+    storage lands at ~2-4x the raw nnz — an order of magnitude below the
+    8x8 supernode fill on the same graphs, which dominates both the
+    host->device shipping and the per-sweep HBM traffic.
+
+    Reference role: the scalar CSR SpMV of the reference's solve phase
+    (utils_sparseLA.hpp SparseMatrix::Mult) for unstructured levels.
+    """
+
+    data: jax.Array  # (T, K, M)
+    cols: jax.Array  # (T, K) int32 into the padded input vector
+    nrows: int  # logical output rows
+    nrows_pad: int  # == T * M
+    ncols_pad: int  # padded input vector length
+    tile_m: int
+
+    @property
+    def shape(self):
+        return self.nrows, self.ncols_pad
+
+    def __matmul__(self, x):
+        return matvec(self, x)
+
+
+def _tile_ell_matvec(A: TileELL, x: jax.Array) -> jax.Array:
+    xg = x[:, 0][A.cols]  # (T, K) gather — one scalar per slot
+    y = jnp.einsum(
+        "tkm,tk->tm", A.data, xg,
+        preferred_element_type=A.data.dtype,
+    )
+    return y.reshape(-1)[:, None]
 
 
 def _dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
@@ -544,6 +592,50 @@ def supernode_from_scipy(
     )
 
 
+def tile_ell_from_scipy(
+    A: sp.spmatrix,
+    dtype,
+    tile_m: int = 8,
+    row_align: int = 8,
+    stage: bool = False,
+    nr_pad: int | None = None,
+    nc_pad: int | None = None,
+) -> TileELL | None:
+    """Pack a scalar matrix into :class:`TileELL` (native packer).
+
+    Returns None when the native extension is absent (callers fall back
+    to the supernode format). ``nr_pad``/``nc_pad`` pin the interface
+    sizes for rectangular transfers.
+    """
+    from ..native import tile_ell_pack
+
+    C = A.tocsr()
+    nr, nc = C.shape
+    align_r = max(tile_m, row_align)
+    if nr_pad is None:
+        nr_pad = -(-nr // align_r) * align_r
+    if nr_pad % tile_m:
+        nr_pad = -(-nr_pad // tile_m) * tile_m
+    if nc_pad is None:
+        nc_pad = -(-nc // row_align) * row_align
+    T = nr_pad // tile_m
+    res = tile_ell_pack(C, tile_m, T)
+    if res is None:
+        return None
+    data, cols, _K = res
+    dt = np.dtype(dtype)
+    if data.dtype != dt:
+        data = data.astype(dt)
+    return TileELL(
+        data=data if stage else jnp.asarray(data),
+        cols=cols if stage else jnp.asarray(cols),
+        nrows=nr,
+        nrows_pad=nr_pad,
+        ncols_pad=nc_pad,
+        tile_m=tile_m,
+    )
+
+
 def dense_from_scipy(
     A: sp.spmatrix, bs: int, dtype, row_align: int = 8, stage: bool = False
 ) -> DenseMatrix:
@@ -602,11 +694,43 @@ def choose_format(
     # same op count class, ~20x less memory/transfer for mid-size levels
     if bs == 1 and n > 512:
         nd = count_diagonals(A, limit=dia_max_diags)
-        if nd <= dia_max_diags:
+        if nd <= 32:
+            # true stencil level: DIA is gather-free at ~1x fill
+            return dia_from_scipy(A, dtype, row_align, stage=stage)
+        if n > dense_max_rows:
+            # mid-density regime: pick DIA vs tile-ELL by stored bytes
+            # (both beat the 8x8 supernode fill by ~an order of magnitude
+            # on mesh graphs; DIA additionally has zero gathers, so it
+            # wins any near-tie)
+            te = tile_ell_from_scipy(
+                A, dtype, tile_m=supernode_tile, row_align=row_align,
+                stage=stage,
+            )
+            if nd <= dia_max_diags:
+                n_pad = -(-n // row_align) * row_align
+                dia_bytes = nd * n_pad * np.dtype(dtype).itemsize
+                te_bytes = (
+                    te.data.nbytes + te.cols.nbytes
+                    if te is not None
+                    else None
+                )
+                if te_bytes is None or dia_bytes <= 2 * te_bytes:
+                    return dia_from_scipy(
+                        A, dtype, row_align, stage=stage
+                    )
+            if te is not None:
+                return te
+        elif nd <= dia_max_diags:
             return dia_from_scipy(A, dtype, row_align, stage=stage)
     if n <= dense_max_rows and (n * bs) ** 2 * 4 <= 512e6:
         return dense_from_scipy(A, bs, dtype, row_align, stage=stage)
     if bs == 1:
+        te = tile_ell_from_scipy(
+            A, dtype, tile_m=supernode_tile, row_align=row_align,
+            stage=stage,
+        )
+        if te is not None:
+            return te
         return supernode_from_scipy(
             A, dtype, tile=supernode_tile, row_align=row_align, stage=stage
         )
