@@ -257,11 +257,13 @@ class ElasticityEnergy(Energy):
         mid = 0.5 * (pos[i] + pos[j])
         Qim = self.transport(pos[i], mid)
         Qjm = self.transport(pos[j], mid)
-        EQi = np.einsum("ekl,eli->eki", E, Qim)
-        EQj = np.einsum("ekl,eli->eki", E, Qjm)
-        Bii = np.einsum("eki,ekj->eij", Qim, EQi)
-        Bjj = np.einsum("eki,ekj->eij", Qjm, EQj)
-        Bij = -np.einsum("eki,ekj->eij", Qim, EQj)
+        # batched matmul (BLAS) instead of einsum: ~10x on 6x6 stacks
+        EQi = E @ Qim
+        EQj = E @ Qjm
+        QimT = np.swapaxes(Qim, -1, -2)
+        Bii = QimT @ EQi
+        Bjj = np.swapaxes(Qjm, -1, -2) @ EQj
+        Bij = -(QimT @ EQj)
         Bji = np.transpose(Bij, (0, 2, 1))
         return Bii, Bij, Bji, Bjj
 
@@ -301,10 +303,10 @@ class ElasticityEnergy(Energy):
         mid = 0.5 * (pos[i] + pos[j])
         Qmi = self.transport(mid, pos[i])  # coeff at m -> coeff at i
         Qmj = self.transport(mid, pos[j])
-        di = np.einsum("eki,ekl,elj->eij", Qmi, D[i], Qmi)
-        dj = np.einsum("eki,ekl,elj->eij", Qmj, D[j], Qmj)
+        di = np.swapaxes(Qmi, -1, -2) @ (D[i] @ Qmi)
+        dj = np.swapaxes(Qmj, -1, -2) @ (D[j] @ Qmj)
         dsum_inv = np.linalg.pinv(di + dj, rcond=1e-12, hermitian=True)
-        C = np.einsum("eik,ekl,elj->eij", di, dsum_inv, dj)
+        C = di @ dsum_inv @ dj
         C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
         return _pencil_extreme_eig(E, C, reduction=reduction)
 
@@ -341,7 +343,7 @@ class ElasticityEnergy(Energy):
             mid_c = 0.5 * (cpos[coarse_edges[ce, 0]] + cpos[coarse_edges[ce, 1]])
             Q = self.transport(mid_c, mid_f)  # coeff at m_c -> coeff at m_f
             Ef = mesh.edge_data["mat"][m]
-            Et = np.einsum("eki,ekl,elj->eij", Q, Ef, Q)
+            Et = np.swapaxes(Q, -1, -2) @ (Ef @ Q)
             np.add.at(Ec, ce, Et)
         cmesh.edge_data["mat"] = Ec
 
@@ -385,7 +387,7 @@ def _pencil_extreme_eig(E, C, reduction="min", tol=1e-10):
     ok = lam > tol * lam_max
     isq = np.where(ok, 1.0 / np.sqrt(np.where(ok, lam, 1.0)), 0.0)
     W = V * isq[:, None, :]
-    M = np.einsum("eki,ekl,elj->eij", W, E, W)
+    M = np.swapaxes(W, -1, -2) @ (E @ W)
     big = 1e30 if reduction == "min" else -1e30
     n = E.shape[-1]
     idx = np.arange(n)

@@ -191,8 +191,8 @@ def _rows_aux_diag(rows_list, vst, energy):
         mid = 0.5 * (pos_own + pos_oth)
         Qvm = energy.transport(pos_own, mid)
         E = rows.E
-        EQ = np.einsum("ekl,eli->eki", E, Qvm)
-        Bvv = np.einsum("eki,ekj->eij", Qvm, EQ)
+        EQ = E @ Qvm
+        Bvv = np.swapaxes(Qvm, -1, -2) @ EQ
         D = np.zeros((nloc, dpv, dpv))
         np.add.at(D, rows_l[order], Bvv[order])
         idx = np.arange(dim)
@@ -247,10 +247,10 @@ def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
         # serial soc_robust with i = lo, j = hi
         Qmi = energy.transport(mid, pos_lo)
         Qmj = energy.transport(mid, pos_hi)
-        di = np.einsum("eki,ekl,elj->eij", Qmi, D_lo, Qmi)
-        dj = np.einsum("eki,ekl,elj->eij", Qmj, D_hi, Qmj)
+        di = np.swapaxes(Qmi, -1, -2) @ (D_lo @ Qmi)
+        dj = np.swapaxes(Qmj, -1, -2) @ (D_hi @ Qmj)
         dsum_inv = np.linalg.pinv(di + dj, rcond=1e-12, hermitian=True)
-        C = np.einsum("eik,ekl,elj->eij", di, dsum_inv, dj)
+        C = di @ dsum_inv @ dj
         C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
         soc = _pencil_extreme_eig(rows.E, C, reduction="max")
         out.append(
@@ -337,7 +337,7 @@ def _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy):
         mid_c = 0.5 * (cpos_lo + cpos_hi)
         Q = energy.transport(mid_c, mid_f)
         Ef = rows.E[keep]
-        Et = np.einsum("eki,ekl,elj->eij", Q, Ef, Q)
+        Et = np.swapaxes(Q, -1, -2) @ (Ef @ Q)
         ri_l.append(ci)
         cj_l.append(cj)
         key_l.append(lo_f * nv_f + hi_f)  # serial fine-edge order key
@@ -538,8 +538,8 @@ def _dist_prol_elast(
         mid = 0.5 * (pos_own + pos_oth)
         Qim = energy.transport(pos_own, mid)
         Qjm = energy.transport(pos_oth, mid)
-        EQj = np.einsum("ekl,eli->eki", rows.E, Qjm)
-        Bij = -np.einsum("eki,ekj->eij", Qim, EQj)
+        EQj = rows.E @ Qjm
+        Bij = -(np.swapaxes(Qim, -1, -2) @ EQj)
         # assemble the owned rows (diag block = aux diagonal)
         r_all = np.concatenate([rows_l, np.arange(nloc, dtype=np.int64)])
         c_all = np.concatenate([cols, np.arange(nloc, dtype=np.int64) + own0])
