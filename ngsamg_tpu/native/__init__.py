@@ -19,20 +19,36 @@ except ImportError:  # pragma: no cover - environment dependent
     HAVE_NATIVE = False
 
 
+def _csr_idx(indptr, indices):
+    """Matching-dtype (int32/int64) contiguous index arrays, no-copy when
+    possible.
+
+    Native kernels dispatch on the index dtype; scipy stores int32 below
+    2^31 nnz, the native emitters int64 indptr + int32 indices. A dtype
+    mismatch downcasts the (short) indptr — never the O(nnz) indices."""
+    indptr = np.ascontiguousarray(indptr)
+    indices = np.ascontiguousarray(indices)
+    if indptr.dtype != indices.dtype:
+        indptr = indptr.astype(indices.dtype)
+    if indptr.dtype not in (np.dtype(np.int32), np.dtype(np.int64)):
+        indptr = indptr.astype(np.int64)
+        indices = indices.astype(np.int64)
+    return indptr, indices
+
+
 def greedy_color(indptr, indices) -> np.ndarray | None:
     """Sequential greedy coloring; None when the extension is absent."""
     if not HAVE_NATIVE:
         return None
-    return _nat.greedy_color(
-        np.ascontiguousarray(indptr, dtype=np.int64),
-        np.ascontiguousarray(indices, dtype=np.int64),
-    )
+    return _nat.greedy_color(*_csr_idx(indptr, indices))
 
 
-def rap_csr(A, P):
+def rap_csr(A, P, dtype=None, symmetrize=False):
     """Fused P^T A P; returns a scipy CSR or None (extension absent).
 
-    Accumulates in f64; the caller handles symmetrization/dtype."""
+    Accumulates in f64; emits float32 values directly when ``dtype`` says
+    so, and applies the exact (C + C^T)/2 symmetrization in-kernel when
+    ``symmetrize`` (saves scipy's allocating 3-pass add)."""
     if not HAVE_NATIVE:
         return None
     import scipy.sparse as sp
@@ -40,18 +56,24 @@ def rap_csr(A, P):
     A = A.tocsr()
     P = P.tocsr()
     nc = P.shape[1]
+    ai, aj = _csr_idx(A.indptr, A.indices)
+    pi, pj = _csr_idx(P.indptr, P.indices)
+    if ai.dtype != pi.dtype:
+        t = np.promote_types(ai.dtype, pi.dtype)
+        ai, aj, pi, pj = (x.astype(t) for x in (ai, aj, pi, pj))
+    emit_f32 = dtype is not None and np.dtype(dtype) == np.dtype(
+        np.float32
+    )
     indptr, indices, data = _nat.rap_csr(
-        np.ascontiguousarray(A.indptr, dtype=np.int64),
-        np.ascontiguousarray(A.indices, dtype=np.int64),
-        np.ascontiguousarray(A.data, dtype=np.float64),
-        np.ascontiguousarray(P.indptr, dtype=np.int64),
-        np.ascontiguousarray(P.indices, dtype=np.int64),
-        np.ascontiguousarray(P.data, dtype=np.float64),
-        int(nc),
+        ai, aj, np.ascontiguousarray(A.data, dtype=np.float64),
+        pi, pj, np.ascontiguousarray(P.data, dtype=np.float64),
+        int(nc), 1 if emit_f32 else 0, 1 if symmetrize else 0,
     )
-    return sp.csr_matrix(
-        (data, indices.astype(np.int32), indptr), shape=(nc, nc)
-    )
+    if dtype is not None and data.dtype != np.dtype(dtype):
+        data = data.astype(dtype)
+    M = sp.csr_matrix((data, indices, indptr), shape=(nc, nc))
+    M.has_canonical_format = True
+    return M
 
 
 def handshake_match(indptr, indices, weights, can_match, theta, iters=8,
@@ -59,8 +81,7 @@ def handshake_match(indptr, indices, weights, can_match, theta, iters=8,
     if not HAVE_NATIVE:
         return None
     return _nat.handshake_match(
-        np.ascontiguousarray(indptr, dtype=np.int64),
-        np.ascontiguousarray(indices, dtype=np.int64),
+        *_csr_idx(indptr, indices),
         np.ascontiguousarray(weights, dtype=np.float64),
         np.ascontiguousarray(can_match, dtype=np.uint8),
         float(theta),
@@ -90,13 +111,13 @@ def map_edges_agg(edges, v2agg, n_agg):
     """(coarse_edges, e2ce) under aggregation; None when ext absent."""
     if not HAVE_NATIVE:
         return None
-    lo, hi, e2ce = _nat.map_edges_agg(
+    ce, e2ce = _nat.map_edges_agg(
         np.ascontiguousarray(edges[:, 0], dtype=np.int64),
         np.ascontiguousarray(edges[:, 1], dtype=np.int64),
         np.ascontiguousarray(v2agg, dtype=np.int64),
         int(n_agg),
     )
-    return np.stack([lo, hi], axis=1), e2ce
+    return ce, e2ce
 
 
 def rho_power_h1(edges, w, d, x0, iters=10):
@@ -120,10 +141,12 @@ def tile_ell_pack(A, M, T):
     if not HAVE_NATIVE:
         return None
     A = A.tocsr()
+    data = A.data
+    if data.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        data = data.astype(np.float64)
     return _nat.tile_ell_pack(
-        np.ascontiguousarray(A.indptr, dtype=np.int64),
-        np.ascontiguousarray(A.indices, dtype=np.int64),
-        np.ascontiguousarray(A.data, dtype=np.float64),
+        *_csr_idx(A.indptr, A.indices),
+        np.ascontiguousarray(data),
         int(M),
         int(T),
     )
@@ -137,20 +160,20 @@ def collapse_graph(S, v2agg, n_agg):
 
     S = S.tocsr()
     indptr, indices, data = _nat.collapse_graph(
-        np.ascontiguousarray(S.indptr, dtype=np.int64),
-        np.ascontiguousarray(S.indices, dtype=np.int64),
+        *_csr_idx(S.indptr, S.indices),
         np.ascontiguousarray(S.data, dtype=np.float64),
         np.ascontiguousarray(v2agg, dtype=np.int64),
         int(n_agg),
     )
-    return sp.csr_matrix(
-        (data, indices.astype(np.int32), indptr), shape=(n_agg, n_agg)
-    )
+    M = sp.csr_matrix((data, indices, indptr), shape=(n_agg, n_agg))
+    M.has_canonical_format = True
+    return M
 
 
 def smoothed_prol_scalar(
     A, edges, edge_w, l2wt, v2agg, n_agg,
     scale_aux, scale_real, max_per_row, max_classic, min_frac,
+    filter_pos=False,
 ):
     """Fused scalar semi-aux smoothed prolongation; CSR or None.
 
@@ -163,8 +186,7 @@ def smoothed_prol_scalar(
 
     A = A.tocsr()
     indptr, indices, data = _nat.smoothed_prol_scalar(
-        np.ascontiguousarray(A.indptr, dtype=np.int64),
-        np.ascontiguousarray(A.indices, dtype=np.int64),
+        *_csr_idx(A.indptr, A.indices),
         np.ascontiguousarray(A.data, dtype=np.float64),
         np.ascontiguousarray(edges[:, 0], dtype=np.int64),
         np.ascontiguousarray(edges[:, 1], dtype=np.int64),
@@ -177,7 +199,69 @@ def smoothed_prol_scalar(
         int(max_per_row),
         int(max_classic),
         float(min_frac),
+        1 if filter_pos else 0,
     )
     return sp.csr_matrix(
         (data, indices, indptr), shape=(A.shape[0], int(n_agg))
     )
+
+
+def finest_mesh_scal(A, neg_only=False):
+    """(diag, signed rowsum, edges (m,2) int64, |wt|) from a symmetric
+    scalar CSR in one fused pass; None when the extension is absent.
+
+    With ``neg_only`` the edge list keeps only attractive (negative)
+    couplings — the standard SA strength filter."""
+    if not HAVE_NATIVE:
+        return None
+    A = A.tocsr()
+    diag, rsum, edges, ew = _nat.finest_mesh_scal(
+        *_csr_idx(A.indptr, A.indices),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        1 if neg_only else 0,
+    )
+    return diag, rsum, edges, ew
+
+
+def csr_permute(A, rowperm=None, colperm=None):
+    """``A[rowperm][:, colperm]`` as a canonical CSR; None when absent.
+
+    ``rowperm``/``colperm`` are new-index -> old-index permutations (the
+    numpy fancy-index convention). Column renaming uses the inverse map
+    internally; rows come out column-sorted."""
+    if not HAVE_NATIVE:
+        return None
+    import scipy.sparse as sp
+
+    A = A.tocsr()
+    data = A.data
+    if data.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        data = data.astype(np.float64)
+    rp = (
+        None
+        if rowperm is None
+        else np.ascontiguousarray(rowperm, dtype=np.int64)
+    )
+    cmap = None
+    if colperm is None:
+        icp = None
+    else:
+        cp = np.asarray(colperm, dtype=np.int64)
+        icp = np.empty(len(cp), dtype=np.int64)
+        icp[cp] = np.arange(len(cp), dtype=np.int64)
+        cmap = icp
+    indptr, indices, vals = _nat.csr_permute(
+        *_csr_idx(A.indptr, A.indices),
+        np.ascontiguousarray(data),
+        rp,
+        cmap,
+    )
+    M = sp.csr_matrix(
+        (vals, indices, indptr),
+        shape=(
+            A.shape[0] if rowperm is None else len(rp),
+            A.shape[1],
+        ),
+    )
+    M.has_canonical_format = True
+    return M

@@ -29,18 +29,29 @@
 
 namespace {
 
+// Index-dtype dispatch: scipy CSR carries int32 indptr/indices below 2^31
+// nnz; converting to int64 in the Python wrappers costs a full O(nnz)
+// pass per call (measured ~5 s per 1M-DoF setup). Kernels that take CSR
+// arrays are templated on the index type and dispatched here.
+template <typename F>
+PyObject *dispatch_index(PyArrayObject *idx_like, F &&f) {
+  switch (PyArray_TYPE(idx_like)) {
+    case NPY_INT32:
+      return f(int32_t{});
+    case NPY_INT64:
+      return f(int64_t{});
+    default:
+      PyErr_SetString(PyExc_TypeError,
+                      "index arrays must be int32 or int64");
+      return nullptr;
+  }
+}
+
 // ---------------------------------------------------------------------
 // greedy_color(indptr int64[n+1], indices int64[nnz]) -> int32[n]
 // ---------------------------------------------------------------------
-PyObject *greedy_color(PyObject *, PyObject *args) {
-  PyArrayObject *indptr_o, *indices_o;
-  if (!PyArg_ParseTuple(args, "O!O!", &PyArray_Type, &indptr_o,
-                        &PyArray_Type, &indices_o))
-    return nullptr;
-  auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
-  auto *indices = static_cast<const int64_t *>(PyArray_DATA(indices_o));
-  const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
-
+template <typename I>
+PyObject *greedy_color_impl(const I *indptr, const I *indices, int64_t n) {
   npy_intp dims[1] = {n};
   PyArrayObject *out =
       (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT32);
@@ -50,8 +61,8 @@ PyObject *greedy_color(PyObject *, PyObject *args) {
   std::vector<int32_t> mark(256, -1);
   int maxc = 0;
   for (int64_t v = 0; v < n; ++v) {
-    for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
-      const int64_t nb = indices[k];
+    for (I k = indptr[v]; k < indptr[v + 1]; ++k) {
+      const int64_t nb = (int64_t)indices[k];
       const int32_t c = colors[nb];
       if (c >= 0) mark[c] = (int32_t)v;
     }
@@ -64,6 +75,20 @@ PyObject *greedy_color(PyObject *, PyObject *args) {
   return (PyObject *)out;
 }
 
+PyObject *greedy_color(PyObject *, PyObject *args) {
+  PyArrayObject *indptr_o, *indices_o;
+  if (!PyArg_ParseTuple(args, "O!O!", &PyArray_Type, &indptr_o,
+                        &PyArray_Type, &indices_o))
+    return nullptr;
+  const int64_t n = PyArray_DIM(indptr_o, 0) - 1;
+  return dispatch_index(indptr_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return greedy_color_impl<I>(
+        static_cast<const I *>(PyArray_DATA(indptr_o)),
+        static_cast<const I *>(PyArray_DATA(indices_o)), n);
+  });
+}
+
 // ---------------------------------------------------------------------
 // handshake_match(indptr, indices, weights f64, can_match uint8,
 //                 theta f64, iters int[, jitter int])
@@ -73,35 +98,25 @@ PyObject *greedy_color(PyObject *, PyObject *args) {
 // (w *= 1 + 1e-9 * hash(lo, hi)/2^32) is applied in-kernel, saving the
 // five O(nnz) numpy passes the python wrapper otherwise spends on it.
 // ---------------------------------------------------------------------
-PyObject *handshake_match(PyObject *, PyObject *args) {
-  PyArrayObject *indptr_o, *indices_o, *w_o, *cm_o;
-  double theta;
-  int iters;
-  int jitter = 0;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!di|i", &PyArray_Type, &indptr_o,
-                        &PyArray_Type, &indices_o, &PyArray_Type, &w_o,
-                        &PyArray_Type, &cm_o, &theta, &iters, &jitter))
-    return nullptr;
-  auto *indptr = static_cast<const int64_t *>(PyArray_DATA(indptr_o));
-  auto *indices = static_cast<const int64_t *>(PyArray_DATA(indices_o));
-  auto *w_raw = static_cast<const double *>(PyArray_DATA(w_o));
-  auto *cm = static_cast<const uint8_t *>(PyArray_DATA(cm_o));
-  const npy_intp n = PyArray_DIM(indptr_o, 0) - 1;
-
+template <typename I>
+PyObject *handshake_match_impl(const I *indptr, const I *indices,
+                               const double *w_raw, const uint8_t *cm,
+                               double theta, int iters, int jitter,
+                               int64_t n) {
   npy_intp dims[1] = {n};
   PyArrayObject *out =
       (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
   auto *partner = static_cast<int64_t *>(PyArray_DATA(out));
   std::fill(partner, partner + n, (int64_t)-1);
 
-  const int64_t nnz = indptr[n];
+  const int64_t nnz = (int64_t)indptr[n];
   std::vector<double> w_jit;
   const double *w = w_raw;
   if (jitter) {
     w_jit.resize((size_t)nnz);
     for (int64_t v = 0; v < n; ++v)
       for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
-        const int64_t nb = indices[k];
+        const int64_t nb = (int64_t)indices[k];
         const int64_t lo = v < nb ? v : nb;
         const int64_t hi = v < nb ? nb : v;
         const int64_t h =
@@ -128,7 +143,7 @@ PyObject *handshake_match(PyObject *, PyObject *args) {
       if (partner[v] >= 0 || !cm[v]) continue;
       double bw = -1.0;
       for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
-        const int64_t nb = indices[k];
+        const int64_t nb = (int64_t)indices[k];
         if (partner[nb] >= 0 || !cm[nb]) continue;
         const double thr =
             theta * std::min(rowmax[v], rowmax[nb]);
@@ -148,6 +163,27 @@ PyObject *handshake_match(PyObject *, PyObject *args) {
     if (!any) break;
   }
   return (PyObject *)out;
+}
+
+PyObject *handshake_match(PyObject *, PyObject *args) {
+  PyArrayObject *indptr_o, *indices_o, *w_o, *cm_o;
+  double theta;
+  int iters;
+  int jitter = 0;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!di|i", &PyArray_Type, &indptr_o,
+                        &PyArray_Type, &indices_o, &PyArray_Type, &w_o,
+                        &PyArray_Type, &cm_o, &theta, &iters, &jitter))
+    return nullptr;
+  auto *w_raw = static_cast<const double *>(PyArray_DATA(w_o));
+  auto *cm = static_cast<const uint8_t *>(PyArray_DATA(cm_o));
+  const int64_t n = PyArray_DIM(indptr_o, 0) - 1;
+  return dispatch_index(indptr_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return handshake_match_impl<I>(
+        static_cast<const I *>(PyArray_DATA(indptr_o)),
+        static_cast<const I *>(PyArray_DATA(indices_o)), w_raw, cm, theta,
+        iters, jitter, n);
+  });
 }
 
 // ---------------------------------------------------------------------
@@ -182,50 +218,44 @@ PyObject *ell_slots(PyObject *, PyObject *args) {
 }
 
 // ---------------------------------------------------------------------
-// rap_csr(A_indptr, A_indices, A_data, P_indptr, P_indices, P_data, nc)
-//   -> (C_indptr, C_indices, C_data)   with C = P^T A P  (scalar CSR)
+// rap_csr(A_indptr, A_indices, A_data, P_indptr, P_indices, P_data, nc
+//         [, emit_f32, symmetrize])
+//   -> (C_indptr int64, C_indices int32, C_data f64|f32)
+//   with C = P^T A P (scalar CSR, sorted columns)
 //
 // Fused two-pass Gustavson with a dense sparse-accumulator (SPA) per row
 // — the native Galerkin triple product of the reference
 // (utils_sparseMM.hpp:94-108 RestrictMatrix), serving the generic
 // (unstructured / block-energy) setup path; structured levels use the
-// stencil-domain RAP instead (transfer/stencil.py).
+// stencil-domain RAP instead (transfer/stencil.py). A/P index arrays may
+// be int32 (scipy native) or int64. With symmetrize != 0 the result is
+// replaced by (C + C^T)/2 in place (A symmetric => C symmetric up to
+// roundoff; averaging restores it exactly without scipy's 3-pass add).
+// emit_f32 != 0 casts values on output (saves the caller's astype pass).
 // ---------------------------------------------------------------------
-PyObject *rap_csr(PyObject *, PyObject *args) {
-  PyArrayObject *ai_o, *aj_o, *av_o, *pi_o, *pj_o, *pv_o;
-  long nc_l;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!l", &PyArray_Type, &ai_o,
-                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
-                        &PyArray_Type, &pi_o, &PyArray_Type, &pj_o,
-                        &PyArray_Type, &pv_o, &nc_l))
-    return nullptr;
-  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
-  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
-  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
-  auto *pi = static_cast<const int64_t *>(PyArray_DATA(pi_o));
-  auto *pj = static_cast<const int64_t *>(PyArray_DATA(pj_o));
-  auto *pv = static_cast<const double *>(PyArray_DATA(pv_o));
-  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
-  const int64_t nc = (int64_t)nc_l;
-
+template <typename I>
+PyObject *rap_csr_impl(const I *ai, const I *aj, const double *av,
+                       const I *pi, const I *pj, const double *pv,
+                       int64_t n, int64_t nc, int emit_f32,
+                       int symmetrize) {
   // ---- pass 1: AP = A @ P (CSR, SPA over coarse columns) --------------
   std::vector<int64_t> ap_ptr(n + 1, 0);
-  std::vector<int64_t> ap_col;
+  std::vector<int32_t> ap_col;
   std::vector<double> ap_val;
-  ap_col.reserve((size_t)(ai[n]));  // heuristic
-  ap_val.reserve((size_t)(ai[n]));
+  ap_col.reserve((size_t)(2 * ai[n]));  // heuristic (fan-out ~2-4)
+  ap_val.reserve((size_t)(2 * ai[n]));
   {
     std::vector<double> acc(nc, 0.0);
     std::vector<int64_t> stamp(nc, -1);
-    std::vector<int64_t> touched;
+    std::vector<int32_t> touched;
     for (int64_t i = 0; i < n; ++i) {
       touched.clear();
-      for (int64_t k = ai[i]; k < ai[i + 1]; ++k) {
-        const int64_t j = aj[k];
+      for (I k = ai[i]; k < ai[i + 1]; ++k) {
+        const I j = aj[k];
         const double a = av[k];
         if (a == 0.0) continue;
-        for (int64_t l = pi[j]; l < pi[j + 1]; ++l) {
-          const int64_t c = pj[l];
+        for (I l = pi[j]; l < pi[j + 1]; ++l) {
+          const int32_t c = (int32_t)pj[l];
           if (stamp[c] != i) {
             stamp[c] = i;
             acc[c] = 0.0;
@@ -235,7 +265,8 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
         }
       }
       std::sort(touched.begin(), touched.end());
-      for (int64_t c : touched) {
+      for (int32_t c : touched) {
+        if (acc[c] == 0.0) continue;  // scipy matmul zero-pruning parity
         ap_col.push_back(c);
         ap_val.push_back(acc[c]);
       }
@@ -246,38 +277,38 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
   // ---- transpose P (counting sort) -------------------------------------
   const int64_t pnnz = pi[n];
   std::vector<int64_t> pt_ptr(nc + 1, 0);
-  std::vector<int64_t> pt_row(pnnz);
+  std::vector<int32_t> pt_row(pnnz);
   std::vector<double> pt_val(pnnz);
   for (int64_t k = 0; k < pnnz; ++k) pt_ptr[pj[k] + 1]++;
   for (int64_t c = 0; c < nc; ++c) pt_ptr[c + 1] += pt_ptr[c];
   {
     std::vector<int64_t> cur(pt_ptr.begin(), pt_ptr.end() - 1);
     for (int64_t i = 0; i < n; ++i)
-      for (int64_t k = pi[i]; k < pi[i + 1]; ++k) {
+      for (I k = pi[i]; k < pi[i + 1]; ++k) {
         const int64_t dst = cur[pj[k]]++;
-        pt_row[dst] = i;
+        pt_row[dst] = (int32_t)i;
         pt_val[dst] = pv[k];
       }
   }
 
   // ---- pass 2: C = P^T @ AP --------------------------------------------
   std::vector<int64_t> c_ptr(nc + 1, 0);
-  std::vector<int64_t> c_col;
+  std::vector<int32_t> c_col;
   std::vector<double> c_val;
   c_col.reserve((size_t)pnnz);
   c_val.reserve((size_t)pnnz);
   {
     std::vector<double> acc(nc, 0.0);
     std::vector<int64_t> stamp(nc, -1);
-    std::vector<int64_t> touched;
+    std::vector<int32_t> touched;
     for (int64_t r = 0; r < nc; ++r) {
       touched.clear();
       for (int64_t k = pt_ptr[r]; k < pt_ptr[r + 1]; ++k) {
-        const int64_t i = pt_row[k];
+        const int32_t i = pt_row[k];
         const double p = pt_val[k];
         if (p == 0.0) continue;
         for (int64_t l = ap_ptr[i]; l < ap_ptr[i + 1]; ++l) {
-          const int64_t c = ap_col[l];
+          const int32_t c = ap_col[l];
           if (stamp[c] != r) {
             stamp[c] = r;
             acc[c] = 0.0;
@@ -287,7 +318,8 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
         }
       }
       std::sort(touched.begin(), touched.end());
-      for (int64_t c : touched) {
+      for (int32_t c : touched) {
+        if (acc[c] == 0.0) continue;  // scipy matmul zero-pruning parity
         c_col.push_back(c);
         c_val.push_back(acc[c]);
       }
@@ -295,21 +327,248 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
     }
   }
 
+  if (symmetrize) {
+    // (C + C^T)/2 in place: for each upper entry find the mirror by
+    // binary search (columns are sorted) and average both. Structure is
+    // symmetric by construction (A, and hence C, structurally symmetric).
+    for (int64_t r = 0; r < nc; ++r)
+      for (int64_t k = c_ptr[r]; k < c_ptr[r + 1]; ++k) {
+        const int32_t c = c_col[k];
+        if (c <= r) continue;
+        const int32_t *lo = c_col.data() + c_ptr[c];
+        const int32_t *hi = c_col.data() + c_ptr[c + 1];
+        const int32_t *it = std::lower_bound(lo, hi, (int32_t)r);
+        if (it != hi && *it == (int32_t)r) {
+          const int64_t km = it - c_col.data();
+          const double avg = 0.5 * (c_val[k] + c_val[km]);
+          c_val[k] = avg;
+          c_val[km] = avg;
+        }
+      }
+  }
+
   npy_intp d_ptr[1] = {nc + 1};
   npy_intp d_nnz[1] = {(npy_intp)c_col.size()};
   PyArrayObject *out_ptr =
       (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
   PyArrayObject *out_col =
-      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT64);
-  PyArrayObject *out_val =
-      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_FLOAT64);
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT32);
+  PyArrayObject *out_val = (PyArrayObject *)PyArray_SimpleNew(
+      1, d_nnz, emit_f32 ? NPY_FLOAT32 : NPY_FLOAT64);
   std::copy(c_ptr.begin(), c_ptr.end(),
             static_cast<int64_t *>(PyArray_DATA(out_ptr)));
   std::copy(c_col.begin(), c_col.end(),
-            static_cast<int64_t *>(PyArray_DATA(out_col)));
-  std::copy(c_val.begin(), c_val.end(),
-            static_cast<double *>(PyArray_DATA(out_val)));
+            static_cast<int32_t *>(PyArray_DATA(out_col)));
+  if (emit_f32) {
+    auto *dst = static_cast<float *>(PyArray_DATA(out_val));
+    for (size_t k = 0; k < c_val.size(); ++k) dst[k] = (float)c_val[k];
+  } else {
+    std::copy(c_val.begin(), c_val.end(),
+              static_cast<double *>(PyArray_DATA(out_val)));
+  }
   return Py_BuildValue("(NNN)", out_ptr, out_col, out_val);
+}
+
+PyObject *rap_csr(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o, *pi_o, *pj_o, *pv_o;
+  long nc_l;
+  int emit_f32 = 0, symmetrize = 0;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!l|ii", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &PyArray_Type, &pi_o, &PyArray_Type, &pj_o,
+                        &PyArray_Type, &pv_o, &nc_l, &emit_f32,
+                        &symmetrize))
+    return nullptr;
+  if (PyArray_TYPE(ai_o) != PyArray_TYPE(pi_o)) {
+    PyErr_SetString(PyExc_TypeError, "A and P index dtypes must match");
+    return nullptr;
+  }
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  auto *pv = static_cast<const double *>(PyArray_DATA(pv_o));
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return rap_csr_impl<I>(static_cast<const I *>(PyArray_DATA(ai_o)),
+                           static_cast<const I *>(PyArray_DATA(aj_o)), av,
+                           static_cast<const I *>(PyArray_DATA(pi_o)),
+                           static_cast<const I *>(PyArray_DATA(pj_o)), pv,
+                           n, (int64_t)nc_l, emit_f32, symmetrize);
+  });
+}
+
+// ---------------------------------------------------------------------
+// finest_mesh_scal(indptr, indices, data f64)
+//   -> (diag f64[n], rowsum f64[n], ei int64[m], ej int64[m], ew f64[m])
+// One fused pass over a symmetric scalar CSR producing everything the
+// finest-level algebraic mesh needs (apps/h1.build_finest_mesh;
+// reference BuildAlgMesh_ALG_scal, h1_impl.hpp:384-431): the diagonal,
+// the signed row sums (L2 weights before clamping), and the strict
+// upper-triangle edge list with |a_ij| weights (exact zeros dropped —
+// scipy setdiag(0)+eliminate_zeros+triu parity). Replaces a CSR copy,
+// setdiag, eliminate_zeros, triu and a COO conversion (~5 O(nnz)
+// allocating passes).
+// ---------------------------------------------------------------------
+template <typename I>
+PyObject *finest_mesh_scal_impl(const I *ai, const I *aj, const double *av,
+                                int64_t n, int neg_only) {
+  npy_intp d_n[1] = {n};
+  PyArrayObject *o_diag =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_n, NPY_FLOAT64);
+  PyArrayObject *o_rsum =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_n, NPY_FLOAT64);
+  auto *diag = static_cast<double *>(PyArray_DATA(o_diag));
+  auto *rsum = static_cast<double *>(PyArray_DATA(o_rsum));
+
+  // pass 1: diag/rowsum + upper-edge count
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    double d = 0.0, s = 0.0;
+    for (I k = ai[i]; k < ai[i + 1]; ++k) {
+      const I j = aj[k];
+      const double a = av[k];
+      s += a;
+      if (j == i) d = a;
+      else if (j > i && (neg_only ? (a < 0.0) : (a != 0.0))) ++m;
+    }
+    diag[i] = d;
+    rsum[i] = s;
+  }
+  npy_intp d_m2[2] = {m, 2};
+  npy_intp d_m[1] = {m};
+  PyArrayObject *o_edges =
+      (PyArrayObject *)PyArray_SimpleNew(2, d_m2, NPY_INT64);
+  PyArrayObject *o_ew =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_m, NPY_FLOAT64);
+  auto *edg = static_cast<int64_t *>(PyArray_DATA(o_edges));
+  auto *ew = static_cast<double *>(PyArray_DATA(o_ew));
+  int64_t e = 0;
+  for (int64_t i = 0; i < n; ++i)
+    for (I k = ai[i]; k < ai[i + 1]; ++k) {
+      const I j = aj[k];
+      const double a = av[k];
+      if (j > i && (neg_only ? (a < 0.0) : (a != 0.0))) {
+        edg[2 * e] = i;
+        edg[2 * e + 1] = (int64_t)j;
+        ew[e] = std::abs(a);
+        ++e;
+      }
+    }
+  return Py_BuildValue("(NNNN)", o_diag, o_rsum, o_edges, o_ew);
+}
+
+PyObject *finest_mesh_scal(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o;
+  int neg_only = 0;
+  if (!PyArg_ParseTuple(args, "O!O!O!|i", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &neg_only))
+    return nullptr;
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return finest_mesh_scal_impl<I>(
+        static_cast<const I *>(PyArray_DATA(ai_o)),
+        static_cast<const I *>(PyArray_DATA(aj_o)), av, n, neg_only);
+  });
+}
+
+// ---------------------------------------------------------------------
+// csr_permute(indptr, indices, data f32|f64, rowperm int64[nr] | None,
+//             colmap int64[ncol] | None)
+//   -> (indptr int64[nr+1], indices int32, data same-dtype)
+// Permuted CSR out = A[rowperm][:, inv(colmap)]: row r of the output is
+// old row rowperm[r]; every column j is renamed colmap[j]; rows come out
+// column-sorted. One pass + per-row sorts — replaces scipy's
+// A[perm][:, perm] double fancy-index (two allocating passes + a csc
+// round trip, ~10 s at the 1M-DoF scale under load).
+// ---------------------------------------------------------------------
+template <typename I, typename V>
+PyObject *csr_permute_impl(const I *ai, const I *aj, const V *av,
+                           const int64_t *rperm, const int64_t *cmap,
+                           int64_t n, int vdtype) {
+  npy_intp d_ptr[1] = {n + 1};
+  PyArrayObject *o_ptr =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
+  auto *optr = static_cast<int64_t *>(PyArray_DATA(o_ptr));
+  optr[0] = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t src = rperm ? rperm[r] : r;
+    optr[r + 1] = optr[r] + (int64_t)(ai[src + 1] - ai[src]);
+  }
+  const int64_t nnz = optr[n];
+  npy_intp d_nnz[1] = {nnz};
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT32);
+  PyArrayObject *o_val =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, vdtype);
+  auto *ocol = static_cast<int32_t *>(PyArray_DATA(o_col));
+  auto *oval = static_cast<V *>(PyArray_DATA(o_val));
+  std::vector<std::pair<int32_t, V>> buf;
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t src = rperm ? rperm[r] : r;
+    const int64_t lo = optr[r];
+    int64_t d = lo;
+    bool sorted = true;
+    int32_t prev = -1;
+    for (I k = ai[src]; k < ai[src + 1]; ++k, ++d) {
+      const int32_t c =
+          (int32_t)(cmap ? cmap[(int64_t)aj[k]] : (int64_t)aj[k]);
+      ocol[d] = c;
+      oval[d] = av[k];
+      if (c < prev) sorted = false;
+      prev = c;
+    }
+    if (!sorted) {
+      const int64_t hi = optr[r + 1];
+      buf.clear();
+      for (int64_t k = lo; k < hi; ++k) buf.emplace_back(ocol[k], oval[k]);
+      std::sort(buf.begin(), buf.end(),
+                [](const auto &a, const auto &b) { return a.first < b.first; });
+      for (int64_t k = lo; k < hi; ++k) {
+        ocol[k] = buf[(size_t)(k - lo)].first;
+        oval[k] = buf[(size_t)(k - lo)].second;
+      }
+    }
+  }
+  return Py_BuildValue("(NNN)", o_ptr, o_col, o_val);
+}
+
+PyObject *csr_permute(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o;
+  PyObject *rperm_o, *cmap_o;
+  if (!PyArg_ParseTuple(args, "O!O!O!OO", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &rperm_o, &cmap_o))
+    return nullptr;
+  int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  const int64_t *rperm = nullptr;
+  if (rperm_o != Py_None) {
+    rperm = static_cast<const int64_t *>(
+        PyArray_DATA((PyArrayObject *)rperm_o));
+    n = PyArray_DIM((PyArrayObject *)rperm_o, 0);  // output row count
+  }
+  const int64_t *cmap =
+      cmap_o == Py_None ? nullptr
+                        : static_cast<const int64_t *>(
+                              PyArray_DATA((PyArrayObject *)cmap_o));
+  const int vt = PyArray_TYPE(av_o);
+  if (vt != NPY_FLOAT32 && vt != NPY_FLOAT64) {
+    PyErr_SetString(PyExc_TypeError, "data must be float32 or float64");
+    return nullptr;
+  }
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    const I *ai = static_cast<const I *>(PyArray_DATA(ai_o));
+    const I *aj = static_cast<const I *>(PyArray_DATA(aj_o));
+    if (vt == NPY_FLOAT32)
+      return csr_permute_impl<I, float>(
+          ai, aj, static_cast<const float *>(PyArray_DATA(av_o)), rperm,
+          cmap, n, NPY_FLOAT32);
+    return csr_permute_impl<I, double>(
+        ai, aj, static_cast<const double *>(PyArray_DATA(av_o)), rperm,
+        cmap, n, NPY_FLOAT64);
+  });
 }
 
 // ---------------------------------------------------------------------
@@ -321,20 +580,9 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
 // eliminate_zeros). Entries per coarse row come out in ascending column
 // order; exact zeros are dropped like scipy's eliminate_zeros.
 // ---------------------------------------------------------------------
-PyObject *collapse_graph(PyObject *, PyObject *args) {
-  PyArrayObject *ai_o, *aj_o, *av_o, *agg_o;
-  long nc_l;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!l", &PyArray_Type, &ai_o,
-                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
-                        &PyArray_Type, &agg_o, &nc_l))
-    return nullptr;
-  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
-  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
-  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
-  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
-  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
-  const int64_t nc = (int64_t)nc_l;
-
+template <typename I>
+PyObject *collapse_graph_impl(const I *ai, const I *aj, const double *av,
+                              const int64_t *agg, int64_t n, int64_t nc) {
   // bucket fine rows by coarse row (counting sort over v2agg)
   std::vector<int64_t> cptr(nc + 1, 0);
   for (int64_t v = 0; v < n; ++v)
@@ -348,30 +596,30 @@ PyObject *collapse_graph(PyObject *, PyObject *args) {
   }
 
   std::vector<int64_t> out_ptr(nc + 1, 0);
-  std::vector<int64_t> out_col;
+  std::vector<int32_t> out_col;
   std::vector<double> out_val;
   out_col.reserve((size_t)ai[n] / 2);
   out_val.reserve((size_t)ai[n] / 2);
   std::vector<double> acc(nc, 0.0);
   std::vector<int64_t> stamp(nc, -1);
-  std::vector<int64_t> touched;
+  std::vector<int32_t> touched;
   for (int64_t c = 0; c < nc; ++c) {
     touched.clear();
     for (int64_t m = cptr[c]; m < cptr[c + 1]; ++m) {
       const int64_t v = members[(size_t)m];
-      for (int64_t k = ai[v]; k < ai[v + 1]; ++k) {
-        const int64_t cj = agg[aj[k]];
+      for (I k = ai[v]; k < ai[v + 1]; ++k) {
+        const int64_t cj = agg[(int64_t)aj[k]];
         if (cj < 0 || cj == c) continue;  // dropped / diagonal
         if (stamp[cj] != c) {
           stamp[cj] = c;
           acc[cj] = 0.0;
-          touched.push_back(cj);
+          touched.push_back((int32_t)cj);
         }
         acc[cj] += av[k];
       }
     }
     std::sort(touched.begin(), touched.end());
-    for (int64_t cj : touched) {
+    for (int32_t cj : touched) {
       if (acc[cj] == 0.0) continue;  // eliminate_zeros parity
       out_col.push_back(cj);
       out_val.push_back(acc[cj]);
@@ -384,16 +632,140 @@ PyObject *collapse_graph(PyObject *, PyObject *args) {
   PyArrayObject *o_ptr =
       (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
   PyArrayObject *o_col =
-      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT64);
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT32);
   PyArrayObject *o_val =
       (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_FLOAT64);
   std::copy(out_ptr.begin(), out_ptr.end(),
             static_cast<int64_t *>(PyArray_DATA(o_ptr)));
   std::copy(out_col.begin(), out_col.end(),
-            static_cast<int64_t *>(PyArray_DATA(o_col)));
+            static_cast<int32_t *>(PyArray_DATA(o_col)));
   std::copy(out_val.begin(), out_val.end(),
             static_cast<double *>(PyArray_DATA(o_val)));
   return Py_BuildValue("(NNN)", o_ptr, o_col, o_val);
+}
+
+// ---------------------------------------------------------------------
+// collapse_signed(indptr, indices, data f64, v2agg int64[n], nc)
+//   -> (C_indptr int64[nc+1], C_indices int32, C_data f64, diag f64[nc])
+// Full signed Galerkin collapse A_c[I,J] = sum_{i in I, j in J} A_ij of a
+// scalar operator (diagonal entries included): off-diagonal cluster sums
+// in CSR form (ascending columns, exact zeros kept — a cancelling sum is
+// a real "no coupling" statement) plus the cluster diagonal
+// diag[I] = sum_{i,j in I} A_ij. This is the per-round coarse-energy
+// re-evaluation of the reference's SPW (LocCoarseMap, spw_agg_impl.hpp)
+// in scalar form: matching rounds after the first see the TRUE coarse
+// couplings, where the unsigned strength collapse would hide
+// sign-cancellation (near-singular sliver patches).
+// ---------------------------------------------------------------------
+template <typename I>
+PyObject *collapse_signed_impl(const I *ai, const I *aj, const double *av,
+                               const int64_t *agg, int64_t n, int64_t nc) {
+  std::vector<int64_t> cptr(nc + 1, 0);
+  for (int64_t v = 0; v < n; ++v)
+    if (agg[v] >= 0) cptr[agg[v] + 1]++;
+  for (int64_t c = 0; c < nc; ++c) cptr[c + 1] += cptr[c];
+  std::vector<int64_t> members(cptr[nc]);
+  {
+    std::vector<int64_t> cur(cptr.begin(), cptr.end() - 1);
+    for (int64_t v = 0; v < n; ++v)
+      if (agg[v] >= 0) members[(size_t)cur[agg[v]]++] = v;
+  }
+
+  npy_intp d_nc[1] = {nc};
+  PyArrayObject *o_diag =
+      (PyArrayObject *)PyArray_ZEROS(1, d_nc, NPY_FLOAT64, 0);
+  auto *diag = static_cast<double *>(PyArray_DATA(o_diag));
+
+  std::vector<int64_t> out_ptr(nc + 1, 0);
+  std::vector<int32_t> out_col;
+  std::vector<double> out_val;
+  out_col.reserve((size_t)ai[n] / 2);
+  out_val.reserve((size_t)ai[n] / 2);
+  std::vector<double> acc(nc, 0.0);
+  std::vector<int64_t> stamp(nc, -1);
+  std::vector<int32_t> touched;
+  for (int64_t c = 0; c < nc; ++c) {
+    touched.clear();
+    double dsum = 0.0;
+    for (int64_t m = cptr[c]; m < cptr[c + 1]; ++m) {
+      const int64_t v = members[(size_t)m];
+      for (I k = ai[v]; k < ai[v + 1]; ++k) {
+        const int64_t cj = agg[(int64_t)aj[k]];
+        if (cj < 0) continue;
+        if (cj == c) {
+          dsum += av[k];
+          continue;
+        }
+        if (stamp[cj] != c) {
+          stamp[cj] = c;
+          acc[cj] = 0.0;
+          touched.push_back((int32_t)cj);
+        }
+        acc[cj] += av[k];
+      }
+    }
+    diag[c] = dsum;
+    std::sort(touched.begin(), touched.end());
+    for (int32_t cj : touched) {
+      out_col.push_back(cj);
+      out_val.push_back(acc[cj]);
+    }
+    out_ptr[c + 1] = (int64_t)out_col.size();
+  }
+
+  npy_intp d_ptr[1] = {nc + 1};
+  npy_intp d_nnz[1] = {(npy_intp)out_col.size()};
+  PyArrayObject *o_ptr =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_INT32);
+  PyArrayObject *o_val =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_nnz, NPY_FLOAT64);
+  std::copy(out_ptr.begin(), out_ptr.end(),
+            static_cast<int64_t *>(PyArray_DATA(o_ptr)));
+  std::copy(out_col.begin(), out_col.end(),
+            static_cast<int32_t *>(PyArray_DATA(o_col)));
+  std::copy(out_val.begin(), out_val.end(),
+            static_cast<double *>(PyArray_DATA(o_val)));
+  return Py_BuildValue("(NNNN)", o_ptr, o_col, o_val, o_diag);
+}
+
+PyObject *collapse_signed(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o, *agg_o;
+  long nc_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!l", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &PyArray_Type, &agg_o, &nc_l))
+    return nullptr;
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return collapse_signed_impl<I>(
+        static_cast<const I *>(PyArray_DATA(ai_o)),
+        static_cast<const I *>(PyArray_DATA(aj_o)), av, agg, n,
+        (int64_t)nc_l);
+  });
+}
+
+PyObject *collapse_graph(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o, *agg_o;
+  long nc_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!l", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &PyArray_Type, &agg_o, &nc_l))
+    return nullptr;
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return collapse_graph_impl<I>(
+        static_cast<const I *>(PyArray_DATA(ai_o)),
+        static_cast<const I *>(PyArray_DATA(aj_o)), av, agg, n,
+        (int64_t)nc_l);
+  });
 }
 
 // ---------------------------------------------------------------------
@@ -421,31 +793,13 @@ PyObject *collapse_graph(PyObject *, PyObject *args) {
 //     dropped mass added onto the strongest kept entry (Q == identity).
 // Output rows have ascending column order.
 // ---------------------------------------------------------------------
-PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
-  PyArrayObject *ai_o, *aj_o, *av_o, *ei_o, *ej_o, *ew_o, *l2_o, *agg_o;
-  long nc_l, max_per_row_l, max_classic_l;
-  double scale_aux, scale_real, min_frac;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!lddlld", &PyArray_Type,
-                        &ai_o, &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
-                        &PyArray_Type, &ei_o, &PyArray_Type, &ej_o,
-                        &PyArray_Type, &ew_o, &PyArray_Type, &l2_o,
-                        &PyArray_Type, &agg_o, &nc_l, &scale_aux,
-                        &scale_real, &max_per_row_l, &max_classic_l,
-                        &min_frac))
-    return nullptr;
-  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
-  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
-  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
-  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
-  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
-  auto *ew = static_cast<const double *>(PyArray_DATA(ew_o));
-  auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
-  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
-  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
-  const int64_t ne = PyArray_DIM(ei_o, 0);
-  const int64_t nc = (int64_t)nc_l;
-  const int64_t max_per_row = (int64_t)max_per_row_l;
-  const int64_t max_classic = (int64_t)max_classic_l;
+template <typename I>
+PyObject *smoothed_prol_scalar_impl(
+    const I *ai, const I *aj, const double *av, const int64_t *ei,
+    const int64_t *ej, const double *ew, const double *l2,
+    const int64_t *agg, int64_t n, int64_t ne, int64_t nc,
+    double scale_aux, double scale_real, int64_t max_per_row,
+    int64_t max_classic, double min_frac, int filter_pos) {
 
   // aux (replacement-matrix) adjacency from the edge list (counting sort)
   std::vector<int64_t> hptr(n + 1, 0);
@@ -474,11 +828,15 @@ PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
     }
   }
 
-  // A diagonal
+  // A diagonal; with filter_pos, positive off-diagonals are lumped onto
+  // it (the standard SA filtered matrix A_F — rowsum-preserving, so the
+  // smoothed basis still reproduces constants exactly)
   std::vector<double> da(n, 0.0);
   for (int64_t v = 0; v < n; ++v)
-    for (int64_t k = ai[v]; k < ai[v + 1]; ++k)
-      if (aj[k] == v) da[(size_t)v] = av[k];
+    for (int64_t k = ai[v]; k < ai[v + 1]; ++k) {
+      if (aj[k] == v) da[(size_t)v] += av[k];
+      else if (filter_pos && av[k] > 0.0) da[(size_t)v] += av[k];
+    }
 
   std::vector<int64_t> p_ptr(n + 1, 0);
   std::vector<int32_t> p_col;
@@ -519,8 +877,12 @@ PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
         const int64_t j = aj[k];
         const int64_t c = agg[j];
         if (c < 0) continue;
-        double coef = -scale_real * av[k] * dinv;
-        if (j == v) coef += 1.0;
+        if (filter_pos && j != v && av[k] > 0.0) continue;  // lumped
+        // diagonal uses the FILTERED entry da[v] (incl. lumped mass) so
+        // the smoothed row still sums to 1 - scale*rowsum (constants)
+        const double coef =
+            j == v ? 1.0 - scale_real * da[(size_t)v] * dinv
+                   : -scale_real * av[k] * dinv;
         if (stamp[c] != v + n) {
           stamp[c] = v + n;
           acc[c] = 0.0;
@@ -606,6 +968,38 @@ PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
   std::copy(p_val.begin(), p_val.end(),
             static_cast<double *>(PyArray_DATA(o_val)));
   return Py_BuildValue("(NNN)", o_ptr, o_col, o_val);
+}
+
+PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o, *ei_o, *ej_o, *ew_o, *l2_o, *agg_o;
+  long nc_l, max_per_row_l, max_classic_l;
+  double scale_aux, scale_real, min_frac;
+  int filter_pos = 0;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!lddlld|i", &PyArray_Type,
+                        &ai_o, &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
+                        &PyArray_Type, &ei_o, &PyArray_Type, &ej_o,
+                        &PyArray_Type, &ew_o, &PyArray_Type, &l2_o,
+                        &PyArray_Type, &agg_o, &nc_l, &scale_aux,
+                        &scale_real, &max_per_row_l, &max_classic_l,
+                        &min_frac, &filter_pos))
+    return nullptr;
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
+  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  auto *ew = static_cast<const double *>(PyArray_DATA(ew_o));
+  auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
+  auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  const int64_t ne = PyArray_DIM(ei_o, 0);
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return smoothed_prol_scalar_impl<I>(
+        static_cast<const I *>(PyArray_DATA(ai_o)),
+        static_cast<const I *>(PyArray_DATA(aj_o)), av, ei, ej, ew, l2,
+        agg, n, ne, (int64_t)nc_l, scale_aux, scale_real,
+        (int64_t)max_per_row_l, (int64_t)max_classic_l, min_frac,
+        filter_pos);
+  });
 }
 
 // ---------------------------------------------------------------------
@@ -742,16 +1136,15 @@ PyObject *map_edges_agg(PyObject *, PyObject *args) {
     }
     e2ce[e] = (int64_t)ce_lo.size() - 1;
   }
-  npy_intp d_c[1] = {(npy_intp)ce_lo.size()};
-  PyArrayObject *o_lo =
-      (PyArrayObject *)PyArray_SimpleNew(1, d_c, NPY_INT64);
-  PyArrayObject *o_hi =
-      (PyArrayObject *)PyArray_SimpleNew(1, d_c, NPY_INT64);
-  std::copy(ce_lo.begin(), ce_lo.end(),
-            static_cast<int64_t *>(PyArray_DATA(o_lo)));
-  std::copy(ce_hi.begin(), ce_hi.end(),
-            static_cast<int64_t *>(PyArray_DATA(o_hi)));
-  return Py_BuildValue("(NNN)", o_lo, o_hi, o_e2ce);
+  npy_intp d_c[2] = {(npy_intp)ce_lo.size(), 2};
+  PyArrayObject *o_ce =
+      (PyArrayObject *)PyArray_SimpleNew(2, d_c, NPY_INT64);
+  auto *ce = static_cast<int64_t *>(PyArray_DATA(o_ce));
+  for (size_t k = 0; k < ce_lo.size(); ++k) {
+    ce[2 * k] = ce_lo[k];
+    ce[2 * k + 1] = ce_hi[k];
+  }
+  return Py_BuildValue("(NN)", o_ce, o_e2ce);
 }
 
 // ---------------------------------------------------------------------
@@ -812,20 +1205,9 @@ PyObject *rho_power_h1(PyObject *, PyObject *args) {
 // The TPU matvec then gathers T*K scalars of x (one per distinct column)
 // instead of one per nonzero, and runs a dense (K, M) FMA per tile.
 // ---------------------------------------------------------------------
-PyObject *tile_ell_pack(PyObject *, PyObject *args) {
-  PyArrayObject *ai_o, *aj_o, *av_o;
-  long M_l, T_l;
-  if (!PyArg_ParseTuple(args, "O!O!O!ll", &PyArray_Type, &ai_o,
-                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o, &M_l,
-                        &T_l))
-    return nullptr;
-  auto *ai = static_cast<const int64_t *>(PyArray_DATA(ai_o));
-  auto *aj = static_cast<const int64_t *>(PyArray_DATA(aj_o));
-  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
-  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
-  const int64_t M = (int64_t)M_l;
-  const int64_t T = (int64_t)T_l;
-
+template <typename I, typename V>
+PyObject *tile_ell_pack_impl(const I *ai, const I *aj, const V *av,
+                             int64_t n, int64_t M, int64_t T) {
   // pass 1: K = max distinct columns per tile
   int64_t K = 1;
   std::vector<int64_t> cbuf;
@@ -833,7 +1215,8 @@ PyObject *tile_ell_pack(PyObject *, PyObject *args) {
     cbuf.clear();
     const int64_t r1 = std::min(t * M + M, n);
     for (int64_t r = t * M; r < r1; ++r)
-      for (int64_t k = ai[r]; k < ai[r + 1]; ++k) cbuf.push_back(aj[k]);
+      for (I k = ai[r]; k < ai[r + 1]; ++k)
+        cbuf.push_back((int64_t)aj[k]);
     std::sort(cbuf.begin(), cbuf.end());
     const int64_t d =
         std::unique(cbuf.begin(), cbuf.end()) - cbuf.begin();
@@ -853,7 +1236,8 @@ PyObject *tile_ell_pack(PyObject *, PyObject *args) {
     cbuf.clear();
     const int64_t r1 = std::min(t * M + M, n);
     for (int64_t r = t * M; r < r1; ++r)
-      for (int64_t k = ai[r]; k < ai[r + 1]; ++k) cbuf.push_back(aj[k]);
+      for (I k = ai[r]; k < ai[r + 1]; ++k)
+        cbuf.push_back((int64_t)aj[k]);
     std::sort(cbuf.begin(), cbuf.end());
     const int64_t d =
         std::unique(cbuf.begin(), cbuf.end()) - cbuf.begin();
@@ -862,15 +1246,43 @@ PyObject *tile_ell_pack(PyObject *, PyObject *args) {
     float *dat_t = td + t * K * M;
     for (int64_t r = t * M; r < r1; ++r) {
       const int64_t m = r - t * M;
-      for (int64_t k = ai[r]; k < ai[r + 1]; ++k) {
+      for (I k = ai[r]; k < ai[r + 1]; ++k) {
         const int64_t slot =
-            std::lower_bound(cbuf.begin(), cbuf.begin() + d, aj[k]) -
+            std::lower_bound(cbuf.begin(), cbuf.begin() + d,
+                             (int64_t)aj[k]) -
             cbuf.begin();
         dat_t[slot * M + m] = (float)av[k];
       }
     }
   }
   return Py_BuildValue("(NNl)", o_dat, o_col, (long)K);
+}
+
+PyObject *tile_ell_pack(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o;
+  long M_l, T_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!ll", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o, &M_l,
+                        &T_l))
+    return nullptr;
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  const int vt = PyArray_TYPE(av_o);
+  if (vt != NPY_FLOAT32 && vt != NPY_FLOAT64) {
+    PyErr_SetString(PyExc_TypeError, "data must be float32 or float64");
+    return nullptr;
+  }
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    const I *ai = static_cast<const I *>(PyArray_DATA(ai_o));
+    const I *aj = static_cast<const I *>(PyArray_DATA(aj_o));
+    if (vt == NPY_FLOAT32)
+      return tile_ell_pack_impl<I, float>(
+          ai, aj, static_cast<const float *>(PyArray_DATA(av_o)), n,
+          (int64_t)M_l, (int64_t)T_l);
+    return tile_ell_pack_impl<I, double>(
+        ai, aj, static_cast<const double *>(PyArray_DATA(av_o)), n,
+        (int64_t)M_l, (int64_t)T_l);
+  });
 }
 
 PyMethodDef methods[] = {
@@ -893,6 +1305,12 @@ PyMethodDef methods[] = {
      "power iteration for rho(Dhat^-1 A-hat) from edges"},
     {"tile_ell_pack", tile_ell_pack, METH_VARARGS,
      "pack scalar CSR into tile-ELL (T, K, M)"},
+    {"collapse_signed", collapse_signed, METH_VARARGS,
+     "full signed Galerkin collapse with cluster diagonal"},
+    {"finest_mesh_scal", finest_mesh_scal, METH_VARARGS,
+     "fused scalar finest-mesh extraction (diag, rowsum, edges, |wt|)"},
+    {"csr_permute", csr_permute, METH_VARARGS,
+     "CSR row/column permutation with sorted output"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_ngsamg_native", nullptr,

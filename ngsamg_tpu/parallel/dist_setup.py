@@ -134,7 +134,9 @@ def _finest_wl2(parts, starts):
             np.arange(C.shape[0], dtype=np.int64), np.diff(C.indptr)
         )
         offd = C.indices != (rows_l + starts[s])
-        w = np.abs(C.data) * offd
+        # negative (attractive) couplings only — matches the SA strength
+        # filter of apps/h1.build_finest_mesh (serial-equality invariant)
+        w = np.maximum(-C.data, 0.0) * offd
         keep = offd & (w > 0)
         W = sp.csr_matrix(
             (w[keep], C.indices[keep], _recount(C.indptr, keep)),
@@ -550,19 +552,24 @@ def _dist_prol(
             )
             classic = (counts <= max_classic) & (agg_own >= 0)
             if classic.any():
-                if scale_r is None:
-                    rho_r = _dist_rho_real(A_parts, starts)
-                    scale_r = omega / max(rho_r, 1e-12)
+                # serial parity (transfer/prolongation + native kernel):
+                # classic rows smooth with the FILTERED matrix — positive
+                # off-diagonals lumped onto the diagonal — using the aux
+                # spectral-radius scale
+                scale_r = scale
                 diagA = C.diagonal(k=int(starts[s]))[:nloc]
-                dinvA = np.where(
-                    diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0
-                )  # serial classic-row rule (raw diagonal)
-                rows2 = np.concatenate([np.arange(nloc), rows_a[offd]])
-                cols2 = np.concatenate([agg_own, agg_aj[offd]])
+                pos = offd & (C.data > 0)
+                diagF = diagA + np.bincount(
+                    rows_a[pos], weights=C.data[pos], minlength=nloc
+                )
+                dinvA = np.where(diagF > 0, 1.0 / diagF, 0.0)
+                neg = offd & (C.data < 0)
+                rows2 = np.concatenate([np.arange(nloc), rows_a[neg]])
+                cols2 = np.concatenate([agg_own, agg_aj[neg]])
                 vals2 = np.concatenate(
                     [
-                        1.0 - scale_r * dinvA * diagA,
-                        -scale_r * dinvA[rows_a[offd]] * C.data[offd],
+                        1.0 - scale_r * dinvA * diagF,
+                        -scale_r * dinvA[rows_a[neg]] * C.data[neg],
                     ]
                 )
                 k2 = cols2 >= 0

@@ -426,11 +426,15 @@ class AMGPreconditioner:
         # everything else goes through the format chooser (DIA for
         # stencil-like levels, supernoded ELL for unstructured scalar
         # levels, dense MXU matvec for small coarse levels).
+        from ..native import csr_permute as _nat_permute
+
         A_fmts, A_perm, sms = [], [], []
         for i, lev in enumerate(self.setup_levels_):
             A = lev.A
             if A is not None and scal_perms[i] is not None:
-                A = A[scal_perms[i]][:, scal_perms[i]].tocsr()
+                p = scal_perms[i]
+                Ap = _nat_permute(A, p, p)
+                A = Ap if Ap is not None else A[p][:, p].tocsr()
             _mark("permute")
             A_perm.append(A)
             if lev.stencil is not None:
@@ -474,10 +478,20 @@ class AMGPreconditioner:
                 P = None
                 if lev.P is not None:
                     P = lev.P.tocsr()
-                    if scal_perms[i] is not None:
-                        P = P[scal_perms[i]]
-                    if scal_perms[i + 1] is not None:
-                        P = P[:, scal_perms[i + 1]]
+                    if (
+                        scal_perms[i] is not None
+                        or scal_perms[i + 1] is not None
+                    ):
+                        Pp = _nat_permute(
+                            P, scal_perms[i], scal_perms[i + 1]
+                        )
+                        if Pp is not None:
+                            P = Pp
+                        else:
+                            if scal_perms[i] is not None:
+                                P = P[scal_perms[i]]
+                            if scal_perms[i + 1] is not None:
+                                P = P[:, scal_perms[i + 1]]
                 nf_pad = _scalar_pad(A_fmts[i], lev.row_bs)
                 nc_pad = _scalar_pad(
                     A_fmts[i + 1], self.setup_levels_[i + 1].row_bs

@@ -25,15 +25,13 @@ def rap(A: sp.spmatrix, P: sp.spmatrix, dtype=None) -> sp.csr_matrix:
     """
     from ..native import rap_csr as _native_rap
 
-    Ac = _native_rap(A, P)
+    Ac = _native_rap(A, P, dtype=dtype, symmetrize=True)
     if Ac is not None:
-        if dtype is not None:
-            Ac = Ac.astype(dtype)
-    else:
-        if dtype is not None:
-            A = A.astype(dtype)
-            P = P.astype(dtype)
-        Ac = (P.T.tocsr() @ (A.tocsr() @ P.tocsr())).tocsr()
+        return Ac  # symmetrized + cast in-kernel, canonical CSR
+    if dtype is not None:
+        A = A.astype(dtype)
+        P = P.astype(dtype)
+    Ac = (P.T.tocsr() @ (A.tocsr() @ P.tocsr())).tocsr()
     Ac = (Ac + Ac.T) * 0.5
     Ac = Ac.tocsr()
     Ac.sum_duplicates()

@@ -142,8 +142,11 @@ def smoothed_prol(
 
         Ar = A.tocsr()
         if dpv == 1:
+            # SA filtering parity with the native kernel: lump positive
+            # off-diagonals onto the diagonal (rowsum-preserving)
+            Ar = _filter_pos_offdiag(Ar)
             da = Ar.diagonal()
-            dainv = np.where(da > 0, 1.0 / np.maximum(da, 1e-300), 0.0)
+            dainv = np.where(da > 0, 1.0 / da, 0.0)
             DinvA = sp.diags(dainv)
         else:
             DinvA = sp.bsr_matrix(
@@ -154,8 +157,13 @@ def smoothed_prol(
                 ),
                 shape=(nf * dpv, nf * dpv),
             )
-        rho_r = _rho_estimate(lambda x: DinvA @ x, Ar, seed=1)
-        scale_r = omega / max(rho_r, 1e-12)
+        if dpv == 1:
+            # filtered classic matrix ~= aux replacement matrix for H1:
+            # share the aux scale (native-kernel parity)
+            scale_r = scale
+        else:
+            rho_r = _rho_estimate(lambda x: DinvA @ x, Ar, seed=1)
+            scale_r = omega / max(rho_r, 1e-12)
         P_real = (P_pw - scale_r * (DinvA @ (Ar @ P_pw))).tocsr()
         sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
         inv = sp.diags(np.repeat((~classic).astype(np.float64), dpv))
@@ -167,6 +175,31 @@ def smoothed_prol(
     return truncate_prol(
         energy, mesh_c, P, max_per_row=max_per_row, min_frac=min_frac
     )
+
+
+def _filter_pos_offdiag(A: sp.csr_matrix) -> sp.csr_matrix:
+    """Scalar SA filtered matrix A_F: positive off-diagonals lumped onto
+    the diagonal (rowsum preserved, so P_F still reproduces constants)."""
+    coo = A.tocoo()
+    pos = (coo.row != coo.col) & (coo.data > 0)
+    if not pos.any():
+        return A.tocsr()
+    lump = np.bincount(
+        coo.row[pos], weights=coo.data[pos], minlength=A.shape[0]
+    )
+    keep = ~pos
+    out = sp.coo_matrix(
+        (
+            np.concatenate([coo.data[keep], lump]),
+            (
+                np.concatenate([coo.row[keep], np.arange(A.shape[0])]),
+                np.concatenate([coo.col[keep], np.arange(A.shape[0])]),
+            ),
+        ),
+        shape=A.shape,
+    ).tocsr()
+    out.sum_duplicates()
+    return out
 
 
 def _rho_estimate_h1_edges(
@@ -239,18 +272,16 @@ def _smoothed_prol_scalar_native(
         np.add.at(d, ej, w)
     rho = _rho_estimate_h1_edges(mesh_f.edges, w, d)
     scale_aux = omega / max(rho, 1e-12)
-    scale_real = 0.0
+    # classic rows smooth with the FILTERED real matrix (filter_pos below);
+    # for H1 the filtered matrix equals the aux replacement matrix up to
+    # the rowsum clamping, so the aux spectral-radius estimate serves both
+    scale_real = scale_aux
     use_classic = bool(max_classic and max_classic > 1)
-    if use_classic:
-        Ar = A.tocsr()
-        da = Ar.diagonal()
-        dainv = np.where(da > 0, 1.0 / np.maximum(da, 1e-300), 0.0)
-        rho_r = _rho_estimate(lambda x: dainv * x, Ar, seed=1)
-        scale_real = omega / max(rho_r, 1e-12)
     P = smoothed_prol_scalar(
         A.tocsr(), mesh_f.edges, w, l2, v2agg, nc,
         scale_aux, scale_real, max_per_row,
         max_classic if use_classic else 0, min_frac,
+        filter_pos=True,
     )
     if P is None:
         return None
