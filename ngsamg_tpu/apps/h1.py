@@ -43,15 +43,20 @@ class H1Energy(Energy):
             T = sp.csr_matrix((tr, B.indices, B.indptr), shape=(nv, nv))
         from ..native import finest_mesh_scal
 
-        # Edges come from NEGATIVE (attractive) couplings only — the
-        # standard SA strength filter. The reference keeps |trace a_ij|
-        # for every off-diagonal (h1_impl.hpp:384-431); on low-quality
-        # meshes (perturbed Delaunay: ~25% positive off-diagonals) that
-        # treats repulsive couplings as strong connections and costs ~2x
-        # in PCG iterations at the 1M-DoF scale.
-        res = finest_mesh_scal(T, neg_only=True)
+        # Edges keep every off-diagonal coupling with SIGNED weight
+        # -trace(a_ij): attractive couplings positive, repulsive
+        # negative. Strength/energy consumers clamp to the attractive
+        # part (the standard SA strength filter — the reference keeps
+        # |trace a_ij|, h1_impl.hpp:384-431, which on low-quality meshes
+        # with ~25% positive off-diagonals treats repulsive couplings as
+        # strong and costs ~2x in PCG iterations at 1M DoF), while
+        # coarse-level Galerkin weight sums (map_data) stay signed so
+        # repulsive couplings CANCEL attractive ones between aggregates
+        # — without this, SPW merges sub-clusters whose net coupling is
+        # ~0 and the two-grid correction carries a near-kernel mode.
+        res = finest_mesh_scal(T, signed_wt=True)
         if res is not None:
-            # fused native pass (diag, signed rowsum, upper edges, |wt|)
+            # fused native pass (diag, signed rowsum, upper edges, wt)
             diag, rsum, edges, ewt = res
             vwt = np.maximum(rsum, 0.0)
             mesh = AlgebraicMesh(nv=T.shape[0], edges=edges)
@@ -64,16 +69,13 @@ class H1Energy(Energy):
             diag = T.diagonal().copy()
             T.setdiag(0.0)
             T.eliminate_zeros()
-            # edge list + weight -trace(a_ij) from the upper triangle
+            # edge list + signed weight -trace(a_ij), upper triangle
             U = sp.triu(T, k=1).tocoo()
-            m = U.data < 0
             mesh = AlgebraicMesh(
                 nv=T.shape[0],
-                edges=np.stack(
-                    [U.row[m], U.col[m]], axis=1
-                ).astype(np.int64),
+                edges=np.stack([U.row, U.col], axis=1).astype(np.int64),
             )
-            ewt = -U.data[m]
+            ewt = -U.data
         mesh.vertex_data["l2wt"] = vwt
         mesh.vertex_data["diag"] = diag
         mesh.edge_data["wt"] = ewt
@@ -90,7 +92,9 @@ class H1Energy(Energy):
         SOC of the reference agglomerators (agglomerator_utils.hpp,
         mis_agg ecw options).
         """
-        w = mesh.edge_data["wt"]
+        # attractive part only — edge weights are SIGNED (net-repulsive
+        # coarse couplings must not look strong)
+        w = np.maximum(mesh.edge_data["wt"], 0.0)
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
         nv = mesh.nv
         # bincount, not np.add.at: ~20x on multi-million-edge levels
@@ -111,7 +115,9 @@ class H1Energy(Energy):
     def replacement_matrix(self, mesh: AlgebraicMesh) -> sp.spmatrix:
         nv, bs = mesh.nv, self.bs
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
-        w = mesh.edge_data["wt"]
+        # attractive part only (signed edge weights): the aux matrix must
+        # stay SPD — this is the SA filtered-matrix convention
+        w = np.maximum(mesh.edge_data["wt"], 0.0)
         d = mesh.vertex_data["l2wt"].copy()
         np.add.at(d, i, w)
         np.add.at(d, j, w)

@@ -196,6 +196,20 @@ class SmootherOptions:
 
 
 @dataclass
+class ClusterCorrOptions:
+    """Local cluster correction (smoothers/cluster_corr.py): exact batched
+    solves on near-singular strong clusters (sliver tets on low-quality
+    meshes), wrapped symmetrically around the cycle. The TPU-native analog
+    of the reference's dynamic block smoothers
+    (dyn_block_smoother.hpp:16) for locally defective rows."""
+
+    enabled: bool = True  # no-op when no defective cluster is detected
+    beta: float = 0.35  # |a_ij| >= beta*sqrt(a_ii a_jj) joins a cluster
+    eig_ratio: float = 0.3  # defective: lambda_min < ratio * max(diag)
+    max_size: int = 16  # larger components are left to the hierarchy
+
+
+@dataclass
 class LevelControl:
     """Level-loop stopping control (base_factory.hpp:96-123)."""
 
@@ -215,6 +229,9 @@ class AMGOptions:
     coarsen: CoarsenOptions = field(default_factory=CoarsenOptions)
     prol: ProlOptions = field(default_factory=ProlOptions)
     smoother: SmootherOptions = field(default_factory=SmootherOptions)
+    cluster_corr: ClusterCorrOptions = field(
+        default_factory=ClusterCorrOptions
+    )
     levels: LevelControl = field(default_factory=LevelControl)
     energy: EnergyType = EnergyType.ALG
     # structured fast path: on full-lattice scalar levels run the whole

@@ -125,9 +125,13 @@ def build_coarse_map(
         getattr(energy, "default_robust", False) if r is None else bool(r)
     ) and hasattr(energy, "soc_robust")
     aaf = c.aaf.get(level)
-    if robust and algo == CoarsenType.SPW:
-        # per-round EVP pick/check against current coarse energies —
-        # default ON for elasticity (energy.default_robust)
+    if algo == CoarsenType.SPW and hasattr(energy, "map_data"):
+        # per-round re-evaluation against current coarse energies
+        # (spw_agg_impl.hpp:1440-1831): every matching round rebuilds the
+        # intermediate coarse mesh (SIGNED Galerkin weight sums — net-zero
+        # couplings between sub-clusters stop looking strong) and
+        # re-scores candidates; with `robust` the scoring is the
+        # pencil-EVP SOC (default ON for elasticity)
         return pairwise.spw_aggregate_energy(
             energy,
             mesh,
@@ -135,7 +139,7 @@ def build_coarse_map(
             theta=float(c.theta.get(level)),
             adopt_orphans=bool(c.adopt_orphans.get(level)),
             aaf=None if aaf is None else float(aaf),
-            robust=True,
+            robust=robust,
         )
     soc = energy.soc_robust(mesh) if robust else energy.soc(mesh)
     S = mesh.edge_graph(weights=soc)

@@ -206,19 +206,22 @@ def smoothed_prol_scalar(
     )
 
 
-def finest_mesh_scal(A, neg_only=False):
-    """(diag, signed rowsum, edges (m,2) int64, |wt|) from a symmetric
+def finest_mesh_scal(A, neg_only=False, signed_wt=False):
+    """(diag, signed rowsum, edges (m,2) int64, wt) from a symmetric
     scalar CSR in one fused pass; None when the extension is absent.
 
     With ``neg_only`` the edge list keeps only attractive (negative)
-    couplings — the standard SA strength filter."""
+    couplings — the standard SA strength filter. With ``signed_wt`` all
+    off-diagonal couplings are kept with SIGNED weight -a_ij (attractive
+    positive), so coarse-level weight sums cancel repulsive couplings."""
     if not HAVE_NATIVE:
         return None
     A = A.tocsr()
+    mode = 2 if signed_wt else (1 if neg_only else 0)
     diag, rsum, edges, ew = _nat.finest_mesh_scal(
         *_csr_idx(A.indptr, A.indices),
         np.ascontiguousarray(A.data, dtype=np.float64),
-        1 if neg_only else 0,
+        mode,
     )
     return diag, rsum, edges, ew
 

@@ -403,14 +403,17 @@ PyObject *rap_csr(PyObject *, PyObject *args) {
 // finest-level algebraic mesh needs (apps/h1.build_finest_mesh;
 // reference BuildAlgMesh_ALG_scal, h1_impl.hpp:384-431): the diagonal,
 // the signed row sums (L2 weights before clamping), and the strict
-// upper-triangle edge list with |a_ij| weights (exact zeros dropped —
-// scipy setdiag(0)+eliminate_zeros+triu parity). Replaces a CSR copy,
+// upper-triangle edge list (exact zeros dropped — scipy
+// setdiag(0)+eliminate_zeros+triu parity). Replaces a CSR copy,
 // setdiag, eliminate_zeros, triu and a COO conversion (~5 O(nnz)
-// allocating passes).
+// allocating passes). ``mode``: 0 = all edges, |a_ij| weights;
+// 1 = attractive (a_ij < 0) edges only, weight -a_ij; 2 = all edges,
+// SIGNED weight -a_ij (attractive positive — lets coarse-level Galerkin
+// weight sums cancel repulsive against attractive couplings).
 // ---------------------------------------------------------------------
 template <typename I>
 PyObject *finest_mesh_scal_impl(const I *ai, const I *aj, const double *av,
-                                int64_t n, int neg_only) {
+                                int64_t n, int mode) {
   npy_intp d_n[1] = {n};
   PyArrayObject *o_diag =
       (PyArrayObject *)PyArray_SimpleNew(1, d_n, NPY_FLOAT64);
@@ -428,7 +431,7 @@ PyObject *finest_mesh_scal_impl(const I *ai, const I *aj, const double *av,
       const double a = av[k];
       s += a;
       if (j == i) d = a;
-      else if (j > i && (neg_only ? (a < 0.0) : (a != 0.0))) ++m;
+      else if (j > i && (mode == 1 ? (a < 0.0) : (a != 0.0))) ++m;
     }
     diag[i] = d;
     rsum[i] = s;
@@ -446,10 +449,10 @@ PyObject *finest_mesh_scal_impl(const I *ai, const I *aj, const double *av,
     for (I k = ai[i]; k < ai[i + 1]; ++k) {
       const I j = aj[k];
       const double a = av[k];
-      if (j > i && (neg_only ? (a < 0.0) : (a != 0.0))) {
+      if (j > i && (mode == 1 ? (a < 0.0) : (a != 0.0))) {
         edg[2 * e] = i;
         edg[2 * e + 1] = (int64_t)j;
-        ew[e] = std::abs(a);
+        ew[e] = (mode == 0) ? std::abs(a) : -a;
         ++e;
       }
     }
@@ -913,25 +916,38 @@ PyObject *smoothed_prol_scalar_impl(
       }
     }
     // -- truncation with kernel-preserving transport --------------------
+    // Ranking uses QUANTIZED relative magnitudes (40 fractional bits):
+    // summation-order ulp noise must not flip near-ties, or the serial
+    // and distributed setups transport dropped mass into different
+    // columns (ties break toward the lower coarse column) — mirrored by
+    // transfer/prolongation.truncate_prol.
     const int64_t m = (int64_t)touched.size();
     if (m > 0) {
       std::sort(touched.begin(), touched.end());  // ascending column
+      double rowmax = 0.0;
+      for (int64_t k = 0; k < m; ++k)
+        rowmax = std::max(rowmax, std::abs(acc[touched[(size_t)k]]));
+      const double qs = rowmax > 0.0 ? 1099511627776.0 / rowmax : 0.0;
       order.resize((size_t)m);
       for (int64_t k = 0; k < m; ++k) order[(size_t)k] = k;
+      auto quant = [&](int64_t slot) -> int64_t {
+        return (int64_t)std::floor(
+            std::abs(acc[touched[(size_t)slot]]) * qs + 0.5);
+      };
       std::stable_sort(order.begin(), order.end(),
                        [&](int64_t a, int64_t b) {
-                         return std::abs(acc[touched[(size_t)a]]) >
-                                std::abs(acc[touched[(size_t)b]]);
+                         return quant(a) > quant(b);
                        });
-      const double rowmax = std::abs(acc[touched[(size_t)order[0]]]);
-      const double thr = min_frac * (rowmax > 0.0 ? rowmax : 0.0);
+      const int64_t qthr =
+          (int64_t)std::floor(min_frac * 1099511627776.0 + 0.5);
       const int64_t s0 = touched[(size_t)order[0]];  // strongest column
       double dropped = 0.0;
       int64_t kept = 0;
       for (int64_t r = 0; r < m; ++r) {
         const int64_t c = touched[(size_t)order[r]];
         const bool keep =
-            (r == 0) || (r < max_per_row && std::abs(acc[c]) >= thr);
+            (r == 0) ||
+            (r < max_per_row && quant(order[(size_t)r]) >= qthr);
         if (keep) {
           ++kept;
         } else {

@@ -124,8 +124,11 @@ def _route_coo(starts_row, ri, cj, vv, ncols):
 def _finest_wl2(parts, starts):
     """Per-shard (W rows, l2wt) from owned matrix rows.
 
-    W = |offdiag a_ij| (H1EData), l2 = clipped signed row sum (H1VData) —
-    the row-derivable form of apps/h1.build_finest_mesh.
+    W = SIGNED -a_ij for every off-diagonal (attractive positive), l2 =
+    clipped signed row sum (H1VData) — the row-derivable form of
+    apps/h1.build_finest_mesh. Strength/energy consumers clamp to the
+    attractive part; coarse-level Galerkin collapses stay signed so
+    repulsive couplings cancel (serial-equality invariant).
     """
     W_parts, l2_parts = [], []
     for s, Ap in enumerate(parts):
@@ -134,12 +137,9 @@ def _finest_wl2(parts, starts):
             np.arange(C.shape[0], dtype=np.int64), np.diff(C.indptr)
         )
         offd = C.indices != (rows_l + starts[s])
-        # negative (attractive) couplings only — matches the SA strength
-        # filter of apps/h1.build_finest_mesh (serial-equality invariant)
-        w = np.maximum(-C.data, 0.0) * offd
-        keep = offd & (w > 0)
+        keep = offd & (C.data != 0)
         W = sp.csr_matrix(
-            (w[keep], C.indices[keep], _recount(C.indptr, keep)),
+            (-C.data[keep], C.indices[keep], _recount(C.indptr, keep)),
             shape=C.shape,
         )
         W_parts.append(W)
@@ -159,28 +159,33 @@ def _recount(indptr, keep):
 
 
 def _aux_diag(W_parts, l2_parts):
-    """d = l2 + sum incident w per owned vertex (aux-matrix diagonal)."""
+    """d = l2 + sum incident max(w,0) per owned vertex (aux diagonal).
+
+    Attractive clamp: W rows carry SIGNED weights (apps/h1.soc parity).
+    """
     out = []
     for s, W in enumerate(W_parts):
         rows_l = np.repeat(
             np.arange(W.shape[0], dtype=np.int64), np.diff(W.indptr)
         )
         d = l2_parts[s] + np.bincount(
-            rows_l, weights=W.data, minlength=W.shape[0]
+            rows_l, weights=np.maximum(W.data, 0.0), minlength=W.shape[0]
         )
         out.append(np.maximum(d, 1e-300))
     return out
 
 
 def _strength_parts(W_parts, d_parts, starts):
-    """soc rows: s_e = w_e (1/d_i + 1/d_j)/2 (apps/h1.soc, shard-local)."""
+    """soc rows: s_e = max(w_e,0) (1/d_i + 1/d_j)/2 (apps/h1.soc)."""
     out = []
     for s, W in enumerate(W_parts):
         rows_l = np.repeat(
             np.arange(W.shape[0], dtype=np.int64), np.diff(W.indptr)
         )
         dj = _gather(d_parts, starts, W.indices.astype(np.int64))
-        soc = W.data * 0.5 * (1.0 / d_parts[s][rows_l] + 1.0 / dj)
+        soc = np.maximum(W.data, 0.0) * 0.5 * (
+            1.0 / d_parts[s][rows_l] + 1.0 / dj
+        )
         out.append(
             sp.csr_matrix((soc, W.indices, W.indptr), shape=W.shape)
         )
@@ -319,6 +324,79 @@ def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
         aaf=aaf,
         adopt_orphans=bool(opts.coarsen.adopt_orphans.get(level)),
     )
+
+
+def _collapse_l2(l2_parts, starts, v2agg_parts, coarse_starts):
+    """Coarse l2 weights: owner-reduced sums of member weights."""
+    n_shards = len(l2_parts)
+    all_v2 = np.concatenate(v2agg_parts)
+    all_l2 = np.concatenate(l2_parts)
+    m = all_v2 >= 0
+    return _reduce_by_owner(
+        coarse_starts,
+        all_v2[m],
+        all_l2[m],
+        [
+            int(coarse_starts[t + 1] - coarse_starts[t])
+            for t in range(n_shards)
+        ],
+    )
+
+
+def _dist_spw_wl2(W_parts, l2_parts, starts, opts: AMGOptions, level: int):
+    """SPW with per-round strength re-evaluation from SIGNED weight sums.
+
+    The distributed mirror of serial `pairwise.spw_aggregate_energy` for
+    H1 energies (the levels.py default): every matching round Galerkin-
+    collapses the SIGNED W graph and the l2 weights onto the current
+    aggregates (net-zero couplings between sub-clusters stop looking
+    strong) and recomputes the harmonic soc before the next handshake.
+    """
+    theta = float(opts.coarsen.theta.get(level))
+    aaf = opts.coarsen.aaf.get(level)
+    rounds = (
+        10 if aaf is not None else int(opts.coarsen.spw_rounds.get(level))
+    )
+    adopt = bool(opts.coarsen.adopt_orphans.get(level))
+    n_shards = len(W_parts)
+    n0 = int(starts[-1])
+    v2c_parts = [
+        np.arange(starts[s], starts[s + 1], dtype=np.int64)
+        for s in range(n_shards)
+    ]
+    cur_W, cur_l2, cur_starts = W_parts, l2_parts, starts
+    n_cur = n0
+    for _round in range(rounds):
+        if aaf is not None and n_cur <= float(aaf) * n0:
+            break
+        d_parts = _aux_diag(cur_W, cur_l2)
+        S_parts = _strength_parts(cur_W, d_parts, cur_starts)
+        partner_parts = _dist_handshake(S_parts, cur_starts, theta)
+        c2agg_parts, coarse_starts = _dist_aggregates(
+            partner_parts, cur_starts
+        )
+        n_agg = int(coarse_starts[-1])
+        if n_agg >= n_cur or n_agg == 0:
+            break
+        for s in range(n_shards):
+            v2 = v2c_parts[s]
+            m = v2 >= 0
+            v2[m] = _gather(c2agg_parts, cur_starts, v2[m])
+        cur_W = _dist_collapse(
+            cur_W, cur_starts, c2agg_parts, coarse_starts
+        )
+        cur_l2 = _collapse_l2(
+            cur_l2, cur_starts, c2agg_parts, coarse_starts
+        )
+        cur_starts = coarse_starts
+        n_cur = n_agg
+    if adopt and n_cur < n0:
+        d_parts = _aux_diag(cur_W, cur_l2)
+        S_parts = _strength_parts(cur_W, d_parts, cur_starts)
+        v2c_parts, cur_starts = _dist_adopt_orphans(
+            S_parts, cur_starts, v2c_parts
+        )
+    return v2c_parts, cur_starts
 
 
 def _dist_spw_core(
@@ -463,7 +541,9 @@ def _dist_rho_aux(W_parts, d_parts, starts, iters=10):
             starts,
             W.indices.astype(np.int64),
         )
-        off = np.bincount(rows_l, weights=-W.data * xj, minlength=nloc)
+        off = np.bincount(
+            rows_l, weights=-np.maximum(W.data, 0.0) * xj, minlength=nloc
+        )
         xo = x[starts[s] : starts[s + 1]]
         dinv = _safe_inv(d_parts[s])
         return dinv * (d_parts[s] * xo + off)
@@ -494,9 +574,16 @@ def _dist_rho_real(A_parts, starts, iters=10):
 
 def _dist_prol(
     A_parts, W_parts, d_parts, starts, v2agg_parts, coarse_starts,
-    opts, level, energy,
+    opts, level, energy, filter_classic=True,
 ):
-    """Smoothed H1 prolongation rows per shard (semi-aux classic choice)."""
+    """Smoothed H1 prolongation rows per shard (semi-aux classic choice).
+
+    ``filter_classic`` selects the scalar-path parity behavior (classic
+    rows smooth with the SA-FILTERED matrix — positive off-diagonals
+    lumped — sharing the aux spectral scale, matching the native kernel);
+    the vector (trace-condensed) path keeps the raw-real smoothing of
+    serial transfer/prolongation.smoothed_prol for dpv > 1.
+    """
     n_shards = len(A_parts)
     nc = int(coarse_starts[-1])
     omega = float(opts.prol.omega.get(level))
@@ -521,7 +608,7 @@ def _dist_prol(
         # Ahat_ii = d_i, Ahat_ij = -w_ij (the H1 replacement matrix)
         vals = np.concatenate(
             [np.full(nloc, 1.0) - scale * dinv * d_parts[s],
-             scale * dinv[rows_l] * W.data]
+             scale * dinv[rows_l] * np.maximum(W.data, 0.0)]
         )
         keep = cols >= 0
         P_s = sp.coo_matrix(
@@ -552,26 +639,44 @@ def _dist_prol(
             )
             classic = (counts <= max_classic) & (agg_own >= 0)
             if classic.any():
-                # serial parity (transfer/prolongation + native kernel):
-                # classic rows smooth with the FILTERED matrix — positive
-                # off-diagonals lumped onto the diagonal — using the aux
-                # spectral-radius scale
-                scale_r = scale
-                diagA = C.diagonal(k=int(starts[s]))[:nloc]
-                pos = offd & (C.data > 0)
-                diagF = diagA + np.bincount(
-                    rows_a[pos], weights=C.data[pos], minlength=nloc
-                )
-                dinvA = np.where(diagF > 0, 1.0 / diagF, 0.0)
-                neg = offd & (C.data < 0)
-                rows2 = np.concatenate([np.arange(nloc), rows_a[neg]])
-                cols2 = np.concatenate([agg_own, agg_aj[neg]])
-                vals2 = np.concatenate(
-                    [
-                        1.0 - scale_r * dinvA * diagF,
-                        -scale_r * dinvA[rows_a[neg]] * C.data[neg],
-                    ]
-                )
+                if filter_classic:
+                    # serial parity (native smoothed_prol_scalar kernel):
+                    # classic rows smooth with the FILTERED matrix —
+                    # positive off-diagonals lumped onto the diagonal —
+                    # using the aux spectral-radius scale
+                    scale_r = scale
+                    diagA = C.diagonal(k=int(starts[s]))[:nloc]
+                    pos = offd & (C.data > 0)
+                    diagF = diagA + np.bincount(
+                        rows_a[pos], weights=C.data[pos], minlength=nloc
+                    )
+                    dinvA = np.where(diagF > 0, 1.0 / diagF, 0.0)
+                    neg = offd & (C.data < 0)
+                    rows2 = np.concatenate([np.arange(nloc), rows_a[neg]])
+                    cols2 = np.concatenate([agg_own, agg_aj[neg]])
+                    vals2 = np.concatenate(
+                        [
+                            1.0 - scale_r * dinvA * diagF,
+                            -scale_r * dinvA[rows_a[neg]] * C.data[neg],
+                        ]
+                    )
+                else:
+                    # raw-real smoothing (serial smoothed_prol, dpv > 1)
+                    if scale_r is None:
+                        rho_r = _dist_rho_real(A_parts, starts)
+                        scale_r = omega / max(rho_r, 1e-12)
+                    diagA = C.diagonal(k=int(starts[s]))[:nloc]
+                    dinvA = np.where(
+                        diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0
+                    )
+                    rows2 = np.concatenate([np.arange(nloc), rows_a[offd]])
+                    cols2 = np.concatenate([agg_own, agg_aj[offd]])
+                    vals2 = np.concatenate(
+                        [
+                            1.0 - scale_r * dinvA * diagA,
+                            -scale_r * dinvA[rows_a[offd]] * C.data[offd],
+                        ]
+                    )
                 k2 = cols2 >= 0
                 P_real = sp.coo_matrix(
                     (vals2[k2], (rows2[k2], cols2[k2])), shape=(nloc, nc)
@@ -686,14 +791,15 @@ def _dist_setup_vector(
     lvl = 0
     while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
         d_parts = _aux_diag(W_parts, l2_parts)
-        S_parts = _strength_parts(W_parts, d_parts, vst)
-        v2agg_parts, c_vst = _dist_spw(S_parts, vst, opts, lvl)
+        v2agg_parts, c_vst = _dist_spw_wl2(
+            W_parts, l2_parts, vst, opts, lvl
+        )
         ncv = int(c_vst[-1])
         if ncv >= lc.min_coarsen_ratio * n or ncv == 0:
             break
         Pv_parts = _dist_prol(
             T_parts, W_parts, d_parts, vst, v2agg_parts, c_vst, opts,
-            lvl, en1,
+            lvl, en1, filter_classic=False,
         )
         P_parts = [
             sp.kron(Pv, sp.eye(bs), format="csr") for Pv in Pv_parts
@@ -833,8 +939,9 @@ def dist_setup_levels(
     lvl = 0
     while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
         d_parts = _aux_diag(W_parts, l2_parts)
-        S_parts = _strength_parts(W_parts, d_parts, starts)
-        v2agg_parts, coarse_starts = _dist_spw(S_parts, starts, opts, lvl)
+        v2agg_parts, coarse_starts = _dist_spw_wl2(
+            W_parts, l2_parts, starts, opts, lvl
+        )
         nc = int(coarse_starts[-1])
         if nc >= lc.min_coarsen_ratio * n or nc == 0:
             break

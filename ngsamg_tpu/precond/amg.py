@@ -612,11 +612,35 @@ class AMGPreconditioner:
             # restriction into the coarsest level are built in A_perm order
             coarse_inv = self._build_coarse_inv(dev_levels[-1], A_perm[-1])
         _mark("coarse_inv")
+        # local cluster correction (smoothers/cluster_corr.py): batched
+        # exact solves on near-singular sliver clusters of the finest
+        # level, in the PERMUTED row order the device operator uses.
+        # Skipped on stencil levels (translation-invariant couplings
+        # cannot be locally defective) and non-scalar problems (for now).
+        cluster_corr = None
+        lev0 = self.setup_levels_[0]
+        if (
+            opts.cluster_corr.enabled
+            and lev0.stencil is None
+            and lev0.row_bs == 1
+            and A_perm[0] is not None
+        ):
+            from ..smoothers.cluster_corr import detect_clusters
+
+            cluster_corr = detect_clusters(
+                A_perm[0],
+                beta=opts.cluster_corr.beta,
+                eig_ratio=opts.cluster_corr.eig_ratio,
+                max_size=opts.cluster_corr.max_size,
+                dtype=self.dtype,
+            )
+        _mark("cluster_corr")
         # single batched transfer of the whole hierarchy (remote-TPU
         # tunnels pay a round trip per individual device_put)
         op_host = AMGOperator(
             levels=tuple(dev_levels),
             coarse_inv=coarse_inv,
+            cluster_corr=cluster_corr,
             cycle=opts.cycle.value,
         )
         op = jax.device_put(op_host)

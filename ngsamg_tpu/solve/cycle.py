@@ -43,7 +43,7 @@ class DeviceLevel:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_inv"],
+    data_fields=["levels", "coarse_inv", "cluster_corr"],
     meta_fields=["cycle"],
 )
 @dataclass(frozen=True)
@@ -52,6 +52,7 @@ class AMGOperator:
 
     levels: tuple  # tuple[DeviceLevel, ...]
     coarse_inv: jax.Array | None  # ((nc_pad*bs), (nc_pad*bs)) dense
+    cluster_corr: object | None = None  # smoothers.cluster_corr data
     cycle: str = "V"  # V | W | BS
 
     def __call__(self, b: jax.Array) -> jax.Array:
@@ -88,10 +89,23 @@ def _cycle(op: AMGOperator, b: jax.Array, l: int) -> jax.Array:
 
 
 def amg_apply(op: AMGOperator, b: jax.Array) -> jax.Array:
-    """One multigrid cycle with zero initial guess (`AMGMatrix::Mult`)."""
-    if op.cycle == "BS":
-        return _bs_cycle(op, b)
-    return _cycle(op, b, 0)
+    """One multigrid cycle with zero initial guess (`AMGMatrix::Mult`).
+
+    With a cluster correction attached (near-singular sliver clusters on
+    the finest level, see smoothers/cluster_corr.py) the cycle is wrapped
+    multiplicatively and symmetrically: C, cycle, C — the analog of the
+    reference's dyn-block smoothing for locally defective rows
+    (dyn_block_smoother.hpp:16) at two extra finest-level SpMVs.
+    """
+    core = _bs_cycle if op.cycle == "BS" else partial(_cycle, l=0)
+    if op.cluster_corr is None:
+        return core(op, b)
+    from ..smoothers.cluster_corr import cluster_apply
+
+    A0 = op.levels[0].A
+    z = cluster_apply(op.cluster_corr, b)
+    z = z + core(op, b - matvec(A0, z))
+    return z + cluster_apply(op.cluster_corr, b - matvec(A0, z))
 
 
 @partial(

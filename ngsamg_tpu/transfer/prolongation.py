@@ -265,6 +265,9 @@ def _smoothed_prol_scalar_native(
     l2 = mesh_f.vertex_data.get("l2wt")
     if w is None or l2 is None or A is None:
         return None
+    # edge weights are SIGNED (attractive positive); the aux matrix uses
+    # the attractive part only (SA filtered-matrix convention)
+    w = np.maximum(w, 0.0)
     d = l2.astype(np.float64, copy=True)
     ei, ej = mesh_f.edges[:, 0], mesh_f.edges[:, 1]
     if len(ei):
@@ -340,17 +343,19 @@ def truncate_prol(
         return P
     norms = np.sqrt((data**2).sum(axis=(2, 3)))
     norms[cols < 0] = -1.0
-    # stable: ties keep slot (ascending-column) order, matching the
-    # native kernel's deterministic tie-break
-    order = np.argsort(-norms, axis=1, kind="stable")  # descending
+    rowmax = norms.max(axis=1, keepdims=True)
+    # QUANTIZED relative magnitudes (40 fractional bits): summation-order
+    # ulp noise must not flip near-ties (serial vs distributed transport
+    # would land dropped mass in different columns); ties then keep slot
+    # (ascending-column) order — matching the native kernel exactly
+    qs = np.where(rowmax > 0, 2.0**40 / np.maximum(rowmax, 1e-300), 0.0)
+    q = np.floor(np.maximum(norms, 0.0) * qs + 0.5)
+    q[cols < 0] = -1.0
+    order = np.argsort(-q, axis=1, kind="stable")  # descending
     rank = np.empty_like(order)
     np.put_along_axis(rank, order, np.arange(K)[None, :].repeat(nf, 0), axis=1)
-    rowmax = norms.max(axis=1, keepdims=True)
-    keep = (
-        (rank < max_per_row)
-        & (norms >= min_frac * np.maximum(rowmax, 0.0))
-        & (cols >= 0)
-    )
+    qthr = np.floor(min_frac * 2.0**40 + 0.5)
+    keep = (rank < max_per_row) & (q >= qthr) & (cols >= 0)
     # ensure at least the strongest entry is kept for nonzero rows
     keep |= (rank == 0) & (cols >= 0)
     drop = (cols >= 0) & ~keep

@@ -512,3 +512,96 @@ def test_dia_from_clamped_sym_halving_end_to_end():
     r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
     assert info.converged and r < 1e-7
     assert info.iterations < 25
+
+
+def test_cluster_correction_detects_and_fixes_defective_cluster():
+    """Near-singular sliver clusters (mixed-sign strong couplings) must be
+    detected and solved exactly (smoothers/cluster_corr.py; the reference
+    covers this regime with dyn-block smoothers, dyn_block_smoother.hpp:16).
+    """
+    import scipy.sparse as sp
+
+    from ngsamg_tpu.smoothers.cluster_corr import (
+        cluster_apply,
+        detect_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 64
+    # 1D Laplacian background
+    A = sp.diags(
+        [np.full(n - 1, -1.0), np.full(n, 2.0), np.full(n - 1, -1.0)],
+        [-1, 0, 1],
+    ).tolil()
+    # implant a 4-vertex near-rank-2 cluster with oscillatory kernel:
+    # rows ~ +/- multiples of each other (the measured sliver pattern)
+    c = [20, 21, 22, 23]
+    B = np.array(
+        [
+            [1.35, 1.75, -1.17, -1.76],
+            [1.75, 2.83, -1.78, -2.67],
+            [-1.17, -1.78, 1.32, 1.76],
+            [-1.76, -2.67, 1.76, 2.76],
+        ]
+    ) * 10.0
+    B += np.eye(4) * 0.05  # keep SPD overall
+    for a, i in enumerate(c):
+        for b_, j in enumerate(c):
+            A[i, j] = B[a, b_] + (2.0 if i == j else 0.0)
+    A = sp.csr_matrix(A)
+    ev = np.linalg.eigvalsh(A.toarray())
+    assert ev[0] > 0  # SPD
+    cc = detect_clusters(A, dtype=np.float64)
+    assert cc is not None
+    # the implanted cluster is found
+    rows = set(np.asarray(cc.idx).ravel().tolist())
+    assert set(c) <= rows
+    # the stored (padded) inverse is the exact local inverse
+    blk = A[c][:, c].toarray()
+    k = [
+        i for i in range(len(np.asarray(cc.idx)))
+        if 20 in np.asarray(cc.idx)[i].tolist()
+    ][0]
+    iv = np.asarray(cc.inv)[k][: len(c), : len(c)]
+    np.testing.assert_allclose(iv @ blk, np.eye(len(c)), atol=1e-12)
+    # and the device apply matches the numpy solve (f32 device tolerance)
+    import jax
+    import jax.numpy as jnp
+
+    r = rng.standard_normal((n, 1))
+    z = np.asarray(cluster_apply(
+        jax.tree_util.tree_map(jnp.asarray, cc), jnp.asarray(r)
+    ))
+    zc = np.zeros(n)
+    zc[c] = np.linalg.solve(blk, r[c, 0])
+    np.testing.assert_allclose(z[:, 0], zc, atol=5e-5)
+
+
+def test_cluster_correction_no_clusters_on_regular_mesh():
+    """Shape-regular meshes have no defective clusters -> zero-cost path."""
+    p = fem.poisson_2d(16)
+    import scipy.sparse as sp
+
+    from ngsamg_tpu.smoothers.cluster_corr import detect_clusters
+
+    assert detect_clusters(sp.csr_matrix(p.A)) is None
+
+
+def test_cluster_correction_unstructured_iterations():
+    """The 3D perturbed-Delaunay problem converges within the reference
+    budget WITH the correction; without it the sliver clusters pin
+    lambda_min (36 vs 14-16 iterations measured at 104k DoF)."""
+    from ngsamg_tpu import AMGPreconditioner
+
+    p = fem.unstructured_poisson(20, dim=3)
+    o = AMGOptions(dtype="float64")
+    pc = AMGPreconditioner(p.A, coords=p.coords, options=o).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=40)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7
+    o2 = AMGOptions(dtype="float64")
+    o2.cluster_corr.enabled = False
+    pc2 = AMGPreconditioner(p.A, coords=p.coords, options=o2).setup()
+    x2, info2 = pc2.solve(p.b, tol=1e-8, maxiter=80)
+    if pc.op.cluster_corr is not None:
+        assert info.iterations <= info2.iterations
