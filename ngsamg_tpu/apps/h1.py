@@ -106,6 +106,21 @@ class H1Energy(Energy):
         d = np.maximum(d, 1e-300)
         return w * 0.5 * (1.0 / d[i] + 1.0 / d[j])
 
+    # -- fused native matching round ---------------------------------------
+    def spw_round(self, mesh: AlgebraicMesh, theta: float, can_match):
+        """One fused matching round (native): returns partner or None.
+
+        Exact re-implementation of soc() + edge_graph() +
+        pairwise.handshake_match in one C++ pass (native.spw_round_h1).
+        """
+        from ..native import spw_round_h1
+
+        w = mesh.edge_data.get("wt")
+        l2 = mesh.vertex_data.get("l2wt")
+        if w is None or l2 is None:
+            return None
+        return spw_round_h1(mesh.edges, w, l2, can_match, theta)
+
     # -- transport --------------------------------------------------------
     def transport(self, pos_from, pos_to) -> np.ndarray:
         m = len(pos_from) if pos_from is not None else len(pos_to)

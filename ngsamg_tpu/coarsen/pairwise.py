@@ -236,21 +236,30 @@ def spw_aggregate_energy(
     if aaf is not None:
         rounds = 10
     use_robust = robust and hasattr(energy, "soc_robust")
+    fast_round = None if use_robust else getattr(energy, "spw_round", None)
     for _round in range(rounds):
         if aaf is not None and n_cur <= aaf * n0:
             break
-        soc = (
-            energy.soc_robust(cur_mesh)
-            if use_robust
-            else energy.soc(cur_mesh)
-        )
-        S = cur_mesh.edge_graph(weights=soc)
         cm = cur_active
         if max_agg is not None:
             cm = cm & (sizes * 2 <= max_agg)
         if not cm.any():
             break
-        partner = handshake_match(S, theta, can_match=cm)
+        partner = None
+        if fast_round is not None:
+            # fused native soc + adjacency + handshake (H1: one C++ pass
+            # instead of ~10 allocating O(ne) numpy passes per round)
+            partner = fast_round(
+                cur_mesh, theta, None if cm.all() else cm
+            )
+        if partner is None:
+            soc = (
+                energy.soc_robust(cur_mesh)
+                if use_robust
+                else energy.soc(cur_mesh)
+            )
+            S = cur_mesh.edge_graph(weights=soc)
+            partner = handshake_match(S, theta, can_match=cm)
         c2agg, n_agg = aggregates_from_partner(partner, cur_active)
         if n_agg >= n_cur or n_agg == 0:
             break

@@ -97,8 +97,8 @@ def edges_to_adj(edges, weights, n):
     import scipy.sparse as sp
 
     indptr, indices, data = _nat.edges_to_adj(
-        np.ascontiguousarray(edges[:, 0], dtype=np.int64),
-        np.ascontiguousarray(edges[:, 1], dtype=np.int64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        None,
         np.ascontiguousarray(weights, dtype=np.float64),
         int(n),
     )
@@ -112,8 +112,8 @@ def map_edges_agg(edges, v2agg, n_agg):
     if not HAVE_NATIVE:
         return None
     ce, e2ce = _nat.map_edges_agg(
-        np.ascontiguousarray(edges[:, 0], dtype=np.int64),
-        np.ascontiguousarray(edges[:, 1], dtype=np.int64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        None,
         np.ascontiguousarray(v2agg, dtype=np.int64),
         int(n_agg),
     )
@@ -126,8 +126,8 @@ def rho_power_h1(edges, w, d, x0, iters=10):
         return None
     return float(
         _nat.rho_power_h1(
-            np.ascontiguousarray(edges[:, 0], dtype=np.int64),
-            np.ascontiguousarray(edges[:, 1], dtype=np.int64),
+            np.ascontiguousarray(edges, dtype=np.int64),
+            None,
             np.ascontiguousarray(w, dtype=np.float64),
             np.ascontiguousarray(d, dtype=np.float64),
             np.ascontiguousarray(x0, dtype=np.float64),
@@ -185,11 +185,14 @@ def smoothed_prol_scalar(
     import scipy.sparse as sp
 
     A = A.tocsr()
+    Adata = A.data
+    if Adata.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        Adata = Adata.astype(np.float64)
     indptr, indices, data = _nat.smoothed_prol_scalar(
         *_csr_idx(A.indptr, A.indices),
-        np.ascontiguousarray(A.data, dtype=np.float64),
-        np.ascontiguousarray(edges[:, 0], dtype=np.int64),
-        np.ascontiguousarray(edges[:, 1], dtype=np.int64),
+        np.ascontiguousarray(Adata),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        None,
         np.ascontiguousarray(edge_w, dtype=np.float64),
         np.ascontiguousarray(l2wt, dtype=np.float64),
         np.ascontiguousarray(v2agg, dtype=np.int64),
@@ -268,3 +271,43 @@ def csr_permute(A, rowperm=None, colperm=None):
     )
     M.has_canonical_format = True
     return M
+
+
+def cluster_detect(A, beta, eig_ratio, max_size):
+    """(blocks (ncand,K,K) f64, members (ncand,K) int32, csz int32) of
+    candidate defective strong clusters; None when the ext is absent.
+
+    One fused pass: strength union-find + in-kernel screening (exact 2x2
+    eig for pairs, Gershgorin bound for larger) + dense block extraction
+    for candidates only (smoothers/cluster_corr.detect_clusters)."""
+    if not HAVE_NATIVE:
+        return None
+    A = A.tocsr()
+    return _nat.cluster_detect(
+        *_csr_idx(A.indptr, A.indices),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        float(beta),
+        float(eig_ratio),
+        int(max_size),
+    )
+
+
+def spw_round_h1(edges, w, l2, can_match, theta, iters=8):
+    """Fused H1 matching round: aux diag + soc + adjacency + jittered
+    handshake in one pass; partner int64[n] or None (ext absent)."""
+    if not HAVE_NATIVE:
+        return None
+    cm = (
+        None
+        if can_match is None
+        else np.ascontiguousarray(can_match, dtype=np.uint8)
+    )
+    return _nat.spw_round_h1(
+        np.ascontiguousarray(edges, dtype=np.int64),
+        None,
+        np.ascontiguousarray(w, dtype=np.float64),
+        np.ascontiguousarray(l2, dtype=np.float64),
+        cm,
+        float(theta),
+        int(iters),
+    )

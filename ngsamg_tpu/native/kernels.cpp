@@ -47,6 +47,32 @@ PyObject *dispatch_index(PyArrayObject *idx_like, F &&f) {
   }
 }
 
+// Edge-list access: kernels accept EITHER two 1-D int64 arrays (ei, ej)
+// or ONE C-contiguous (m, 2) int64 array passed as ei with ej == None —
+// the mesh stores edges as (m, 2), and slicing columns into contiguous
+// copies cost ~40 ms per call at 14M edges (measured 9.8 s per setup).
+struct EdgeView {
+  const int64_t *i;
+  const int64_t *j;
+  int64_t s;  // element stride (1 split, 2 interleaved)
+  int64_t ne;
+};
+static EdgeView edge_view(PyArrayObject *ei_o, PyObject *ej_o) {
+  EdgeView ev;
+  ev.ne = PyArray_DIM(ei_o, 0);
+  ev.i = static_cast<const int64_t *>(PyArray_DATA(ei_o));
+  if (PyArray_NDIM(ei_o) == 2) {
+    ev.j = ev.i + 1;
+    ev.s = 2;
+  } else {
+    ev.j = static_cast<const int64_t *>(
+        PyArray_DATA((PyArrayObject *)ej_o));
+    ev.s = 1;
+  }
+  return ev;
+}
+
+
 // ---------------------------------------------------------------------
 // greedy_color(indptr int64[n+1], indices int64[nnz]) -> int32[n]
 // ---------------------------------------------------------------------
@@ -796,19 +822,20 @@ PyObject *collapse_graph(PyObject *, PyObject *args) {
 //     dropped mass added onto the strongest kept entry (Q == identity).
 // Output rows have ascending column order.
 // ---------------------------------------------------------------------
-template <typename I>
+template <typename I, typename V>
 PyObject *smoothed_prol_scalar_impl(
-    const I *ai, const I *aj, const double *av, const int64_t *ei,
-    const int64_t *ej, const double *ew, const double *l2,
+    const I *ai, const I *aj, const V *av, const EdgeView &ev,
+    const double *ew, const double *l2,
     const int64_t *agg, int64_t n, int64_t ne, int64_t nc,
     double scale_aux, double scale_real, int64_t max_per_row,
     int64_t max_classic, double min_frac, int filter_pos) {
 
-  // aux (replacement-matrix) adjacency from the edge list (counting sort)
+  // aux (replacement-matrix) adjacency from the edge list (counting
+  // sort); edge weights are SIGNED, the aux matrix takes max(w, 0)
   std::vector<int64_t> hptr(n + 1, 0);
   for (int64_t e = 0; e < ne; ++e) {
-    hptr[ei[e] + 1]++;
-    hptr[ej[e] + 1]++;
+    hptr[ev.i[ev.s * e] + 1]++;
+    hptr[ev.j[ev.s * e] + 1]++;
   }
   for (int64_t v = 0; v < n; ++v) hptr[v + 1] += hptr[v];
   std::vector<int64_t> hcol(hptr[n]);
@@ -818,8 +845,8 @@ PyObject *smoothed_prol_scalar_impl(
   {
     std::vector<int64_t> cur(hptr.begin(), hptr.end() - 1);
     for (int64_t e = 0; e < ne; ++e) {
-      const int64_t a = ei[e], b = ej[e];
-      const double w = ew[e];
+      const int64_t a = ev.i[ev.s * e], b = ev.j[ev.s * e];
+      const double w = ew[e] > 0.0 ? ew[e] : 0.0;
       int64_t d = cur[a]++;
       hcol[(size_t)d] = b;
       hval[(size_t)d] = w;
@@ -987,31 +1014,40 @@ PyObject *smoothed_prol_scalar_impl(
 }
 
 PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
-  PyArrayObject *ai_o, *aj_o, *av_o, *ei_o, *ej_o, *ew_o, *l2_o, *agg_o;
+  PyArrayObject *ai_o, *aj_o, *av_o, *ei_o, *ew_o, *l2_o, *agg_o;
+  PyObject *ej_o;
   long nc_l, max_per_row_l, max_classic_l;
   double scale_aux, scale_real, min_frac;
   int filter_pos = 0;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!lddlld|i", &PyArray_Type,
+  if (!PyArg_ParseTuple(args, "O!O!O!O!OO!O!O!lddlld|i", &PyArray_Type,
                         &ai_o, &PyArray_Type, &aj_o, &PyArray_Type, &av_o,
-                        &PyArray_Type, &ei_o, &PyArray_Type, &ej_o,
+                        &PyArray_Type, &ei_o, &ej_o,
                         &PyArray_Type, &ew_o, &PyArray_Type, &l2_o,
                         &PyArray_Type, &agg_o, &nc_l, &scale_aux,
                         &scale_real, &max_per_row_l, &max_classic_l,
                         &min_frac, &filter_pos))
     return nullptr;
-  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
-  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
-  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  const EdgeView ev = edge_view(ei_o, ej_o);
   auto *ew = static_cast<const double *>(PyArray_DATA(ew_o));
   auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
   auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
   const int64_t n = PyArray_DIM(ai_o, 0) - 1;
-  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t ne = ev.ne;
+  const int f32 = PyArray_TYPE(av_o) == NPY_FLOAT32;
   return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
     using I = decltype(ix);
-    return smoothed_prol_scalar_impl<I>(
+    if (f32)
+      return smoothed_prol_scalar_impl<I, float>(
+          static_cast<const I *>(PyArray_DATA(ai_o)),
+          static_cast<const I *>(PyArray_DATA(aj_o)),
+          static_cast<const float *>(PyArray_DATA(av_o)), ev, ew, l2,
+          agg, n, ne, (int64_t)nc_l, scale_aux, scale_real,
+          (int64_t)max_per_row_l, (int64_t)max_classic_l, min_frac,
+          filter_pos);
+    return smoothed_prol_scalar_impl<I, double>(
         static_cast<const I *>(PyArray_DATA(ai_o)),
-        static_cast<const I *>(PyArray_DATA(aj_o)), av, ei, ej, ew, l2,
+        static_cast<const I *>(PyArray_DATA(aj_o)),
+        static_cast<const double *>(PyArray_DATA(av_o)), ev, ew, l2,
         agg, n, ne, (int64_t)nc_l, scale_aux, scale_real,
         (int64_t)max_per_row_l, (int64_t)max_classic_l, min_frac,
         filter_pos);
@@ -1027,15 +1063,15 @@ PyObject *smoothed_prol_scalar(PyObject *, PyObject *args) {
 // (mesh/topo.edge_graph).
 // ---------------------------------------------------------------------
 PyObject *edges_to_adj(PyObject *, PyObject *args) {
-  PyArrayObject *ei_o, *ej_o, *w_o;
+  PyArrayObject *ei_o, *w_o;
+  PyObject *ej_o;
   long n_l;
-  if (!PyArg_ParseTuple(args, "O!O!O!l", &PyArray_Type, &ei_o,
-                        &PyArray_Type, &ej_o, &PyArray_Type, &w_o, &n_l))
+  if (!PyArg_ParseTuple(args, "O!OO!l", &PyArray_Type, &ei_o,
+                        &ej_o, &PyArray_Type, &w_o, &n_l))
     return nullptr;
-  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
-  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  const EdgeView ev = edge_view(ei_o, ej_o);
   auto *w = static_cast<const double *>(PyArray_DATA(w_o));
-  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t ne = ev.ne;
   const int64_t n = (int64_t)n_l;
 
   npy_intp d_ptr[1] = {n + 1};
@@ -1052,18 +1088,18 @@ PyObject *edges_to_adj(PyObject *, PyObject *args) {
 
   std::fill(ptr, ptr + n + 1, (int64_t)0);
   for (int64_t e = 0; e < ne; ++e) {
-    ptr[ei[e] + 1]++;
-    ptr[ej[e] + 1]++;
+    ptr[ev.i[ev.s * e] + 1]++;
+    ptr[ev.j[ev.s * e] + 1]++;
   }
   for (int64_t v = 0; v < n; ++v) ptr[v + 1] += ptr[v];
   {
     std::vector<int64_t> cur(ptr, ptr + n);
     for (int64_t e = 0; e < ne; ++e) {
-      int64_t d = cur[ei[e]]++;
-      col[d] = (int32_t)ej[e];
+      int64_t d = cur[ev.i[ev.s * e]]++;
+      col[d] = (int32_t)ev.j[ev.s * e];
       val[d] = w[e];
-      d = cur[ej[e]]++;
-      col[d] = (int32_t)ei[e];
+      d = cur[ev.j[ev.s * e]]++;
+      col[d] = (int32_t)ev.i[ev.s * e];
       val[d] = w[e];
     }
   }
@@ -1097,15 +1133,15 @@ PyObject *edges_to_adj(PyObject *, PyObject *args) {
 // counting passes, O(ne + nc) — replaces the O(ne log ne) np.unique.
 // ---------------------------------------------------------------------
 PyObject *map_edges_agg(PyObject *, PyObject *args) {
-  PyArrayObject *ei_o, *ej_o, *agg_o;
+  PyArrayObject *ei_o, *agg_o;
+  PyObject *ej_o;
   long nc_l;
-  if (!PyArg_ParseTuple(args, "O!O!O!l", &PyArray_Type, &ei_o,
-                        &PyArray_Type, &ej_o, &PyArray_Type, &agg_o, &nc_l))
+  if (!PyArg_ParseTuple(args, "O!OO!l", &PyArray_Type, &ei_o,
+                        &ej_o, &PyArray_Type, &agg_o, &nc_l))
     return nullptr;
-  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
-  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  const EdgeView ev = edge_view(ei_o, ej_o);
   auto *agg = static_cast<const int64_t *>(PyArray_DATA(agg_o));
-  const int64_t ne = PyArray_DIM(ei_o, 0);
+  const int64_t ne = ev.ne;
   const int64_t nc = (int64_t)nc_l;
 
   npy_intp d_e[1] = {ne};
@@ -1116,7 +1152,7 @@ PyObject *map_edges_agg(PyObject *, PyObject *args) {
   std::vector<int64_t> lo((size_t)ne), hi((size_t)ne), cross;
   cross.reserve((size_t)ne / 2);
   for (int64_t e = 0; e < ne; ++e) {
-    const int64_t a = agg[ei[e]], b = agg[ej[e]];
+    const int64_t a = agg[ev.i[ev.s * e]], b = agg[ev.j[ev.s * e]];
     const int64_t l = a < b ? a : b, h = a < b ? b : a;
     lo[(size_t)e] = l;
     hi[(size_t)e] = h;
@@ -1167,24 +1203,31 @@ PyObject *map_edges_agg(PyObject *, PyObject *args) {
 // rho_power_h1(ei, ej int64[ne], w f64[ne], d f64[n], x0 f64[n], iters)
 //   -> float
 // Power iteration for rho(Dhat^-1 A-hat) on the H1 replacement matrix
-// given implicitly by the edge list (A-hat x = d*x - scatter of w), with
-// the start vector supplied by the caller (numpy RNG parity).
+// given implicitly by the edge list (A-hat x = d*x - scatter of
+// max(w,0); weights are SIGNED, the aux diagonal d = l2 + incident
+// attractive sums is computed in-kernel in bincount order), with the
+// start vector supplied by the caller (numpy RNG parity).
 // ---------------------------------------------------------------------
 PyObject *rho_power_h1(PyObject *, PyObject *args) {
-  PyArrayObject *ei_o, *ej_o, *w_o, *d_o, *x0_o;
+  PyArrayObject *ei_o, *w_o, *l2_o, *x0_o;
+  PyObject *ej_o;
   int iters;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!O!i", &PyArray_Type, &ei_o,
-                        &PyArray_Type, &ej_o, &PyArray_Type, &w_o,
-                        &PyArray_Type, &d_o, &PyArray_Type, &x0_o, &iters))
+  if (!PyArg_ParseTuple(args, "O!OO!O!O!i", &PyArray_Type, &ei_o,
+                        &ej_o, &PyArray_Type, &w_o,
+                        &PyArray_Type, &l2_o, &PyArray_Type, &x0_o, &iters))
     return nullptr;
-  auto *ei = static_cast<const int64_t *>(PyArray_DATA(ei_o));
-  auto *ej = static_cast<const int64_t *>(PyArray_DATA(ej_o));
+  const EdgeView ev = edge_view(ei_o, ej_o);
   auto *w = static_cast<const double *>(PyArray_DATA(w_o));
-  auto *d = static_cast<const double *>(PyArray_DATA(d_o));
+  auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
   auto *x0 = static_cast<const double *>(PyArray_DATA(x0_o));
-  const int64_t ne = PyArray_DIM(ei_o, 0);
-  const int64_t n = PyArray_DIM(d_o, 0);
+  const int64_t ne = ev.ne;
+  const int64_t n = PyArray_DIM(l2_o, 0);
 
+  std::vector<double> d(l2, l2 + n);
+  for (int64_t e = 0; e < ne; ++e)
+    d[(size_t)ev.i[ev.s * e]] += w[e] > 0.0 ? w[e] : 0.0;
+  for (int64_t e = 0; e < ne; ++e)
+    d[(size_t)ev.j[ev.s * e]] += w[e] > 0.0 ? w[e] : 0.0;
   std::vector<double> x(x0, x0 + n), y((size_t)n);
   std::vector<double> dinv((size_t)n);
   for (int64_t v = 0; v < n; ++v)
@@ -1193,8 +1236,9 @@ PyObject *rho_power_h1(PyObject *, PyObject *args) {
   for (int it = 0; it < iters; ++it) {
     for (int64_t v = 0; v < n; ++v) y[(size_t)v] = d[v] * x[(size_t)v];
     for (int64_t e = 0; e < ne; ++e) {
-      y[(size_t)ei[e]] -= w[e] * x[(size_t)ej[e]];
-      y[(size_t)ej[e]] -= w[e] * x[(size_t)ei[e]];
+      const double wa = w[e] > 0.0 ? w[e] : 0.0;
+      y[(size_t)ev.i[ev.s * e]] -= wa * x[(size_t)ev.j[ev.s * e]];
+      y[(size_t)ev.j[ev.s * e]] -= wa * x[(size_t)ev.i[ev.s * e]];
     }
     double nrm2 = 0.0;
     for (int64_t v = 0; v < n; ++v) {
@@ -1301,6 +1345,275 @@ PyObject *tile_ell_pack(PyObject *, PyObject *args) {
   });
 }
 
+// ---------------------------------------------------------------------
+// spw_round_h1(edges | (ei, ej), w f64[ne] SIGNED, l2 f64[n],
+//              cm uint8[n] | None, theta, iters)
+//   -> partner int64[n]
+// One fused H1 matching round (coarsen/pairwise.spw_aggregate_energy):
+// aux diagonal d = l2 + incident max(w,0) (edge order, bincount parity),
+// harmonic soc s_e = max(w,0)/2 (1/d_i + 1/d_j), symmetric adjacency
+// (counting sort, edges_to_adj parity), then the jittered handshake
+// matching of handshake_match — replacing ~10 allocating O(ne) numpy
+// passes per round per level.
+// ---------------------------------------------------------------------
+PyObject *spw_round_h1(PyObject *, PyObject *args) {
+  PyArrayObject *ei_o, *w_o, *l2_o;
+  PyObject *ej_o, *cm_o;
+  double theta;
+  int iters = 8;
+  if (!PyArg_ParseTuple(args, "O!OO!O!Od|i", &PyArray_Type, &ei_o,
+                        &ej_o, &PyArray_Type, &w_o,
+                        &PyArray_Type, &l2_o, &cm_o, &theta, &iters))
+    return nullptr;
+  const EdgeView ev = edge_view(ei_o, ej_o);
+  auto *w = static_cast<const double *>(PyArray_DATA(w_o));
+  auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
+  const uint8_t *cm = nullptr;
+  if (cm_o != Py_None)
+    cm = static_cast<const uint8_t *>(
+        PyArray_DATA((PyArrayObject *)cm_o));
+  const int64_t ne = ev.ne;
+  const int64_t n = PyArray_DIM(l2_o, 0);
+
+  // aux diagonal (numpy-bincount accumulation order: edge order)
+  std::vector<double> d(l2, l2 + n);
+  for (int64_t e = 0; e < ne; ++e) {
+    const double wa = w[e] > 0.0 ? w[e] : 0.0;
+    d[(size_t)ev.i[ev.s * e]] += wa;
+  }
+  for (int64_t e = 0; e < ne; ++e) {
+    const double wa = w[e] > 0.0 ? w[e] : 0.0;
+    d[(size_t)ev.j[ev.s * e]] += wa;
+  }
+  for (int64_t v = 0; v < n; ++v) d[(size_t)v] = std::max(d[(size_t)v], 1e-300);
+
+  // symmetric adjacency with soc values + in-place jitter
+  std::vector<int64_t> ptr(n + 1, 0);
+  for (int64_t e = 0; e < ne; ++e) {
+    ptr[ev.i[ev.s * e] + 1]++;
+    ptr[ev.j[ev.s * e] + 1]++;
+  }
+  for (int64_t v = 0; v < n; ++v) ptr[v + 1] += ptr[v];
+  std::vector<int32_t> col((size_t)(2 * ne));
+  std::vector<double> val((size_t)(2 * ne));
+  {
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t e = 0; e < ne; ++e) {
+      const int64_t a = ev.i[ev.s * e], b = ev.j[ev.s * e];
+      const double wa = w[e] > 0.0 ? w[e] : 0.0;
+      const double soc =
+          wa * 0.5 * (1.0 / d[(size_t)a] + 1.0 / d[(size_t)b]);
+      const int64_t h =
+          (a * (int64_t)2654435761LL + b * (int64_t)40503LL) &
+          (int64_t)0xFFFFFFFFLL;
+      const double sj = soc * (1.0 + 1e-9 * ((double)h / 4294967296.0));
+      int64_t q = cur[(size_t)a]++;
+      col[(size_t)q] = (int32_t)b;
+      val[(size_t)q] = sj;
+      q = cur[(size_t)b]++;
+      col[(size_t)q] = (int32_t)a;
+      val[(size_t)q] = sj;
+    }
+  }
+
+  npy_intp dims[1] = {n};
+  PyArrayObject *out =
+      (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
+  auto *partner = static_cast<int64_t *>(PyArray_DATA(out));
+  std::fill(partner, partner + n, (int64_t)-1);
+  std::vector<double> rowmax(n, 0.0);
+  for (int64_t v = 0; v < n; ++v)
+    for (int64_t k = ptr[v]; k < ptr[v + 1]; ++k)
+      rowmax[(size_t)v] = std::max(rowmax[(size_t)v], val[(size_t)k]);
+  std::vector<int64_t> best(n);
+  for (int it = 0; it < iters; ++it) {
+    bool any = false;
+    for (int64_t v = 0; v < n; ++v) {
+      best[(size_t)v] = -1;
+      if (partner[v] >= 0 || (cm && !cm[v])) continue;
+      double bw = -1.0;
+      for (int64_t k = ptr[v]; k < ptr[v + 1]; ++k) {
+        const int64_t nb = (int64_t)col[(size_t)k];
+        if (partner[nb] >= 0 || (cm && !cm[nb])) continue;
+        const double thr =
+            theta * std::min(rowmax[(size_t)v], rowmax[(size_t)nb]);
+        if (val[(size_t)k] < thr || val[(size_t)k] <= 0.0) continue;
+        if (val[(size_t)k] > bw) {
+          bw = val[(size_t)k];
+          best[(size_t)v] = nb;
+        }
+      }
+    }
+    for (int64_t v = 0; v < n; ++v) {
+      const int64_t b = best[(size_t)v];
+      if (b > v && best[(size_t)b] == v) {
+        partner[v] = b;
+        partner[b] = v;
+        any = true;
+      }
+    }
+    if (!any) break;
+  }
+  return (PyObject *)out;
+}
+
+// ---------------------------------------------------------------------
+// cluster_detect(indptr, indices, data f64, beta, eig_ratio, max_size)
+//   -> (blocks f64 (ncand,K,K), members int32 (ncand,K), csz int32)
+// One fused pass for smoothers/cluster_corr.detect_clusters: strength
+// test |a_ij| >= beta sqrt(a_ii a_jj) feeds an array union-find; eligible
+// components (2..max_size vertices) are screened IN-KERNEL — exact 2x2
+// smallest eigenvalue for pairs, Gershgorin lower bound for larger
+// blocks (a cluster whose bound already clears eig_ratio*maxdiag cannot
+// be defective) — and only candidates get dense blocks extracted. This
+// replaces ~6 allocating O(nnz) numpy passes (~20 s at 1M DoF under
+// host memory pressure) with one read-only sweep.
+// ---------------------------------------------------------------------
+template <typename I>
+PyObject *cluster_detect_impl(const I *ai, const I *aj, const double *av,
+                              int64_t n, double beta, double eig_ratio,
+                              int64_t max_size) {
+  std::vector<double> diag(n, 0.0);
+  for (int64_t i = 0; i < n; ++i)
+    for (I k = ai[i]; k < ai[i + 1]; ++k)
+      if (aj[k] == i) diag[(size_t)i] = av[k];
+  const double b2 = beta * beta;
+  // union-find with path halving
+  std::vector<int32_t> par(n);
+  for (int64_t i = 0; i < n; ++i) par[(size_t)i] = (int32_t)i;
+  auto find = [&](int32_t x) {
+    while (par[(size_t)x] != x) {
+      par[(size_t)x] = par[(size_t)par[(size_t)x]];
+      x = par[(size_t)x];
+    }
+    return x;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    const double di = diag[(size_t)i];
+    if (di <= 0.0) continue;
+    for (I k = ai[i]; k < ai[i + 1]; ++k) {
+      const int64_t j = aj[k];
+      if (j <= i) continue;
+      const double dj = diag[(size_t)j];
+      if (dj <= 0.0) continue;
+      if (av[k] * av[k] >= b2 * di * dj) {
+        int32_t ra = find((int32_t)i), rb = find((int32_t)j);
+        if (ra != rb) par[(size_t)(ra < rb ? rb : ra)] = (ra < rb ? ra : rb);
+      }
+    }
+  }
+  // component sizes at roots
+  std::vector<int32_t> sz(n, 0);
+  for (int64_t i = 0; i < n; ++i) sz[(size_t)find((int32_t)i)]++;
+  // eligible components -> contiguous ids; per-vertex slot in ascending
+  // vertex order (matches the python lexsort layout)
+  std::vector<int32_t> cid(n, -1);
+  int64_t ncl = 0, K = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (par[(size_t)i] == (int32_t)i && sz[(size_t)i] >= 2 &&
+        sz[(size_t)i] <= max_size) {
+      cid[(size_t)i] = (int32_t)ncl++;
+      K = std::max<int64_t>(K, sz[(size_t)i]);
+    }
+  }
+  if (ncl == 0) {
+    npy_intp z3[3] = {0, 0, 0}, z2[2] = {0, 0}, z1[1] = {0};
+    return Py_BuildValue(
+        "(NNN)", PyArray_ZEROS(3, z3, NPY_FLOAT64, 0),
+        PyArray_ZEROS(2, z2, NPY_INT32, 0),
+        PyArray_ZEROS(1, z1, NPY_INT32, 0));
+  }
+  std::vector<int32_t> vcl(n, -1), vslot(n, -1), cnt((size_t)ncl, 0);
+  std::vector<std::vector<int32_t>> mem((size_t)ncl);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t c = cid[(size_t)find((int32_t)i)];
+    if (c < 0) continue;
+    vcl[(size_t)i] = c;
+    vslot[(size_t)i] = cnt[(size_t)c]++;
+    mem[(size_t)c].push_back((int32_t)i);
+  }
+  // in-kernel screening: candidates = clusters that MIGHT be defective
+  // scratch dense block (K x K) reused per cluster
+  std::vector<double> blk((size_t)(K * K));
+  std::vector<int32_t> cand;
+  cand.reserve((size_t)ncl / 4 + 16);
+  for (int64_t c = 0; c < ncl; ++c) {
+    const auto &m = mem[(size_t)c];
+    const int64_t s = (int64_t)m.size();
+    std::fill(blk.begin(), blk.begin() + (size_t)(s * s), 0.0);
+    double maxd = 0.0;
+    for (int64_t a = 0; a < s; ++a) {
+      const int64_t i = m[(size_t)a];
+      for (I k = ai[i]; k < ai[i + 1]; ++k) {
+        const int64_t j = aj[k];
+        if (vcl[(size_t)j] == (int32_t)c)
+          blk[(size_t)(a * s + vslot[(size_t)j])] = av[k];
+      }
+      maxd = std::max(maxd, blk[(size_t)(a * s + a)]);
+    }
+    if (maxd <= 0.0) continue;
+    bool candidate;
+    if (s == 2) {  // exact smallest eigenvalue of the 2x2 block
+      const double d1 = blk[0], d2 = blk[3], o = blk[1];
+      const double tr = d1 + d2, df = d1 - d2;
+      const double lam = 0.5 * (tr - std::sqrt(df * df + 4.0 * o * o));
+      candidate = lam < eig_ratio * maxd;
+    } else {  // Gershgorin lower bound: can only prove NON-defective
+      double lo = 1e300;
+      for (int64_t a = 0; a < s; ++a) {
+        double row = blk[(size_t)(a * s + a)];
+        for (int64_t b = 0; b < s; ++b)
+          if (b != a) row -= std::abs(blk[(size_t)(a * s + b)]);
+        lo = std::min(lo, row);
+      }
+      candidate = lo < eig_ratio * maxd;
+    }
+    if (candidate) cand.push_back((int32_t)c);
+  }
+  const int64_t nc = (int64_t)cand.size();
+  npy_intp d_b[3] = {nc, K, K}, d_m[2] = {nc, K}, d_s[1] = {nc};
+  PyArrayObject *o_blk = (PyArrayObject *)PyArray_ZEROS(3, d_b, NPY_FLOAT64, 0);
+  PyArrayObject *o_mem = (PyArrayObject *)PyArray_ZEROS(2, d_m, NPY_INT32, 0);
+  PyArrayObject *o_sz = (PyArrayObject *)PyArray_ZEROS(1, d_s, NPY_INT32, 0);
+  auto *ob = static_cast<double *>(PyArray_DATA(o_blk));
+  auto *om = static_cast<int32_t *>(PyArray_DATA(o_mem));
+  auto *os = static_cast<int32_t *>(PyArray_DATA(o_sz));
+  for (int64_t q = 0; q < nc; ++q) {
+    const auto &m = mem[(size_t)cand[(size_t)q]];
+    const int64_t s = (int64_t)m.size();
+    os[q] = (int32_t)s;
+    for (int64_t a = 0; a < s; ++a) {
+      const int64_t i = m[(size_t)a];
+      om[q * K + a] = (int32_t)i;
+      for (I k = ai[i]; k < ai[i + 1]; ++k) {
+        const int64_t j = aj[k];
+        if (vcl[(size_t)j] == cand[(size_t)q])
+          ob[(q * K + a) * K + vslot[(size_t)j]] = av[k];
+      }
+    }
+  }
+  return Py_BuildValue("(NNN)", o_blk, o_mem, o_sz);
+}
+
+PyObject *cluster_detect(PyObject *, PyObject *args) {
+  PyArrayObject *ai_o, *aj_o, *av_o;
+  double beta, eig_ratio;
+  long max_size_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!ddl", &PyArray_Type, &ai_o,
+                        &PyArray_Type, &aj_o, &PyArray_Type, &av_o, &beta,
+                        &eig_ratio, &max_size_l))
+    return nullptr;
+  const int64_t n = PyArray_DIM(ai_o, 0) - 1;
+  auto *av = static_cast<const double *>(PyArray_DATA(av_o));
+  return dispatch_index(ai_o, [&](auto ix) -> PyObject * {
+    using I = decltype(ix);
+    return cluster_detect_impl<I>(
+        static_cast<const I *>(PyArray_DATA(ai_o)),
+        static_cast<const I *>(PyArray_DATA(aj_o)), av, n, beta,
+        eig_ratio, (int64_t)max_size_l);
+  });
+}
+
 PyMethodDef methods[] = {
     {"greedy_color", greedy_color, METH_VARARGS,
      "sequential greedy graph coloring"},
@@ -1325,6 +1638,10 @@ PyMethodDef methods[] = {
      "full signed Galerkin collapse with cluster diagonal"},
     {"finest_mesh_scal", finest_mesh_scal, METH_VARARGS,
      "fused scalar finest-mesh extraction (diag, rowsum, edges, |wt|)"},
+    {"cluster_detect", cluster_detect, METH_VARARGS,
+     "strong-cluster detection + candidate block extraction"},
+    {"spw_round_h1", spw_round_h1, METH_VARARGS,
+     "fused H1 matching round: soc + adjacency + handshake"},
     {"csr_permute", csr_permute, METH_VARARGS,
      "CSR row/column permutation with sorted output"},
     {nullptr, nullptr, 0, nullptr}};

@@ -59,6 +59,34 @@ class ClusterCorrection:
     inv: jax.Array  # (ncl, K, K) dtype
 
 
+def _finish(blocks, members, csz, eig_ratio, dtype):
+    """Shared tail: pad diag, min-eig filter, batched inverse, idx table.
+
+    ``blocks`` (ncl,K,K) f64 with zeros outside each cluster's real
+    (csz x csz) corner, ``members`` (ncl,K) int32 padded with 0.
+    """
+    ncl, K, _ = blocks.shape
+    if ncl == 0:
+        return None
+    ii = np.arange(K)
+    diag = blocks[:, ii, ii]
+    maxdiag = np.maximum(diag.max(axis=1), 1e-300)
+    padmask = ii[None, :] >= csz[:, None]
+    blocks[:, ii, ii] = np.where(padmask, maxdiag[:, None], diag)
+    wmin = np.linalg.eigvalsh(blocks)[:, 0]
+    keep = wmin < eig_ratio * maxdiag
+    if not keep.any():
+        return None
+    blocks = blocks[keep]
+    padmask = padmask[keep]
+    inv = np.linalg.inv(blocks)
+    inv[np.broadcast_to(padmask[:, :, None], inv.shape)] = 0.0
+    inv[np.broadcast_to(padmask[:, None, :], inv.shape)] = 0.0
+    idx = members[keep].astype(np.int32)
+    idx[padmask] = 0  # contribution is zero (inv rows/cols zeroed)
+    return ClusterCorrection(idx=idx, inv=inv.astype(dtype))
+
+
 def detect_clusters(
     A: sp.spmatrix,
     *,
@@ -76,6 +104,14 @@ def detect_clusters(
     n = A.shape[0]
     if n == 0:
         return None
+    from ..native import cluster_detect as _nat_detect
+
+    nat = _nat_detect(A, beta, eig_ratio, max_size)
+    if nat is not None:
+        blocks, members, csz = nat
+        return _finish(
+            blocks, members, csz.astype(np.int64), eig_ratio, dtype
+        )
     d = A.diagonal()
     coo = A.tocoo()
     off = coo.row != coo.col
@@ -115,39 +151,11 @@ def detect_clusters(
     both = member[coo.row] & member[coo.col] & (vcid[coo.row] == vcid[coo.col])
     br, bc, bv = coo.row[both], coo.col[both], coo.data[both]
     blocks[vcid[br], vslot[br], vslot[bc]] = bv
-    # pad empty slots with the block's max diagonal (keeps the min-eig test
-    # and the batched inverse well-conditioned without affecting real slots)
-    diag = blocks[:, np.arange(K), np.arange(K)]
-    maxdiag = np.maximum(diag.max(axis=1), 1e-300)
-    csz = sizes[elig]
-    padmask = np.arange(K)[None, :] >= csz[:, None]
-    ii = np.arange(K)
-    dpad = np.where(padmask, maxdiag[:, None], diag)
-    blocks[:, ii, ii] = dpad
-
-    wmin = np.linalg.eigvalsh(blocks)[:, 0]
-    keep = wmin < eig_ratio * maxdiag
-    if not keep.any():
-        return None
-    blocks = blocks[keep]
-    csz = csz[keep]
-    inv = np.linalg.inv(blocks)
-    padmask = np.arange(K)[None, :] >= csz[:, None]
-    inv[np.broadcast_to(padmask[:, :, None], inv.shape)] = 0.0
-    inv[np.broadcast_to(padmask[:, None, :], inv.shape)] = 0.0
-
-    # padded index table (padded slots -> row 0, contribution is zero)
-    kept_cl = np.flatnonzero(keep)
-    remap = np.full(ncl, -1, dtype=np.int64)
-    remap[kept_cl] = np.arange(len(kept_cl))
-    idx = np.zeros((len(kept_cl), K), dtype=np.int32)
-    mkeep = remap[cl_of] >= 0
-    idx[remap[cl_of[mkeep]], slot[mkeep]] = memb_sorted[mkeep].astype(
-        np.int32
-    )
+    members = np.zeros((ncl, K), dtype=np.int32)
+    members[cl_of, slot] = memb_sorted.astype(np.int32)
     # numpy leaves: the caller batches the whole operator into ONE
     # device_put (remote-TPU tunnels pay a round trip per transfer)
-    return ClusterCorrection(idx=idx, inv=inv.astype(dtype))
+    return _finish(blocks, members, sizes[elig], eig_ratio, dtype)
 
 
 def cluster_apply(cc: ClusterCorrection, r: jax.Array) -> jax.Array:

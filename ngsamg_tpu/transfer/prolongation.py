@@ -204,26 +204,34 @@ def _filter_pos_offdiag(A: sp.csr_matrix) -> sp.csr_matrix:
 
 def _rho_estimate_h1_edges(
     edges: np.ndarray,
-    w: np.ndarray,
-    d: np.ndarray,
+    w_signed: np.ndarray,
+    l2: np.ndarray,
     iters: int = 10,
     seed: int = 0,
 ) -> float:
     """rho(Dhat^-1 A-hat) without assembling A-hat (edge-scatter matvecs).
 
-    Mirrors :func:`_rho_estimate`'s loop on the H1 replacement matrix
+    ``w_signed`` are the mesh's SIGNED edge weights; the aux matrix takes
+    the attractive part and d = l2 + incident sums (computed in-kernel on
+    the native path — no O(ne) temporaries). Mirrors
+    :func:`_rho_estimate`'s loop on the H1 replacement matrix
     A-hat x = d*x - sum_edges w (x_j e_i + x_i e_j); fp association
     differs from the assembled-CSR path only at the ~1e-15 level.
     """
-    n = len(d)
-    ei, ej = edges[:, 0], edges[:, 1]
+    n = len(l2)
     rng = np.random.default_rng(seed)
     x = rng.standard_normal(n)
     from ..native import rho_power_h1
 
-    nat = rho_power_h1(edges, w, d, x, iters)
+    nat = rho_power_h1(edges, w_signed, l2, x, iters)
     if nat is not None:
         return nat
+    ei, ej = edges[:, 0], edges[:, 1]
+    w = np.maximum(w_signed, 0.0)
+    d = l2.astype(np.float64, copy=True)
+    if len(ei):
+        np.add.at(d, ei, w)
+        np.add.at(d, ej, w)
     dinv = np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
     lam = 1.0
     for _ in range(iters):
@@ -265,15 +273,10 @@ def _smoothed_prol_scalar_native(
     l2 = mesh_f.vertex_data.get("l2wt")
     if w is None or l2 is None or A is None:
         return None
-    # edge weights are SIGNED (attractive positive); the aux matrix uses
-    # the attractive part only (SA filtered-matrix convention)
-    w = np.maximum(w, 0.0)
-    d = l2.astype(np.float64, copy=True)
-    ei, ej = mesh_f.edges[:, 0], mesh_f.edges[:, 1]
-    if len(ei):
-        np.add.at(d, ei, w)
-        np.add.at(d, ej, w)
-    rho = _rho_estimate_h1_edges(mesh_f.edges, w, d)
+    # edge weights are SIGNED (attractive positive); the aux matrix takes
+    # the attractive part IN-KERNEL (SA filtered-matrix convention) — no
+    # O(ne) clamped-copy temporaries on the host
+    rho = _rho_estimate_h1_edges(mesh_f.edges, w, l2)
     scale_aux = omega / max(rho, 1e-12)
     # classic rows smooth with the FILTERED real matrix (filter_pos below);
     # for H1 the filtered matrix equals the aux replacement matrix up to
