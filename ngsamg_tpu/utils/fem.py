@@ -211,6 +211,37 @@ def poisson_2d(n: int = 32, jump: bool = False, f=1.0) -> Problem:
     return Problem(A=A, b=b, coords=coords, dim=2, block_size=1)
 
 
+def anisotropic_poisson_2d(
+    n: int = 64, eps: float = 1e-2, angle: float = 0.0, f=1.0
+) -> Problem:
+    """P1 anisotropic diffusion K = R(angle) diag(1, eps) R(angle)^T.
+
+    The regime the reference's prolongation-refinement machinery
+    (`ImproveSProlRow`, vertex_factory_impl.hpp:1834-2433) exists for:
+    grid-aligned (angle 0) and rotated (e.g. pi/4 — non-M-matrix with
+    strong positive off-diagonals) anisotropy.
+    """
+    verts, tris = _grid_2d(n, n)
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s], [s, c]])
+    K = R @ np.diag([1.0, eps]) @ R.T
+    X = verts[tris]
+    D = X[:, 1:, :] - X[:, :1, :]
+    det = D[:, 0, 0] * D[:, 1, 1] - D[:, 0, 1] * D[:, 1, 0]
+    vol = np.abs(det) / 2.0
+    Dinv = np.linalg.inv(D)
+    G = np.empty((len(tris), 3, 2))
+    G[:, 1:, :] = np.transpose(Dinv, (0, 2, 1))
+    G[:, 0, :] = -G[:, 1:, :].sum(axis=1)
+    Ke = vol[:, None, None] * np.einsum("eid,dk,ejk->eij", G, K, G)
+    A = _assemble(len(verts), tris, Ke)
+    b = np.zeros(len(verts))
+    np.add.at(b, tris.ravel(), np.repeat(f * vol / 3.0, 3))
+    fixed = np.any((verts == 0) | (verts == 1), axis=1)
+    A, b, coords = _eliminate_dirichlet(A.tocsr(), b, verts, fixed)
+    return Problem(A=A, b=b, coords=coords, dim=2, block_size=1)
+
+
 def _in_inclusions_2d(p):
     """High-coefficient inclusion pattern (scaled to the unit square)."""
     x, y = p[:, 0], p[:, 1]
