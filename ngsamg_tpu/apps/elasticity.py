@@ -216,17 +216,20 @@ class ElasticityEnergy(Energy):
         aux_mat.hpp) + vertex-weight * identity on displacement DOFs.
         """
         nv, dpv = mesh.nv, self.dpv
-        pos = mesh.vertex_data["pos"]
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
         Bii, Bij, Bji, Bjj = self._edge_rm_blocks(mesh)
 
-        ne = mesh.ne
-        rows = np.concatenate([i, j, i, j, np.arange(nv)])
-        cols = np.concatenate([i, j, j, i, np.arange(nv)])
         vwt = mesh.vertex_data["l2wt"]
         Dv = np.zeros((nv, dpv, dpv))
         idx = np.arange(self.dim)
         Dv[:, idx, idx] = vwt[:, None]
+        from ..native import bsr_from_edge_blocks
+
+        nat = bsr_from_edge_blocks(mesh.edges, Bii, Bij, Bji, Bjj, Dv)
+        if nat is not None:
+            return nat
+        rows = np.concatenate([i, j, i, j, np.arange(nv)])
+        cols = np.concatenate([i, j, j, i, np.arange(nv)])
         blocks = np.concatenate([Bii, Bjj, Bij, Bji, Dv], axis=0)
         # assemble BSR via COO-of-blocks
         order = np.lexsort((cols, rows))

@@ -311,3 +311,26 @@ def spw_round_h1(edges, w, l2, can_match, theta, iters=8):
         float(theta),
         int(iters),
     )
+
+
+def bsr_from_edge_blocks(edges, Bii, Bij, Bji, Bjj, Dv):
+    """Assemble the block replacement matrix A-hat as a scipy BSR from
+    per-edge (d,d) blocks + per-vertex diagonal blocks; None when the
+    extension is absent (apps/elasticity.replacement_matrix)."""
+    if not HAVE_NATIVE:
+        return None
+    import scipy.sparse as sp
+
+    d = Dv.shape[1]
+    indptr, indices, blocks = _nat.bsr_from_edge_blocks(
+        np.ascontiguousarray(edges, dtype=np.int64),
+        np.ascontiguousarray(Bii, dtype=np.float64),
+        np.ascontiguousarray(Bij, dtype=np.float64),
+        np.ascontiguousarray(Bji, dtype=np.float64),
+        np.ascontiguousarray(Bjj, dtype=np.float64),
+        np.ascontiguousarray(Dv, dtype=np.float64),
+    )
+    nv = Dv.shape[0]
+    return sp.bsr_matrix(
+        (blocks, indices, indptr), shape=(nv * d, nv * d)
+    )

@@ -602,9 +602,16 @@ def vector_poisson(base: Problem, bs: int) -> Problem:
 
 
 def unstructured_elasticity(n: int = 12, dim: int = 2, E=1e3, nu=0.3,
-                            load=1.0, seed: int = 0) -> Problem:
-    """P1 elasticity on a perturbed Delaunay mesh, clamped at x=0."""
+                            load=1.0, seed: int = 0,
+                            refine: int = 0) -> Problem:
+    """P1 elasticity on a perturbed Delaunay mesh, clamped at x=0.
+
+    ``refine`` uniform red refinements reach the 1M-DoF scale without
+    the ~10-minute Qhull cost of a 300k-point 3D Delaunay.
+    """
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
+    for _ in range(max(refine, 0)):
+        verts, elems = refine_simplices(verts, elems)
     Ke, vol = _elasticity_elem(verts, elems, E, nu)
     nl = elems.shape[1]
     dof = (elems[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(
