@@ -1283,13 +1283,17 @@ PyObject *tile_ell_pack_impl(const I *ai, const I *aj, const V *av,
     if (d > K) K = d;
   }
 
+  // output values follow the INPUT dtype (f64 packs feed the
+  // mixed-precision outer's exact finest operator — rounding here would
+  // silently cap the attainable accuracy at f32)
   npy_intp dd[3] = {T, K, M};
   npy_intp dc[2] = {T, K};
+  const int ovt = sizeof(V) == 4 ? NPY_FLOAT32 : NPY_FLOAT64;
   PyArrayObject *o_dat =
-      (PyArrayObject *)PyArray_ZEROS(3, dd, NPY_FLOAT32, 0);
+      (PyArrayObject *)PyArray_ZEROS(3, dd, ovt, 0);
   PyArrayObject *o_col =
       (PyArrayObject *)PyArray_ZEROS(2, dc, NPY_INT32, 0);
-  auto *td = static_cast<float *>(PyArray_DATA(o_dat));
+  auto *td = static_cast<V *>(PyArray_DATA(o_dat));
   auto *tc = static_cast<int32_t *>(PyArray_DATA(o_col));
 
   for (int64_t t = 0; t < T; ++t) {
@@ -1303,7 +1307,7 @@ PyObject *tile_ell_pack_impl(const I *ai, const I *aj, const V *av,
         std::unique(cbuf.begin(), cbuf.end()) - cbuf.begin();
     int32_t *cols_t = tc + t * K;
     for (int64_t k = 0; k < d; ++k) cols_t[k] = (int32_t)cbuf[(size_t)k];
-    float *dat_t = td + t * K * M;
+    V *dat_t = td + t * K * M;
     for (int64_t r = t * M; r < r1; ++r) {
       const int64_t m = r - t * M;
       for (I k = ai[r]; k < ai[r + 1]; ++k) {
@@ -1311,7 +1315,7 @@ PyObject *tile_ell_pack_impl(const I *ai, const I *aj, const V *av,
             std::lower_bound(cbuf.begin(), cbuf.begin() + d,
                              (int64_t)aj[k]) -
             cbuf.begin();
-        dat_t[slot * M + m] = (float)av[k];
+        dat_t[slot * M + m] = av[k];
       }
     }
   }

