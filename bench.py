@@ -13,6 +13,15 @@ combined setup+solve pipeline (typical for one modern core running an
 MPI-parallel smoothed-aggregation AMG at this scale), i.e.
 vs_baseline = (our setup+solve DoF/s) / 2.0e6.
 
+BASELINE.json's actual bar is "faster than NgsAMG+MPI on 64 CPU cores"
+at 50M DoF on a 16-chip v5p pod. The honest per-chip arithmetic:
+64 cores x 2.0e6 DoF/s x ~0.5 MPI efficiency (AMG setup+solve strong
+scaling at this size) / 16 chips = ~4.0e6 DoF/s PER CHIP. That ratio is
+reported as `vs_baseline_64core_per_chip`; note it assumes the pod
+scales linearly across 16 chips, which single-chip hardware cannot
+verify — treat it as the bar one chip must clear for the pod claim to
+hold, not as a measured pod result.
+
 Env knobs: NGSAMG_BENCH_N (grid n, default 216 -> ~9.94M DoF, the
 BASELINE.json metric scale), NGSAMG_BENCH_TOL (default 1e-8).
 """
@@ -27,6 +36,9 @@ import time
 import numpy as np
 
 BASELINE_DOFS_PER_S = 2.0e6  # assumed NgsAMG-on-1-core setup+solve throughput
+# per-chip bar implied by BASELINE.json's 64-core-vs-16-chip comparison:
+# 64 cores x 2.0e6 x 0.5 MPI efficiency / 16 chips (see module docstring)
+BASELINE_64CORE_PER_CHIP = BASELINE_DOFS_PER_S * 64 * 0.5 / 16
 
 
 def main():
@@ -96,15 +108,25 @@ def main():
     # supernode formats) — the paths a general mesh exercises
     unstructured = None
     if os.environ.get("NGSAMG_BENCH_UNSTRUCTURED", "1") != "0":
-        nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "48"))
-        up = fem.unstructured_poisson(nu, dim=3)
+        # ~935k DoF (52^3-lattice perturbed Delaunay + one uniform red
+        # refinement): the SPW + smoothed-prol + tile-ELL + cluster-
+        # correction path at the scale the reference lives at
+        nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "52"))
+        uref = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_REFINE", "1"))
+        up = fem.unstructured_poisson(nu, dim=3, refine=uref)
         tu_setup = tu_solve = float("inf")
+        ustages = None
         for _rep in range(max(repeats, 1)):
             t0 = time.perf_counter()
             upc = AMGPreconditioner(
                 up.A, coords=up.coords, options=opts
             ).setup()
             tu_setup = min(tu_setup, time.perf_counter() - t0)
+            ustages = {
+                k: round(v, 3)
+                for k, v in upc._device_stage_times.items()
+            }
+            ustages["host_factory"] = round(upc.setup_time_host, 3)
             if _rep == 0:
                 upc.solve(up.b, tol=tol, maxiter=8)  # compile warm-up
             t0 = time.perf_counter()
@@ -117,22 +139,28 @@ def main():
             "relres": float(ur),
             "converged": bool(uinfo.converged and ur < 10 * tol),
             "setup_s": round(tu_setup, 3),
+            "setup_us_per_dof": round(1e6 * tu_setup / up.n, 2),
             "solve_s": round(tu_solve, 3),
             "dofs_per_s": round(up.n / (tu_setup + tu_solve), 1),
             "operator_complexity": round(upc.operator_complexity, 3),
+            "setup_stages_s": ustages,
         }
 
     # elasticity leg (robust EVP matching, rigid transports, BSR formats)
     elasticity = None
     if os.environ.get("NGSAMG_BENCH_ELAST", "1") != "0":
-        ep = fem.unstructured_elasticity(
-            int(os.environ.get("NGSAMG_BENCH_ELAST_N", "28")), dim=2
-        )
+        # 3D, ~1.25M DoF (3x3 blocks on the MXU): robust EVP matching,
+        # rigid transports, block formats at benchmark scale
+        en = int(os.environ.get("NGSAMG_BENCH_ELAST_N", "36"))
+        eref = int(os.environ.get("NGSAMG_BENCH_ELAST_REFINE", "1"))
+        edim = int(os.environ.get("NGSAMG_BENCH_ELAST_DIM", "3"))
+        ep = fem.unstructured_elasticity(en, dim=edim, refine=eref)
         te_setup = te_solve = float("inf")
         for _rep in range(max(repeats, 1)):
             t0 = time.perf_counter()
             epc = AMGPreconditioner(
-                ep.A, energy="elasticity", block_size=2, coords=ep.coords
+                ep.A, energy="elasticity", block_size=edim,
+                coords=ep.coords,
             ).setup()
             te_setup = min(te_setup, time.perf_counter() - t0)
             if _rep == 0:
@@ -147,6 +175,7 @@ def main():
             "relres": float(er),
             "converged": bool(einfo.converged and er < 10 * tol),
             "setup_s": round(te_setup, 3),
+            "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
             "solve_s": round(te_solve, 3),
             "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
         }
@@ -229,6 +258,9 @@ def main():
         "unit": "DoF/s/chip",
         "vs_baseline": round(dofs_per_s / BASELINE_DOFS_PER_S, 3),
         "extra": {
+            "vs_baseline_64core_per_chip": round(
+                dofs_per_s / BASELINE_64CORE_PER_CHIP, 3
+            ),
             "n_dof": prob.n,
             "iterations": int(info.iterations),
             "relres": float(r),

@@ -74,6 +74,12 @@ class ElasticityEnergy(Energy):
     default_robust = True  # ENABLE_ROBUST_ELASTICITY_COARSENING analog
 
     def __init__(self, dim: int, rot_scale: float | str = "auto"):
+        # goal-driven coarsening default for 3D (reference per-app
+        # factory flags): fixed 2-round pairs give oc ~5 at 1M DoF with
+        # 3x3-block smoothed prolongations; aaf 0.08 -> aggregates ~12,
+        # oc ~2.1 at 32 iterations. 2D keeps fixed rounds (the jump-beam
+        # suite regresses under forced-goal aggregation there).
+        self.default_aaf = 0.08 if dim == 3 else None
         if dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
         self.dim = dim

@@ -28,9 +28,10 @@ serial np.unique compaction); coarse operators agree to fp roundoff
 (summation order differs). Asserted by tests/test_dist_setup.py.
 
 State carried level to level, all row-sharded: the level matrix rows, the
-edge-weight graph W (|a_ij| at the finest level, SUMS of fine cross-edge
-weights on coarse levels — the AttachedNodeData/map_data analog), and the
-per-vertex L2 weights. Replication of small coarse levels is a PLACEMENT
+edge-weight graph W (SIGNED -a_ij at the finest level, signed Galerkin
+SUMS of fine cross-edge weights on coarse levels — the
+AttachedNodeData/map_data analog; strength/energy consumers clamp to the
+attractive part), and the per-vertex L2 weights. Replication of small coarse levels is a PLACEMENT
 decision (parallel/shard.py replicate_below), not a setup-algorithm switch.
 
 Scope: scalar H1 energies (dpv == 1), SPW coarsening, smoothed prolongation

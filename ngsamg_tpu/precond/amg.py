@@ -238,6 +238,23 @@ class AMGPreconditioner:
             else:
                 raise ValueError(f"unknown energy '{energy}'")
         self.energy = energy
+        # energy-specific coarsening default (the reference carries
+        # per-app factory defaults): block energies need goal-driven
+        # aggregate sizes — fixed 2-round pairs give oc ~5 at 1M DoF
+        # with 3x3-block smoothed prolongations (measured: aaf 0.08 ->
+        # oc 2.1 at 32 iterations vs oc 4.7 at 26)
+        default_aaf = getattr(self.energy, "default_aaf", None)
+        if (
+            default_aaf is not None
+            and self.options.coarsen.aaf.default is None
+            and not self.options.coarsen.aaf.spec
+        ):
+            import copy as _copy
+            from ..config import SpecOpt as _SpecOpt
+
+            co = _copy.copy(self.options.coarsen)
+            co.aaf = _SpecOpt(float(default_aaf))
+            self.options = self.options.replace(coarsen=co)
         self.dtype = jnp.dtype(self.options.dtype)
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             # explicit f64 request must not silently truncate to f32
