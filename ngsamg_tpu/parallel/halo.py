@@ -100,3 +100,100 @@ def demo_sharded_solve(n_devices: int = 8, n: int = 24):
     ref = p.A @ x[: p.n]
     err = np.abs(np.asarray(y[: p.n, 0]) - ref).max() / np.abs(ref).max()
     return float(err)
+
+
+# ---------------------------------------------------------------------------
+# interface-halo SpMV for unstructured (tile-ELL) levels
+# ---------------------------------------------------------------------------
+
+
+def plan_tile_halo(cols: np.ndarray, nrows_pad: int, n_shards: int):
+    """Owner/ghost split of a row-sharded TileELL's columns (host).
+
+    The DCC-map analog (dcc_map.hpp:20-134) for unstructured levels: each
+    shard owns a contiguous row block; columns outside it are GHOSTS.
+    Every shard contributes its interface rows (the union of all other
+    shards' ghost needs) to one padded all-gather buffer — communication
+    is O(total interface), not O(n) as under the GSPMD all-gather of x.
+
+    Returns (new_cols (T, K) int32 into [local_n + nsh*Smax),
+             send_idx (n_shards, Smax) int32 LOCAL row indices, Smax).
+    """
+    T, K = cols.shape
+    assert nrows_pad % n_shards == 0 and T % n_shards == 0
+    local = nrows_pad // n_shards
+    Tl = T // n_shards
+    owner = cols // local
+    # per-owner interface lists: global columns some OTHER shard reads
+    send_lists = []
+    for t in range(n_shards):
+        need = np.zeros(0, dtype=np.int64)
+        for s in range(n_shards):
+            if s == t:
+                continue
+            c = cols[s * Tl:(s + 1) * Tl].ravel()
+            need = np.union1d(need, c[owner[s * Tl:(s + 1) * Tl].ravel() == t])
+        send_lists.append(np.asarray(need, dtype=np.int64))
+    Smax = max((len(x) for x in send_lists), default=0)
+    Smax = max(Smax, 1)
+    send_idx = np.zeros((n_shards, Smax), dtype=np.int32)
+    for t, lst in enumerate(send_lists):
+        send_idx[t, : len(lst)] = (lst - t * local).astype(np.int32)
+    # remap columns: local -> [0, local); ghost g owned by t at position
+    # p in send_lists[t] -> local + t*Smax + p
+    new_cols = np.empty((T, K), dtype=np.int32)
+    for s in range(n_shards):
+        blk = cols[s * Tl:(s + 1) * Tl]
+        own = owner[s * Tl:(s + 1) * Tl]
+        loc = own == s
+        out = np.empty_like(blk, dtype=np.int32)
+        out[loc] = (blk[loc] - s * local).astype(np.int32)
+        gh = ~loc
+        if gh.any():
+            g = blk[gh]
+            t = own[gh]
+            pos = np.empty(len(g), dtype=np.int64)
+            for tt in np.unique(t):
+                m = t == tt
+                pos[m] = np.searchsorted(send_lists[tt], g[m])
+            out[gh] = (local + t * Smax + pos).astype(np.int32)
+        new_cols[s * Tl:(s + 1) * Tl] = out
+    return new_cols, send_idx, int(Smax)
+
+
+def tile_halo_matvec(A, mesh: Mesh, axis: str = "rows"):
+    """shard_map'd TileELL matvec with interface-only exchange.
+
+    Returns (fn, data_sharded, cols_sharded, send_sharded, comm_per_apply)
+    where fn(data, cols, send, x) -> y under the mesh, and comm_per_apply
+    is the gathered element count (n_shards * Smax) — O(interface).
+    """
+    nsh = mesh.devices.size
+    cols = np.asarray(A.cols)
+    new_cols, send_idx, Smax = plan_tile_halo(cols, A.nrows_pad, nsh)
+    local = A.nrows_pad // nsh
+
+    def body(data, cols_l, send_l, x):
+        xf = x[:, 0]
+        xs = xf[send_l[0]]  # (Smax,) this shard's interface values
+        buf = jax.lax.all_gather(xs, axis)  # (nsh, Smax)
+        xp = jnp.concatenate([xf, buf.reshape(-1)])
+        g = xp[cols_l]  # (Tl, K)
+        y = jnp.einsum(
+            "tkm,tk->tm", data, g,
+            preferred_element_type=data.dtype,
+        )
+        return y.reshape(-1, 1)[:local]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    sh_rows = NamedSharding(mesh, P(axis))
+    sh_rows2 = NamedSharding(mesh, P(axis, None))
+    data_s = jax.device_put(np.asarray(A.data), sh_rows)
+    cols_s = jax.device_put(new_cols, sh_rows)
+    send_s = jax.device_put(send_idx, sh_rows2)
+    return fn, data_s, cols_s, send_s, nsh * Smax

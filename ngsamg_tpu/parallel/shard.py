@@ -46,17 +46,13 @@ def _put(x, sharding):
     return jax.device_put(x, sharding)
 
 
-def _shard_bell(A: BlockELL, mesh: Mesh, axis: str, shard: bool) -> BlockELL:
-    row = (
-        NamedSharding(mesh, P(axis, None, None, None))
-        if shard
-        else NamedSharding(mesh, P())
-    )
-    rowc = (
-        NamedSharding(mesh, P(axis, None))
-        if shard
-        else NamedSharding(mesh, P())
-    )
+def _shard_bell(A: BlockELL, mesh: Mesh, rows: tuple) -> BlockELL:
+    """``rows`` is the tuple of mesh axis names the row dim shards over
+    (empty = replicated) — sub-tuples of one multi-axis mesh express the
+    intermediate-contraction granularities without mixing meshes."""
+    r0 = rows if rows else None
+    row = NamedSharding(mesh, P(r0, None, None, None))
+    rowc = NamedSharding(mesh, P(r0, None))
     return BlockELL(
         data=_put(A.data, row),
         cols=_put(A.cols, rowc),
@@ -66,26 +62,24 @@ def _shard_bell(A: BlockELL, mesh: Mesh, axis: str, shard: bool) -> BlockELL:
     )
 
 
-def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
+def _shard_mat(A, mesh: Mesh, rows: tuple):
     """Place any level operator format on the mesh (rows sharded or repl)."""
     repl = NamedSharding(mesh, P())
+    r0 = rows if rows else None
+    shard = bool(rows)
     if isinstance(A, BlockELL):
-        return _shard_bell(A, mesh, axis, shard)
+        return _shard_bell(A, mesh, rows)
     if isinstance(A, SupernodeELL):
         return SupernodeELL(
-            inner=_shard_bell(A.inner, mesh, axis, shard),
+            inner=_shard_bell(A.inner, mesh, rows),
             nrows=A.nrows,
             nrows_pad=A.nrows_pad,
             tile_r=A.tile_r,
             tile_c=A.tile_c,
         )
     if isinstance(A, TileELL):
-        rowd = (
-            NamedSharding(mesh, P(axis, None, None))
-            if shard
-            else repl
-        )
-        rowc = NamedSharding(mesh, P(axis, None)) if shard else repl
+        rowd = NamedSharding(mesh, P(r0, None, None)) if shard else repl
+        rowc = NamedSharding(mesh, P(r0, None)) if shard else repl
         return TileELL(
             data=_put(A.data, rowd),
             cols=_put(A.cols, rowc),
@@ -95,7 +89,7 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
             tile_m=A.tile_m,
         )
     if isinstance(A, DiaMatrix):
-        sh = NamedSharding(mesh, P(None, axis)) if shard else repl
+        sh = NamedSharding(mesh, P(None, r0)) if shard else repl
         return DiaMatrix(
             data=_put(A.data, sh),
             offsets=A.offsets,
@@ -130,23 +124,25 @@ def _shard_mat(A, mesh: Mesh, axis: str, shard: bool):
         import dataclasses as _dc
 
         rows2 = (
-            NamedSharding(mesh, P(axis, None))
+            NamedSharding(mesh, P(r0, None))
             if shard and A.Dinv.shape[0] != 1
             else repl
         )
         return _dc.replace(
             A,
-            A=_shard_mat(A.A, mesh, axis, shard),
+            A=_shard_mat(A.A, mesh, rows),
             Dinv=_put(A.Dinv, rows2),
         )
     raise TypeError(type(A))
 
 
-def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
+def _shard_smoother(sm, mesh: Mesh, rows: tuple):
     if sm is None:
         return None
+    r0 = rows if rows else None
+    shard = bool(rows)
     rows3 = (
-        NamedSharding(mesh, P(axis, None, None))
+        NamedSharding(mesh, P(r0, None, None))
         if shard
         else NamedSharding(mesh, P())
     )
@@ -188,17 +184,18 @@ def _shard_smoother(sm, mesh: Mesh, axis: str, shard: bool):
         # its own row space — shard its operator/CT/pot-smoother when the
         # padded pot dimension divides the mesh, else replicate (the
         # coarse-level/contraction rule applied to the pot space)
-        n = mesh.devices.size
-        pot_ok = (
-            shard
-            and sm.A_pot.nrows_pad % n == 0
+        n = int(np.prod([
+            dict(zip(mesh.axis_names, mesh.devices.shape))[a] for a in rows
+        ])) if rows else 1
+        pot_rows = (
+            rows if (shard and sm.A_pot.nrows_pad % max(n, 1) == 0) else ()
         )
         return HiptmairSmoother(
-            range_sm=_shard_smoother(sm.range_sm, mesh, axis, shard),
-            pot_sm=_shard_smoother(sm.pot_sm, mesh, axis, pot_ok),
-            A_pot=_shard_mat(sm.A_pot, mesh, axis, pot_ok),
-            C=_shard_mat(sm.C, mesh, axis, shard),
-            CT=_shard_mat(sm.CT, mesh, axis, pot_ok),
+            range_sm=_shard_smoother(sm.range_sm, mesh, rows),
+            pot_sm=_shard_smoother(sm.pot_sm, mesh, pot_rows),
+            A_pot=_shard_mat(sm.A_pot, mesh, pot_rows),
+            C=_shard_mat(sm.C, mesh, rows),
+            CT=_shard_mat(sm.CT, mesh, pot_rows),
         )
     if isinstance(sm, GSSmoother):
         # GS shards fine: the coloring is GLOBAL, so rows of one color are
@@ -225,31 +222,134 @@ def shard_operator(
     *,
     axis: str = "rows",
     replicate_below: int = 4096,
+    min_local_rows: int = 512,
 ) -> tuple[AMGOperator, BlockELL]:
     """Place the hierarchy on a device mesh: fine levels row-sharded,
-    coarse levels replicated (the contraction analog)."""
-    n = mesh.devices.size
-    repl = NamedSharding(mesh, P())
+    mid-size levels sharded over 2^k-device SUB-GROUPS (replicated across
+    the rest — the `GridContractMap`/`FindRDFac` analog,
+    grid_contract.cpp:20, base_factory.cpp:573: processors regroup
+    gradually instead of jumping from all-ranks to one), coarsest levels
+    fully replicated. A level lands on the largest power-of-two shard
+    count that divides its padded rows and keeps >= ``min_local_rows``
+    rows per shard.
 
-    def shardable(fmt) -> bool:
+    All granularities live on ONE factored mesh (axes of size 2): a
+    j=2^k-way level shards its rows over the first k axes and replicates
+    over the rest. Intermediates crossing DIFFERENT Mesh objects inside
+    one jitted program produce wrong values under GSPMD (measured), so
+    a single mesh is a correctness requirement, not a style choice.
+    """
+    n = mesh.devices.size
+    devs = mesh.devices.reshape(-1)
+    m = 0
+    while (1 << (m + 1)) <= n:
+        m += 1
+    factored = (1 << m) == n and n > 1
+    if factored:
+        fmesh = Mesh(
+            devs.reshape((2,) * m),
+            tuple(f"{axis}{k}" for k in range(m)),
+        )
+        fax = fmesh.axis_names
+    else:
+        fmesh = mesh  # non-power-of-two: binary shard-or-replicate
+        fax = (axis,)
+    repl = NamedSharding(fmesh, P())
+
+    def rows_for(j: int) -> tuple:
+        if j <= 1:
+            return ()
+        if not factored:
+            return fax if j == n else ()
+        k = 0
+        while (1 << (k + 1)) <= j:
+            k += 1
+        return tuple(fax[:k])
+
+    def _lead(fmt) -> int:
+        # size of the dimension the row sharding actually partitions
+        if isinstance(fmt, TileELL):
+            return fmt.data.shape[0]  # tiles
+        if isinstance(fmt, SupernodeELL):
+            return fmt.inner.data.shape[0]
+        if isinstance(fmt, BlockELL):
+            return fmt.data.shape[0]
+        return fmt.nrows_pad
+
+    def n_shards_for(fmt) -> int:
         if isinstance(fmt, DenseMatrix):
-            return False
-        return fmt.nrows_pad % n == 0 and fmt.nrows >= replicate_below
+            return 1
+        lead = _lead(fmt)
+        if fmt.nrows >= replicate_below and lead % n == 0:
+            return n
+        if not factored:
+            return 1
+        j = n // 2
+        while j > 1 and (
+            lead % j != 0 or fmt.nrows // j < min_local_rows
+        ):
+            j //= 2
+        return max(j, 1)
 
     new_levels = []
     for lev in op.levels:
-        sa = shardable(lev.A)
-        A_s = _shard_mat(lev.A, mesh, axis, sa)
-        sm_s = _shard_smoother(lev.smoother, mesh, axis, sa)
+        j = n_shards_for(lev.A)
+        rows = rows_for(j)
+        A_s = _shard_mat(lev.A, fmesh, rows)
+        sm_s = _shard_smoother(lev.smoother, fmesh, rows)
         P_s = R_s = None
         if lev.P is not None:
-            # P rows live on this (fine) level; R rows on the coarse level
-            P_s = _shard_mat(lev.P, mesh, axis, sa)
-            R_s = _shard_mat(lev.R, mesh, axis, False)
+            # P rows live on this (fine) level; R rows on the coarse
+            # level. On PARTIALLY-replicated (contraction) levels P must
+            # stay replicated: a sub-sharded P's gather makes the XLA
+            # SPMD partitioner rewrite UPSTREAM computations incorrectly
+            # (measured: 0.21 relative error appearing in the level
+            # residual once matvec(P, x2) joins the graph; exact with P
+            # replicated). Contraction-level transfers are small anyway.
+            P_rows = rows if (j == n or j <= 1) else ()
+            P_s = _shard_mat(lev.P, fmesh, P_rows)
+            R_s = _shard_mat(lev.R, fmesh, ())
         new_levels.append(DeviceLevel(A=A_s, smoother=sm_s, P=P_s, R=R_s))
     cinv = None if op.coarse_inv is None else _put(op.coarse_inv, repl)
+    cc = (
+        None
+        if op.cluster_corr is None
+        else jax.tree_util.tree_map(
+            lambda x: _put(np.asarray(x), repl), op.cluster_corr
+        )
+    )
     op_s = AMGOperator(
-        levels=tuple(new_levels), coarse_inv=cinv, cycle=op.cycle
+        levels=tuple(new_levels),
+        coarse_inv=cinv,
+        cluster_corr=cc,
+        cycle=op.cycle,
     )
     A0_s = new_levels[0].A
     return op_s, A0_s
+
+
+def level_shard_counts(op: AMGOperator) -> tuple[int, ...]:
+    """Row-shard count per level (tests/introspection): the number of
+    devices the level's operator rows are partitioned over."""
+    out = []
+    for lev in op.levels:
+        arr = getattr(lev.A, "data", None)
+        if arr is None:
+            arr = getattr(getattr(lev.A, "inner", None), "data", None)
+        if arr is None or not hasattr(arr, "sharding"):
+            out.append(1)
+            continue
+        sh = arr.sharding
+        spec = getattr(sh, "spec", None)
+        if not spec or all(s is None for s in spec):
+            out.append(1)
+            continue
+        mesh_shape = dict(zip(sh.mesh.axis_names, sh.mesh.devices.shape))
+        cnt = 1
+        for s in spec:
+            if s is None:
+                continue
+            for name in (s if isinstance(s, tuple) else (s,)):
+                cnt *= mesh_shape[name]
+        out.append(cnt)
+    return tuple(out)
