@@ -26,11 +26,17 @@ class ElmatAccumulator:
     variant "alg": edge weight += |elmat[a, b]| (CalcAuxWeightsALG);
     variant "sc": edge weight from the 2x2 Schur complement of the element
     matrix onto the DOF pair (CalcAuxWeightsSC) — more robust for
-    high-order/jumpy elements.
+    high-order/jumpy elements;
+    variant "lsq": least-squares fit of replacement-matrix edge weights
+    to the element matrix (CalcAuxWeightsLSQ, amg_pc_vertex.hpp:170-181):
+    minimize ||E - sum_ab w_ab R_ab||_F over the pair weights, where
+    R_ab is the [[1,-1],[-1,1]] edge block. The Gram matrix of the R_ab
+    basis depends only on the element DOF count, so the fit is one
+    batched matmul with a precomputed inverse.
     """
 
     def __init__(self, nv: int, variant: str = "sc"):
-        if variant not in ("alg", "sc"):
+        if variant not in ("alg", "sc", "lsq"):
             raise ValueError(variant)
         self.nv = nv
         self.variant = variant
@@ -52,13 +58,14 @@ class ElmatAccumulator:
         np.add.at(
             self._vwt, dn[ok_v], elmats.sum(axis=2).ravel()[ok_v]
         )
-        if self.variant == "alg":
-            W = np.abs(elmats)
-        else:
-            W = _pairwise_schur(elmats)
         a, b = np.triu_indices(nl, k=1)
+        if self.variant == "alg":
+            w = np.abs(elmats)[:, a, b].ravel()
+        elif self.variant == "sc":
+            w = _pairwise_schur(elmats)[:, a, b].ravel()
+        else:  # lsq
+            w = _lsq_pair_weights(elmats, a, b).ravel()
         da, db = dnums[:, a].ravel(), dnums[:, b].ravel()
-        w = W[:, a, b].ravel()
         ok = (da >= 0) & (db >= 0)
         self._lo.append(np.minimum(da, db)[ok])
         self._hi.append(np.maximum(da, db)[ok])
@@ -105,3 +112,23 @@ def _pairwise_schur(elmats: np.ndarray) -> np.ndarray:
             W[:, a, b] = w
             W[:, b, a] = w
     return W
+
+
+def _lsq_pair_weights(elmats: np.ndarray, a, b) -> np.ndarray:
+    """LSQ fit w = argmin ||E - sum w_p R_p||_F per element (batched).
+
+    <E, R_ab> = E_aa + E_bb - 2 E_ab; the Gram <R_p, R_q> is 4 on the
+    diagonal, 1 for pairs sharing exactly one DOF, 0 otherwise — fixed
+    per element arity, inverted once (CalcAuxWeightsLSQ analog).
+    """
+    npairs = len(a)
+    G = np.zeros((npairs, npairs))
+    for p in range(npairs):
+        for q in range(npairs):
+            shared = len({a[p], b[p]} & {a[q], b[q]})
+            G[p, q] = 4.0 if p == q else (1.0 if shared == 1 else 0.0)
+    Ginv = np.linalg.inv(G)
+    rhs = (
+        elmats[:, a, a] + elmats[:, b, b] - 2.0 * elmats[:, a, b]
+    )  # (ne, npairs)
+    return rhs @ Ginv.T

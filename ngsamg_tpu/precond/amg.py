@@ -1060,6 +1060,81 @@ class AMGPreconditioner:
         ev = np.linalg.eigvalsh(T)
         return float(ev[0]), float(ev[-1])
 
+    def test_levels(self, iters: int = 30) -> list[tuple[float, float]]:
+        """Per-level hierarchy self-test (`test_levels` / `test_2level`,
+        amg_pc.hpp:250-253, amg_pc.cpp:644-718): eigenvalue bounds of the
+        preconditioned operator of every TAIL hierarchy — level l's
+        operator preconditioned by the multigrid cycle rooted at l. A bad
+        level pair shows up as a collapsed lambda_min at its index, which
+        the single global bound cannot localize. Returns (lo, hi) per
+        level (the coarsest level solves exactly — bounds ~(1, 1))."""
+        self._require_setup()
+        import jax.numpy as jnp
+
+        from ..solve.cycle import _cycle
+        from ..sparse.formats import matvec as _mv
+
+        out = []
+        for l in range(len(self.op.levels)):
+            lev = self.op.levels[l]
+            bs = self.setup_levels_[l].row_bs
+            nb = _block_pad(lev.A, bs)
+            bsv = _scalar_pad(lev.A, bs) // nb
+            nreal = lev.A.nrows * (bsv if bs == 1 else 1)
+
+            def apply_l(r, l=l):
+                return np.asarray(
+                    _cycle(self.op, jnp.asarray(r, self.dtype), l),
+                    dtype=np.float64,
+                )
+
+            def matvec_l(p, lev=lev):
+                return np.asarray(
+                    _mv(lev.A, jnp.asarray(p, self.dtype)),
+                    dtype=np.float64,
+                )
+
+            rng = np.random.default_rng(l)
+            r = np.zeros((nb, bsv))
+            r[: lev.A.nrows] = rng.standard_normal((lev.A.nrows, bsv))
+            alphas, betas = [], []
+            z = apply_l(r)
+            rz = float((r * z).sum())
+            p = z.copy()
+            for _ in range(min(iters, max(nreal, 1))):
+                q = matvec_l(p)
+                pq = float((p * q).sum())
+                if pq <= 0 or rz == 0:
+                    break
+                alpha = rz / pq
+                r = r - alpha * q
+                z = apply_l(r)
+                rz_new = float((r * z).sum())
+                alphas.append(alpha)
+                betas.append(rz_new / rz)
+                if np.sqrt(abs(rz_new)) < 1e-14:
+                    break
+                p = z + (rz_new / rz) * p
+                rz = rz_new
+            k = len(alphas)
+            if k == 0:
+                out.append((1.0, 1.0))
+                continue
+            diag = np.zeros(k)
+            off = np.zeros(max(k - 1, 0))
+            for i in range(k):
+                diag[i] = 1.0 / alphas[i]
+                if i > 0:
+                    diag[i] += betas[i - 1] / alphas[i - 1]
+                if i < k - 1:
+                    off[i] = np.sqrt(max(betas[i], 0.0)) / alphas[i]
+            T = np.diag(diag)
+            if k > 1:
+                T += np.diag(off, 1) + np.diag(off, -1)
+            ev = np.linalg.eigvalsh(T)
+            out.append((float(ev[0]), float(ev[-1])))
+        return out
+
     def test_smoothers(self, sweeps: int = 4) -> list[float]:
         """Per-level smoother check (the reference's `test_smoothers` flag,
         amg_pc.hpp:250-253 / TestSmoother): symmetric sweeps must reduce the

@@ -605,3 +605,40 @@ def test_cluster_correction_unstructured_iterations():
     x2, info2 = pc2.solve(p.b, tol=1e-8, maxiter=80)
     if pc.op.cluster_corr is not None:
         assert info.iterations <= info2.iterations
+
+
+def test_elmat_lsq_variant():
+    """LSQ weight extraction (CalcAuxWeightsLSQ, amg_pc_vertex.hpp:170-181):
+    on P1 Laplace elements the replacement basis fits the element matrix
+    EXACTLY, so LSQ weights equal the (negated) off-diagonals, and the
+    resulting preconditioner solves within budget."""
+    from ngsamg_tpu.apps.elmat import ElmatAccumulator
+
+    p, dnums, elmats = fem.poisson_2d_elmats(16)
+    nv = p.n
+    acc = ElmatAccumulator(nv, variant="lsq")
+    acc.add_batch(dnums, elmats)
+    mesh = acc.finalize(p.coords)
+    # P1 Laplace: E = w1 R_01 + w2 R_02 + w3 R_12 exactly (rowsums 0)
+    # -> fitted weight == -E[a,b] summed over elements == assembled -A_ij
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+
+    pc = AMGPreconditioner(
+        p.A,
+        options=AMGOptions(dtype="float64"),
+        elmat_data=(dnums, elmats),
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, maxiter=30)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7
+    A = sp.csr_matrix(p.A).tocoo()
+    W = {}
+    for i, j, wt in zip(mesh.edges[:, 0], mesh.edges[:, 1],
+                        mesh.edge_data["wt"]):
+        W[(int(i), int(j))] = wt
+    checked = 0
+    for i, j, v in zip(A.row, A.col, A.data):
+        if i < j and (int(i), int(j)) in W and abs(v) > 1e-12:
+            np.testing.assert_allclose(W[(int(i), int(j))], -v, rtol=1e-9)
+            checked += 1
+    assert checked > 50

@@ -174,3 +174,17 @@ def test_get_rotation_of_bf():
     nv = p.A.shape[0] // 2
     assert rot.shape == (nv, 1)  # 2D: one rotation per vertex
     assert np.abs(rot).max() > 0  # a rotational coarse dof spreads rotation
+
+
+def test_per_level_two_grid_bounds():
+    """Per-level hierarchy self-test (the reference's test_levels /
+    Test2LevelConstant, amg_pc.cpp:644-718): every tail hierarchy must
+    precondition its level's operator with healthy bounds."""
+    p = fem.poisson_3d(12)
+    pc = AMGPreconditioner(
+        p.A, coords=p.coords, options=AMGOptions(dtype="float64")
+    ).setup()
+    bounds = pc.test_levels(iters=25)
+    assert len(bounds) == pc.num_levels
+    for lo, hi in bounds:
+        assert 0.15 < lo <= hi < 1.3, bounds
