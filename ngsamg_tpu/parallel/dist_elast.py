@@ -43,6 +43,7 @@ from ..factory.levels import FactoryLog, SetupLevel
 from ..mesh.topo import AlgebraicMesh
 from ..transfer.prolongation import truncate_prol
 from .dist_setup import (
+    _dist_symmetrize,
     _dist_adopt_orphans,
     _dist_aggregates,
     _dist_handshake,
@@ -805,10 +806,8 @@ def dist_setup_levels_elast(
             P_scal = folded
         c_starts = c_vst * dpv
         Ac_parts = _dist_rap(A_parts, starts, P_scal, c_starts)
+        Ac_parts = _dist_symmetrize(Ac_parts, c_starts)
         Ac = sp.vstack(Ac_parts, format="csr")
-        Ac = ((Ac + Ac.T) * 0.5).tocsr()
-        Ac.sum_duplicates()
-        Ac.sort_indices()
         levels[-1].P = sp.vstack(P_scal, format="csr").tobsr(
             blocksize=(row_bs, dpv)
         )
@@ -831,9 +830,7 @@ def dist_setup_levels_elast(
         vst = c_vst
         row_bs = dpv
         starts = c_starts
-        A_parts = [
-            Ac[starts[t] : starts[t + 1]] for t in range(n_shards)
-        ]
+        A_parts = Ac_parts
         n = n_agg
         lvl += 1
     return levels, log

@@ -310,6 +310,36 @@ def _dist_collapse(G_parts, starts, v2agg_parts, coarse_starts):
     )
 
 
+def _dist_symmetrize(Ac_parts, starts):
+    """Owner-local (C + C^T)/2: route every entry's TRANSPOSE to the row
+    owner and add shard-locally — no global matrix is materialized
+    (the per-level global `Ac + Ac.T` staging this replaces held the
+    whole coarse matrix on one host; a multi-controller run only ever
+    sees its own rows plus incoming transpose messages, exactly the
+    reference's ReduceTable-routed assembly, reducetable.hpp:22)."""
+    n = int(starts[-1])
+    ri, cj, vv = [], [], []
+    for s, C in enumerate(Ac_parts):
+        coo = C.tocoo()
+        ri.append(coo.col.astype(np.int64))  # transposed entries
+        cj.append(coo.row.astype(np.int64) + starts[s])
+        vv.append(coo.data)
+    T_parts = _route_coo(
+        starts,
+        np.concatenate(ri) if ri else np.zeros(0, np.int64),
+        np.concatenate(cj) if cj else np.zeros(0, np.int64),
+        np.concatenate(vv) if vv else np.zeros(0),
+        n,
+    )
+    out = []
+    for s, C in enumerate(Ac_parts):
+        M = ((C.tocsr() + T_parts[s]) * 0.5).tocsr()
+        M.sum_duplicates()
+        M.sort_indices()
+        out.append(M)
+    return out
+
+
 def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
     """Multi-round SPW on sharded strength rows (serial-equivalent)."""
     theta = float(opts.coarsen.theta.get(level))
@@ -807,10 +837,8 @@ def _dist_setup_vector(
         ]
         c_starts = c_vst * bs
         Ac_parts = _dist_rap(parts, starts, P_parts, c_starts)
+        Ac_parts = _dist_symmetrize(Ac_parts, c_starts)
         Ac = sp.vstack(Ac_parts, format="csr")
-        Ac = ((Ac + Ac.T) * 0.5).tocsr()
-        Ac.sum_duplicates()
-        Ac.sort_indices()
         levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
             blocksize=(bs, bs)
         )
@@ -830,9 +858,7 @@ def _dist_setup_vector(
             all_l2[m],
             [int(c_vst[t + 1] - c_vst[t]) for t in range(n_shards)],
         )
-        parts = [
-            Ac[c_starts[t] : c_starts[t + 1]] for t in range(n_shards)
-        ]
+        parts = Ac_parts
         starts, vst = c_starts, c_vst
         T_parts, _ = _condense_block_rows(parts, starts, bs)
         n = ncv
@@ -951,11 +977,11 @@ def dist_setup_levels(
             opts, lvl, energy,
         )
         Ac_parts = _dist_rap(parts, starts, P_parts, coarse_starts)
-        # symmetrization (serial rap() parity) on the assembled view
+        # owner-local symmetrization (serial rap() parity) — rows stay
+        # per-shard end to end; the vstack below only PACKAGES the level
+        # for the single-controller consumer (SetupLevel)
+        Ac_parts = _dist_symmetrize(Ac_parts, coarse_starts)
         Ac = sp.vstack(Ac_parts, format="csr")
-        Ac = ((Ac + Ac.T) * 0.5).tocsr()
-        Ac.sum_duplicates()
-        Ac.sort_indices()
         levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
             blocksize=(1, 1)
         )
@@ -979,10 +1005,7 @@ def dist_setup_levels(
                 for t in range(n_shards)
             ],
         )
-        parts = [
-            Ac[coarse_starts[t] : coarse_starts[t + 1]]
-            for t in range(n_shards)
-        ]
+        parts = Ac_parts
         starts = coarse_starts
         n = nc
         lvl += 1

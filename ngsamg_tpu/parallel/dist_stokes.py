@@ -49,6 +49,7 @@ from ..apps import stokes as st
 from ..config import AMGOptions, ProlType
 from ..mesh.topo import AlgebraicMesh
 from .dist_setup import (
+    _dist_symmetrize,
     _dist_spw_core,
     _gather,
     _gather_csr_rows,
@@ -1450,12 +1451,10 @@ def dist_stokes_levels(
         Ac_parts = _dist_rap(
             sd.A_parts, sd.e_starts * bs, P_parts, ce_starts * bs
         )
-        Ac = sp.vstack(Ac_parts, format="csr")
-        Ac = ((Ac + Ac.T) * 0.5).tocsr()
-        Ac = Ac.astype(np.float32).astype(np.float64)  # serial f32 parity
+        Ac_parts = _dist_symmetrize(Ac_parts, ce_starts * bs)
         csd.A_parts = [
-            Ac[ce_starts[t] * bs: ce_starts[t + 1] * bs]
-            for t in range(n_shards)
+            M.astype(np.float32).astype(np.float64)  # serial f32 parity
+            for M in Ac_parts
         ]
         sd = csd
         lvl += 1
