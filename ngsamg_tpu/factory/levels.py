@@ -67,6 +67,10 @@ class FactoryLog:
 
     nvs: list = field(default_factory=list)
     nnzs: list = field(default_factory=list)
+    # distributed setup only: max resident bytes of any ONE shard's
+    # level-loop state vs the finest global matrix (shard-residency proof)
+    peak_shard_bytes: int = 0
+    finest_global_bytes: int = 0
 
     @property
     def operator_complexity(self) -> float:

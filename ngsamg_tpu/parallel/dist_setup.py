@@ -50,6 +50,7 @@ from ..factory.levels import FactoryLog, SetupLevel
 from ..mesh.topo import AlgebraicMesh
 from ..sparse.host import csr_rowwise_argmax, csr_rowwise_max
 from ..transfer.prolongation import truncate_prol
+from .transport import get_transport, shard_nbytes
 
 # ---------------------------------------------------------------------------
 # exchange primitives (the MPI/ICI boundary)
@@ -71,50 +72,19 @@ def _owner(starts: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 def _gather(parts: list, starts: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """values[idx] fetched from the owning shards (halo exchange)."""
-    first = np.asarray(parts[0])
-    if len(idx) == 0:
-        return np.empty((0,) + first.shape[1:], dtype=first.dtype)
-    # ownerless indices would return uninitialized memory silently
-    assert idx.min() >= 0 and idx.max() < starts[-1], "unowned index"
-    own = _owner(starts, idx)
-    out = np.empty((len(idx),) + first.shape[1:], dtype=first.dtype)
-    for s in range(len(parts)):
-        m = own == s
-        if m.any():
-            out[m] = np.asarray(parts[s])[idx[m] - starts[s]]
-    return out
+    return get_transport().gather(parts, starts, idx)
 
 
 def _reduce_by_owner(
     starts: np.ndarray, idx: np.ndarray, vals: np.ndarray, n_local: list
 ):
     """Sum contributions onto their owners: per-shard dense arrays."""
-    out = [np.zeros(nl, dtype=np.float64) for nl in n_local]
-    own = _owner(starts, idx)
-    for s in range(len(out)):
-        m = own == s
-        if m.any():
-            np.add.at(out[s], idx[m] - starts[s], vals[m])
-    return out
+    return get_transport().reduce_by_owner(starts, idx, vals, n_local)
 
 
 def _route_coo(starts_row, ri, cj, vv, ncols):
     """Route COO triples to the row owners; per-shard CSR rows out."""
-    n_shards = len(starts_row) - 1
-    own = _owner(starts_row, ri)
-    out = []
-    for t in range(n_shards):
-        nloc = int(starts_row[t + 1] - starts_row[t])
-        m = own == t
-        if m.any():
-            M = sp.coo_matrix(
-                (vv[m], (ri[m] - starts_row[t], cj[m])), shape=(nloc, ncols)
-            ).tocsr()
-            M.sum_duplicates()
-        else:
-            M = sp.csr_matrix((nloc, ncols))
-        out.append(M)
-    return out
+    return get_transport().route_coo(starts_row, ri, cj, vv, ncols)
 
 
 # ---------------------------------------------------------------------------
@@ -733,18 +703,7 @@ def _dist_prol(
 
 def _gather_csr_rows(P_parts, starts, rows_g, ncols):
     """Fetch CSR rows at global indices from their owners, stacked."""
-    own = _owner(starts, rows_g)
-    blocks, order = [], []
-    for s in range(len(P_parts)):
-        m = own == s
-        if m.any():
-            blocks.append(P_parts[s][rows_g[m] - starts[s]])
-            order.append(np.flatnonzero(m))
-    if not blocks:
-        return sp.csr_matrix((0, ncols))
-    stacked = sp.vstack(blocks, format="csr")
-    inv = np.argsort(np.concatenate(order), kind="stable")
-    return stacked[inv]
+    return get_transport().gather_csr_rows(P_parts, starts, rows_g, ncols)
 
 
 def _dist_rap(A_parts, starts, P_parts, coarse_starts):
@@ -963,6 +922,18 @@ def dist_setup_levels(
     log.nvs.append(n)
     log.nnzs.append(int(sum(p.nnz for p in parts)))
     W_parts, l2_parts = _finest_wl2(parts, starts)
+    log.finest_global_bytes = shard_nbytes(*parts)
+
+    def _track_peak(*state_parts):
+        # resident bytes of the LARGEST shard's level-loop state — what one
+        # rank of a multi-controller run would hold at this point
+        per_shard = [
+            shard_nbytes(*(sp_[s] for sp_ in state_parts if sp_ is not None))
+            for s in range(n_shards)
+        ]
+        log.peak_shard_bytes = max(log.peak_shard_bytes, max(per_shard))
+
+    _track_peak(parts, W_parts, l2_parts)
     lvl = 0
     while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
         d_parts = _aux_diag(W_parts, l2_parts)
@@ -981,6 +952,7 @@ def dist_setup_levels(
         # per-shard end to end; the vstack below only PACKAGES the level
         # for the single-controller consumer (SetupLevel)
         Ac_parts = _dist_symmetrize(Ac_parts, coarse_starts)
+        _track_peak(parts, W_parts, l2_parts, P_parts, Ac_parts)
         Ac = sp.vstack(Ac_parts, format="csr")
         levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
             blocksize=(1, 1)

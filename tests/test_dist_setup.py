@@ -152,3 +152,52 @@ def test_dist_hierarchy_solves():
     x, info = pc.solve(prob.b, tol=1e-8, maxiter=60)
     r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
     assert info.converged and r < 1e-7, (info.iterations, r)
+
+
+def test_collective_transport_parity():
+    """The SAME setup program over the XLA-collective transport.
+
+    Every exchange runs as a jitted shard_map/all_to_all program on the
+    8-virtual-device mesh (parallel/transport.py) — the multi-controller
+    communication pattern — and must reproduce the LocalTransport
+    hierarchy exactly (payloads are bit-cast, so arithmetic is identical;
+    only CSR duplicate coalescing order may differ -> fp-tolerance check).
+    """
+    import jax
+
+    from ngsamg_tpu.parallel.transport import (
+        CollectiveTransport,
+        use_transport,
+    )
+
+    prob = fem.unstructured_poisson(14, dim=2)
+    opts = _opts()
+    en = H1Energy(bs=1)
+    n_shards = len(jax.devices())
+    l_levels, l_log = dist_setup_levels(prob.A, en, opts, n_shards)
+    t = CollectiveTransport()
+    with use_transport(t):
+        c_levels, c_log = dist_setup_levels(prob.A, en, opts, n_shards)
+    assert t.calls > 0, "collective transport never exercised"
+    assert l_log.nvs == c_log.nvs
+    for ll, cl in zip(l_levels[:-1], c_levels[:-1]):
+        np.testing.assert_array_equal(ll.v2agg, cl.v2agg)
+    for i, (ll, cl) in enumerate(zip(l_levels, c_levels)):
+        if i == 0:
+            continue
+        diff = abs(ll.A - cl.A).max()
+        scale = abs(ll.A).max()
+        assert diff < 1e-12 * scale, f"level {i} values differ {diff:.2e}"
+
+
+def test_dist_setup_shard_residency():
+    """Per-shard peak memory stays ~1/n of the global matrix."""
+    prob = fem.unstructured_poisson(24, dim=2)
+    opts = _opts()
+    n_shards = 8
+    _levels, log = dist_setup_levels(prob.A, H1Energy(bs=1), opts, n_shards)
+    assert log.finest_global_bytes > 0 and log.peak_shard_bytes > 0
+    # one shard's whole level-loop state (its rows of A, W, l2, P, Ac
+    # across the active level pair) must be far below the global matrix;
+    # 4/n covers the ~3.5x per-rank working-set factor, and scales 1/n
+    assert log.peak_shard_bytes < log.finest_global_bytes * 4.0 / n_shards
