@@ -40,6 +40,40 @@ BASELINE_DOFS_PER_S = 2.0e6  # assumed NgsAMG-on-1-core setup+solve throughput
 # 64 cores x 2.0e6 x 0.5 MPI efficiency / 16 chips (see module docstring)
 BASELINE_64CORE_PER_CHIP = BASELINE_DOFS_PER_S * 64 * 0.5 / 16
 
+# Problem-assembly cache: FE assembly (Delaunay + element integration) is
+# NOT part of the measured metric (assembly_s is reported separately) and
+# under co-tenant contention it can run ~9x slower than the quoted numbers
+# (375 s measured for the 10M Poisson where the warm-host figure is 42 s),
+# which can push the whole bench past the driver's timeout. Problems are
+# deterministic (seeded), so cache the assembled matrices on disk.
+_CACHE_DIR = os.environ.get(
+    "NGSAMG_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".bench_cache")
+)
+
+
+def _cached_problem(tag: str, builder):
+    if os.environ.get("NGSAMG_BENCH_NOCACHE", "0") == "1":
+        return builder()
+    import pickle
+
+    path = os.path.join(_CACHE_DIR, tag + ".pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass  # stale/corrupt cache: rebuild
+    prob = builder()
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(prob, f, protocol=4)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is best-effort
+    return prob
+
 
 def main():
     from ngsamg_tpu.utils.jaxcfg import enable_persistent_cache
@@ -53,7 +87,7 @@ def main():
     tol = float(os.environ.get("NGSAMG_BENCH_TOL", "1e-8"))
 
     t0 = time.perf_counter()
-    prob = fem.poisson_3d(n)
+    prob = _cached_problem(f"poisson3d_{n}", lambda: fem.poisson_3d(n))
     t_asm = time.perf_counter() - t0
 
     # device/tunnel warm-up (graduated h2d + d2h puts) is infrastructure
@@ -113,7 +147,10 @@ def main():
         # correction path at the scale the reference lives at
         nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "52"))
         uref = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_REFINE", "1"))
-        up = fem.unstructured_poisson(nu, dim=3, refine=uref)
+        up = _cached_problem(
+            f"unstruct3d_{nu}_r{uref}",
+            lambda: fem.unstructured_poisson(nu, dim=3, refine=uref),
+        )
         tu_setup = tu_solve = float("inf")
         ustages = None
         for _rep in range(max(repeats, 1)):
@@ -154,7 +191,10 @@ def main():
         en = int(os.environ.get("NGSAMG_BENCH_ELAST_N", "36"))
         eref = int(os.environ.get("NGSAMG_BENCH_ELAST_REFINE", "1"))
         edim = int(os.environ.get("NGSAMG_BENCH_ELAST_DIM", "3"))
-        ep = fem.unstructured_elasticity(en, dim=edim, refine=eref)
+        ep = _cached_problem(
+            f"elast{edim}d_{en}_r{eref}",
+            lambda: fem.unstructured_elasticity(en, dim=edim, refine=eref),
+        )
         te_setup = te_solve = float("inf")
         for _rep in range(max(repeats, 1)):
             t0 = time.perf_counter()
@@ -226,7 +266,8 @@ def main():
     # GS leg (the parity-default smoother: color-sorted sweeps)
     gs = None
     if os.environ.get("NGSAMG_BENCH_GS", "1") != "0":
-        gp = fem.poisson_3d(int(os.environ.get("NGSAMG_BENCH_GS_N", "48")))
+        gn = int(os.environ.get("NGSAMG_BENCH_GS_N", "48"))
+        gp = _cached_problem(f"poisson3d_{gn}", lambda: fem.poisson_3d(gn))
         gopts = AMGOptions()
         gopts.smoother = SmootherOptions(type=SmootherType.GS)
         tg_setup = tg_solve = float("inf")

@@ -285,9 +285,96 @@ class ElasticityEnergy(Energy):
         np.add.at(D, mesh.edges[:, 1], Bjj)
         idx = np.arange(self.dim)
         D[:, idx, idx] += mesh.vertex_data["l2wt"][:, None]
+        stab = mesh.vertex_data.get("stab")
+        if stab is not None:
+            # diagStabBoost retention carried through map_data
+            # (spw_agg_impl.hpp:516 inAggEdgeFactor)
+            D += stab
         return D
 
-    def soc_robust(self, mesh: AlgebraicMesh, reduction="max") -> np.ndarray:
+    def _neib_boost(self, mesh: AlgebraicMesh) -> np.ndarray:
+        """Common-neighbor path energies per edge (`AddNeibBoost`,
+        agglomerator_utils.hpp:600-667), vectorized over all triangles.
+
+        For edge (i,j) and every common neighbor k: transport the two leg
+        edge matrices into k's frame, form the series (half harmonic mean)
+        energy E_ik (E_ik + E_jk)^+ E_jk, transport it to the (i,j)
+        midpoint frame, and accumulate.
+
+        The parallel sum's range is range(E_ik) ∩ range(E_jk), so at the
+        FINEST level (rank-1 translational tangent energies with distinct
+        tangents) the boost is exactly zero — harmless there, because C
+        collapses to ~rank 1 too (collinear midpoints) and the min
+        eigenvalue stays finite. It matters on COARSE levels: aux
+        diagonals gain rotational rank from varied fine midpoints while
+        coarse edge energies remain low-rank sums of near-parallel
+        tangents, making the bare min eigenvalue on range(C) identically
+        ~0 for every edge (measured: 100% of level-1 thin-plate edges);
+        the accumulated shared-neighbor path energies are then full-rank
+        enough to make the strict reduction usable.
+        """
+        nv = mesh.nv
+        e = mesh.edges
+        ne = len(e)
+        E = mesh.edge_data["mat"]
+        pos = mesh.vertex_data["pos"]
+        if ne == 0:
+            return np.zeros_like(E)
+        # adjacency with edge ids (both directions), rows sorted
+        heads = np.concatenate([e[:, 0], e[:, 1]])
+        tails = np.concatenate([e[:, 1], e[:, 0]])
+        eids = np.tile(np.arange(ne, dtype=np.int64), 2)
+        order = np.lexsort((tails, heads))
+        heads, tails, eids = heads[order], tails[order], eids[order]
+        indptr = np.zeros(nv + 1, dtype=np.int64)
+        np.add.at(indptr, heads + 1, 1)
+        indptr = np.cumsum(indptr)
+        # expand k over N(i) for every edge, keep pairs where (j,k) is an
+        # edge: the triangle list (one entry per common neighbor)
+        i, j = e[:, 0].astype(np.int64), e[:, 1].astype(np.int64)
+        deg_i = indptr[i + 1] - indptr[i]
+        tot = int(deg_i.sum())
+        eid_rep = np.repeat(np.arange(ne, dtype=np.int64), deg_i)
+        base = np.repeat(indptr[i], deg_i)
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(deg_i) - deg_i, deg_i
+        )
+        padj = base + offs
+        k = tails[padj]
+        e_ik = eids[padj]
+        jj = j[eid_rep]
+        keys = heads * nv + tails  # sorted (lexsort order == key order)
+        want = jj * nv + k
+        p = np.minimum(np.searchsorted(keys, want), len(keys) - 1)
+        hit = (k != jj) & (keys[p] == want)
+        eid_t = eid_rep[hit]
+        e_ik = e_ik[hit]
+        e_jk = eids[p[hit]]
+        kk = k[hit]
+        if len(eid_t) == 0:
+            return np.zeros_like(E)
+
+        def to_frame(leg, frame_pos):
+            li, lj = e[leg, 0], e[leg, 1]
+            mid = 0.5 * (pos[li] + pos[lj])
+            Q = self.transport(frame_pos, mid)
+            return np.swapaxes(Q, -1, -2) @ (E[leg] @ Q)
+
+        A = to_frame(e_ik, pos[kk])
+        B = to_frame(e_jk, pos[kk])
+        Sinv = np.linalg.pinv(A + B, rcond=1e-10, hermitian=True)
+        T = A @ Sinv @ B
+        T = 0.5 * (T + np.transpose(T, (0, 2, 1)))
+        mid_t = 0.5 * (pos[e[eid_t, 0]] + pos[e[eid_t, 1]])
+        Qm = self.transport(mid_t, pos[kk])
+        boost = np.swapaxes(Qm, -1, -2) @ (T @ Qm)
+        out = np.zeros_like(E)
+        np.add.at(out, eid_t, boost)
+        return out
+
+    def soc_robust(
+        self, mesh: AlgebraicMesh, reduction="max", neib_boost=False
+    ) -> np.ndarray:
         """Robust strength via batched generalized EVPs.
 
         Re-creates `CalcRobustPairSOC` + `PrepRobSOC`
@@ -303,11 +390,16 @@ class ElasticityEnergy(Energy):
         reference's min-eigenvalue is identically zero unless its
         neighbor-boost accumulation is active; the max eigenvalue measures
         the tangential-stiffness-to-diagonal ratio and reduces to the
-        scalar SOC for H1. Pass reduction="min" for the strict behavior.
+        scalar SOC for H1. Pass reduction="min" for the strict behavior
+        (meaningful together with ``neib_boost``, which accumulates
+        common-neighbor path energies so pair pencils are not degenerate
+        — `mis_neib_boost` / `AddNeibBoost` semantics).
         """
         pos = mesh.vertex_data["pos"]
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
         E = mesh.edge_data["mat"]
+        if neib_boost:
+            E = E + self._neib_boost(mesh)
         D = self.aux_diagonal(mesh)
         mid = 0.5 * (pos[i] + pos[j])
         Qmi = self.transport(mid, pos[i])  # coeff at m -> coeff at i
@@ -320,12 +412,20 @@ class ElasticityEnergy(Energy):
         return _pencil_extreme_eig(E, C, reduction=reduction)
 
     # -- coarse data mapping ----------------------------------------------
-    def map_data(self, mesh, v2agg, n_agg, coarse_edges, e2ce):
+    def map_data(
+        self, mesh, v2agg, n_agg, coarse_edges, e2ce, diag_stab_boost=0.0
+    ):
         """Coarse mesh with Q-transported summed edge matrices.
 
         Coarse edge matrix = sum over mapped fine edges of
         Q(m_f -> m_c)^T E_f Q(m_f -> m_c) — the transported energy
         accumulation of the reference's elasticity map_data.
+
+        ``diag_stab_boost`` (spw_agg.hpp:42, spw_agg_impl.hpp:516): keep
+        the fraction 2*boost of in-agglomerate edge energies in the coarse
+        aux diagonals (carried as a per-vertex "stab" matrix; 0 = rebuild
+        from coarse edges only — the default here; the reference default
+        0.5 keeps half, making later rounds more conservative).
         """
         cmesh = AlgebraicMesh(nv=n_agg, edges=coarse_edges)
         act = v2agg >= 0
@@ -359,6 +459,28 @@ class ElasticityEnergy(Energy):
         l2 = np.zeros(n_agg)
         np.add.at(l2, v2agg[act], mesh.vertex_data["l2wt"][act])
         cmesh.vertex_data["l2wt"] = l2
+
+        stab_f = mesh.vertex_data.get("stab")
+        boost = float(diag_stab_boost)
+        if boost != 0.0 or stab_f is not None:
+            cstab = np.zeros((n_agg, dpv, dpv))
+            if stab_f is not None:
+                Qv = self.transport(cpos[v2agg[act]], pos[act])
+                St = np.swapaxes(Qv, -1, -2) @ (stab_f[act] @ Qv)
+                np.add.at(cstab, v2agg[act], St)
+            if boost != 0.0 and (~m).any():
+                fi, fj = mesh.edges[~m, 0], mesh.edges[~m, 1]
+                ci = v2agg[fi]
+                same = (ci >= 0) & (ci == v2agg[fj])
+                if same.any():
+                    mid_f = 0.5 * (pos[fi[same]] + pos[fj[same]])
+                    Q = self.transport(cpos[ci[same]], mid_f)
+                    Eb = mesh.edge_data["mat"][~m][same]
+                    contrib = (2.0 * boost) * (
+                        np.swapaxes(Q, -1, -2) @ (Eb @ Q)
+                    )
+                    np.add.at(cstab, ci[same], contrib)
+            cmesh.vertex_data["stab"] = cstab
         return cmesh
 
 

@@ -145,7 +145,9 @@ class H1Energy(Energy):
         return sp.kron(Ahat, sp.eye(bs), format="bsr")
 
     # -- coarse data mapping ----------------------------------------------
-    def map_data(self, mesh, v2agg, n_agg, coarse_edges, e2ce):
+    def map_data(
+        self, mesh, v2agg, n_agg, coarse_edges, e2ce, diag_stab_boost=0.0
+    ):
         cmesh = AlgebraicMesh(nv=n_agg, edges=coarse_edges)
         # edge weights: sum fine cross-edge weights per coarse edge
         m = e2ce >= 0
@@ -156,10 +158,23 @@ class H1Energy(Energy):
         # vertex weights: sum of members
         act = v2agg >= 0
         agg_act = v2agg[act]
-        cmesh.vertex_data["l2wt"] = np.bincount(
+        l2c = np.bincount(
             agg_act, weights=mesh.vertex_data["l2wt"][act],
             minlength=n_agg,
         )
+        if diag_stab_boost != 0.0 and (~m).any():
+            # diagStabBoost (spw_agg_impl.hpp:516), scalar form: retain
+            # 2*boost of in-agglomerate (attractive) edge weight in the
+            # coarse strength diagonal
+            fi, fj = mesh.edges[~m, 0], mesh.edges[~m, 1]
+            ci = v2agg[fi]
+            same = (ci >= 0) & (ci == v2agg[fj])
+            if same.any():
+                wdrop = np.maximum(mesh.edge_data["wt"][~m][same], 0.0)
+                l2c += (2.0 * float(diag_stab_boost)) * np.bincount(
+                    ci[same], weights=wdrop, minlength=n_agg
+                )
+        cmesh.vertex_data["l2wt"] = l2c
         pos = mesh.vertex_data.get("pos")
         if pos is not None:
             cnt = np.maximum(

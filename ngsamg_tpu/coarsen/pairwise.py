@@ -206,6 +206,9 @@ def spw_aggregate_energy(
     aaf: float | None = None,
     max_agg: int | None = None,
     robust: bool = True,
+    neib_boost: bool = False,
+    soc_reduction: str | None = None,
+    diag_stab_boost: float = 0.0,
 ) -> tuple[np.ndarray, int]:
     """SPW with per-round energy re-evaluation (robust pick/check).
 
@@ -236,6 +239,19 @@ def spw_aggregate_energy(
     if aaf is not None:
         rounds = 10
     use_robust = robust and hasattr(energy, "soc_robust")
+    rob_kw = {}
+    if use_robust:
+        if soc_reduction is not None:
+            rob_kw["reduction"] = soc_reduction
+        if neib_boost:
+            rob_kw["neib_boost"] = True
+    map_kw = (
+        {"diag_stab_boost": float(diag_stab_boost)}
+        if diag_stab_boost
+        else {}
+    )
+    # the fused native round reads the mesh's l2wt, so the scalar stab
+    # retention (applied in map_data) composes with it unchanged
     fast_round = None if use_robust else getattr(energy, "spw_round", None)
     for _round in range(rounds):
         if aaf is not None and n_cur <= aaf * n0:
@@ -254,7 +270,7 @@ def spw_aggregate_energy(
             )
         if partner is None:
             soc = (
-                energy.soc_robust(cur_mesh)
+                energy.soc_robust(cur_mesh, **rob_kw)
                 if use_robust
                 else energy.soc(cur_mesh)
             )
@@ -272,13 +288,13 @@ def spw_aggregate_energy(
         ).astype(np.int64)
         coarse_edges, e2ce = map_edges(cur_mesh, c2agg, n_agg)
         cur_mesh = energy.map_data(
-            cur_mesh, c2agg, n_agg, coarse_edges, e2ce
+            cur_mesh, c2agg, n_agg, coarse_edges, e2ce, **map_kw
         )
         cur_active = np.ones(n_agg, dtype=bool)
         n_cur = n_agg
     if adopt_orphans and n_cur:
         soc = (
-            energy.soc_robust(cur_mesh)
+            energy.soc_robust(cur_mesh, **rob_kw)
             if use_robust
             else energy.soc(cur_mesh)
         )

@@ -138,6 +138,22 @@ class CoarsenOptions:
     # robust (generalized-EVP) strength of connection for block energies;
     # None = the energy decides (elasticity defaults to True, H1 to False)
     robust: SpecLike = None
+    # neighbor-boost accumulation for the robust SOC (`mis_neib_boost` /
+    # AddNeibBoost, agglomerator_utils.hpp:600-667): add transported
+    # series energies of common-neighbor paths to each edge matrix before
+    # the pencil EVP — makes the strict min-eigenvalue reduction
+    # non-degenerate for near-singular (thin-body) block energies
+    neib_boost: SpecLike = False
+    # pencil reduction for the robust SOC: None = the energy's default
+    # ("max": rank-1 finest tangential projections), "min" = the
+    # reference's strict semantics (use with neib_boost)
+    soc_reduction: SpecLike = None
+    # fraction of in-agglomerate edge energy RETAINED in coarse aux
+    # diagonals between SPW rounds (`diagStabBoost`, spw_agg.hpp:42,
+    # spw_agg_impl.hpp:516): 0 = rebuild from coarse edges only (our
+    # measured-best default), reference default 0.5 keeps half (more
+    # conservative later rounds)
+    diag_stab_boost: SpecLike = 0.0
     # orphan adoption: unmatched vertices join their strongest matched
     # neighbor's aggregate (SPW final round, spw_agg_impl.hpp:1790+)
     adopt_orphans: SpecLike = True
@@ -151,6 +167,9 @@ class CoarsenOptions:
         self.aaf = as_spec(self.aaf)
         self.theta = as_spec(self.theta)
         self.robust = as_spec(self.robust)
+        self.neib_boost = as_spec(self.neib_boost)
+        self.soc_reduction = as_spec(self.soc_reduction)
+        self.diag_stab_boost = as_spec(self.diag_stab_boost)
         self.adopt_orphans = as_spec(self.adopt_orphans)
 
 

@@ -136,6 +136,7 @@ def build_coarse_map(
         # couplings between sub-clusters stop looking strong) and
         # re-scores candidates; with `robust` the scoring is the
         # pencil-EVP SOC (default ON for elasticity)
+        sred = c.soc_reduction.get(level)
         return pairwise.spw_aggregate_energy(
             energy,
             mesh,
@@ -144,6 +145,9 @@ def build_coarse_map(
             adopt_orphans=bool(c.adopt_orphans.get(level)),
             aaf=None if aaf is None else float(aaf),
             robust=robust,
+            neib_boost=bool(c.neib_boost.get(level)),
+            soc_reduction=None if sred is None else str(sred),
+            diag_stab_boost=float(c.diag_stab_boost.get(level)),
         )
     soc = energy.soc_robust(mesh) if robust else energy.soc(mesh)
     S = mesh.edge_graph(weights=soc)

@@ -556,6 +556,39 @@ def _beam(dim, n, length):
     return verts, elems, fixed
 
 
+def thin_plate_elasticity(
+    n: int = 12, thickness: float = 0.1, E=1e3, nu=0.3, load=1.0
+) -> Problem:
+    """3D elasticity on a thin plate [0,1]^2 x [0,t], one element through
+    the thickness, clamped at x=0.
+
+    The high-aspect-ratio tets produce NEAR-SINGULAR edge/vertex energy
+    matrices — the regime the reference's robust min-eigenvalue SOC with
+    neighbor-boost accumulation exists for (agglomerator_utils.hpp:600,
+    tests/elasticity plate configurations).
+    """
+    dim = 3
+    verts, elems = _grid_3d(n, n, 1, lz=float(thickness))
+    fixed = verts[:, 0] == 0.0
+    Ke, vol = _elasticity_elem(verts, elems, E, nu)
+    nl = elems.shape[1]
+    dof = (elems[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(
+        len(elems), nl * dim
+    )
+    nv = len(verts)
+    rows = np.repeat(dof, nl * dim, axis=1).ravel()
+    cols = np.tile(dof, (1, nl * dim)).ravel()
+    A = sp.coo_matrix(
+        (Ke.ravel(), (rows, cols)), shape=(nv * dim, nv * dim)
+    ).tocsr()
+    A.sum_duplicates()
+    b = np.zeros(nv * dim)
+    w = np.repeat(load * vol / nl, nl)
+    np.add.at(b, (elems.ravel() * dim + (dim - 1)), -w)
+    A, b, coords = _eliminate_dirichlet(A, b, verts, fixed, block_size=dim)
+    return Problem(A=A, b=b, coords=coords, dim=dim, block_size=dim)
+
+
 def _elasticity(dim, n, length, E, nu, load, jump=False) -> Problem:
     verts, elems, fixed = _beam(dim, n, length)
     if jump:
