@@ -190,6 +190,7 @@ class _StokesAMGClass:
     """Stokes facet AMG with the reference export surface."""
 
     def __init__(self, A, *, cell_pos, cell_vol, facet_cells, facet_flow,
+                 facet_verts=None, vert_pos=None, bnd_facet_verts=None,
                  options=None, **flags):
         from .precond.stokes import StokesAMG
 
@@ -201,6 +202,9 @@ class _StokesAMGClass:
             cell_vol=cell_vol,
             facet_cells=facet_cells,
             facet_flow=facet_flow,
+            facet_verts=facet_verts,
+            vert_pos=vert_pos,
+            bnd_facet_verts=bnd_facet_verts,
             options=options,
         ).setup()
 

@@ -173,44 +173,13 @@ def flow_prolongation(mesh, cmesh, v2agg, e2ce):
     Excess = (Tgt - Bin).tocsr()  # flux each cell still must emit
 
     # --- route excess along a spanning forest of interior facets ----------
-    # processed aggregate-locally: each aggregate touches a handful of
-    # cells and coarse facets, so the routing uses small dense blocks
+    # vectorized subtree-sum form: the flux a cell's PARENT facet must
+    # carry is the signed sum of Excess over the cell's subtree (pushing
+    # leaves-first is exactly that), so the routed correction is one
+    # sparse product Sel @ S with S = (I - Par)^-1 Excess — Par nilpotent
+    # (forest), computed by ~depth sparse mat-adds
     interior = np.flatnonzero(~cross)
-    parent_edge, order = _spanning_forest(mesh, v2agg, interior)
-    ExcC = Excess.tocsr()
-    pos_in_order = np.empty(mesh.nv, dtype=np.int64)
-    pos_in_order[np.asarray(order)] = np.arange(mesh.nv)
-    agg_cells: dict[int, list[int]] = {}
-    for c in range(mesh.nv):
-        a = v2agg[c]
-        if a >= 0:
-            agg_cells.setdefault(int(a), []).append(c)
-    for a, cells in agg_cells.items():
-        if len(cells) == 1:
-            continue
-        cells = sorted(cells, key=lambda c: pos_in_order[c])  # leaves first
-        sub = ExcC[cells]  # (k, ne_c) sparse
-        lcols = np.unique(sub.indices) if sub.nnz else None
-        if lcols is None or len(lcols) == 0:
-            continue
-        loc = np.asarray(sub[:, lcols].todense())  # (k, m) small
-        cpos = {c: t for t, c in enumerate(cells)}
-        for t, ci in enumerate(cells):
-            e = parent_edge[ci]
-            if e < 0:
-                continue
-            i, j = edges[e]
-            other = j if i == ci else i
-            s = 1.0 if i == ci else -1.0  # facet oriented i -> j
-            row = loc[t]
-            nz = np.flatnonzero(row)
-            if len(nz):
-                rows.append(np.full(len(nz), e))
-                cols.append(lcols[nz])
-                vals.append(s * row[nz])
-            loc[cpos[other]] += row
-            loc[t] = 0.0
-
+    route = _route_subtree_sums(mesh, v2agg, interior, Excess)
     P = sp.coo_matrix(
         (
             np.concatenate(vals),
@@ -218,6 +187,12 @@ def flow_prolongation(mesh, cmesh, v2agg, e2ce):
         ),
         shape=(ne_f, ne_c),
     ).tocsr()
+    if route is not None:
+        ch, pe, sgn_r, S = route
+        Sel = sp.coo_matrix(
+            (sgn_r, (pe, ch)), shape=(ne_f, mesh.nv)
+        ).tocsr()
+        P = (P + Sel @ S).tocsr()
     P.sum_duplicates()
     # flux -> velocity units: the construction above preserves INCIDENCE
     # divergence (dof-value sums); the systems' divergence is FLOW-weighted
@@ -312,56 +287,34 @@ def flow_prolongation_vec(mesh, cmesh, v2agg, e2ce) -> sp.csr_matrix:
     Excess = (sp.diags(frac) @ Cout[v2agg] - Df @ P0).tocsr()
 
     # route excess along a spanning forest, corrections along the normal
-    rows2, cols2, vals2 = [], [], []
-    parent_edge, order = _spanning_forest(mesh, v2agg, interior_e)
-    pos_in_order = np.empty(mesh.nv, dtype=np.int64)
-    pos_in_order[np.asarray(order)] = np.arange(mesh.nv)
-    agg_cells: dict[int, list[int]] = {}
-    for c in range(mesh.nv):
-        a = v2agg[c]
-        if a >= 0:
-            agg_cells.setdefault(int(a), []).append(c)
-    f2 = (flow * flow).sum(axis=1)
-    for a, cells in agg_cells.items():
-        if len(cells) == 1:
-            continue
-        cells = sorted(cells, key=lambda c: pos_in_order[c])  # leaves first
-        sub = Excess[cells]
-        lcols = np.unique(sub.indices) if sub.nnz else None
-        if lcols is None or len(lcols) == 0:
-            continue
-        loc = np.asarray(sub[:, lcols].todense())
-        cpos = {c: t for t, c in enumerate(cells)}
-        for t, ci in enumerate(cells):
-            e = parent_edge[ci]
-            if e < 0:
-                continue
-            i, j = edges[e]
-            other = j if i == ci else i
-            s = 1.0 if i == ci else -1.0  # facet oriented i -> j
-            row = loc[t]
-            nz = np.flatnonzero(row)
-            if len(nz) and f2[e] > 1e-300:
-                coef = s / f2[e]
-                for kk in range(dim):
-                    rows2.append(np.full(len(nz), e * dim + kk))
-                    cols2.append(lcols[nz])
-                    vals2.append(coef * flow[e, kk] * row[nz])
-            loc[cpos[other]] += row
-            loc[t] = 0.0
-    if rows2:
-        dP = sp.coo_matrix(
-            (
-                np.concatenate(vals2),
-                (np.concatenate(rows2), np.concatenate(cols2)),
-            ),
-            shape=P0.shape,
-        ).tocsr()
-        P0 = (P0 + dP).tocsr()
+    # (vectorized subtree-sum form — see flow_prolongation): the routed
+    # flux lifts to the facet velocity u_e = flux * flow_e / |flow_e|^2
+    route = _route_subtree_sums(mesh, v2agg, interior_e, Excess)
+    if route is not None:
+        ch, pe, sgn_r, S = route
+        f2 = (flow * flow).sum(axis=1)
+        live = f2[pe] > 1e-300
+        ch, pe, sgn_r = ch[live], pe[live], sgn_r[live]
+        if len(ch):
+            k = np.arange(dim)
+            coef = (sgn_r / f2[pe])[:, None] * flow[pe]  # (nch, dim)
+            Sel = sp.coo_matrix(
+                (
+                    coef.ravel(),
+                    (
+                        (pe[:, None] * dim + k).ravel(),
+                        np.repeat(ch, dim),
+                    ),
+                ),
+                shape=(ne_f * dim, mesh.nv),
+            ).tocsr()
+            P0 = (P0 + Sel @ S).tocsr()
     return P0
 
 
-def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+def build_loops_vec(
+    mesh: AlgebraicMesh, incidence: sp.spmatrix | None = None
+) -> sp.csr_matrix | None:
     """ker(D)-spanning curl basis for VECTOR facet dofs.
 
     flux_e = flow_vec_e . u_e, so ker(D) = {normal loop lifts} ⊕
@@ -384,7 +337,10 @@ def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     ne, dim = flow.shape
     f2 = (flow * flow).sum(axis=1)
     act = f2 > 1e-300
-    C = _loops_incidence(mesh, active=act)
+    if incidence is None:
+        C = _loops_incidence(mesh, active=act)
+    else:
+        C = _drop_dead_columns(incidence, act)
     nrm = np.sqrt(np.maximum(f2, 1e-300))
     g = flow / np.maximum(f2, 1e-300)[:, None]
     rows_l, cols_l, vals_l = [], [], []
@@ -434,6 +390,41 @@ def build_loops_vec(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     ).tocsr()
 
 
+def _route_subtree_sums(mesh, v2agg, interior_edges, Excess):
+    """Signed subtree excess sums for the forest routing, vectorized.
+
+    For each cell c with a parent facet in the aggregate-local spanning
+    forest, the flux its parent facet must carry equals the sum of
+    ``Excess`` over c's subtree (the leaves-first elimination in closed
+    form). S = (I - Par)^-1 Excess via the nilpotent series — at most
+    tree-depth sparse mat-adds, with aggregate-bounded depth.
+
+    Returns (cells, parent_facets, signs (+1 = facet oriented
+    cell -> parent), S (nv x ncols subtree sums)) or None.
+    """
+    parent_edge, _ = _spanning_forest(mesh, v2agg, interior_edges)
+    ch = np.flatnonzero(parent_edge >= 0)
+    if len(ch) == 0:
+        return None
+    pe = parent_edge[ch]
+    ei, ej = mesh.edges[pe, 0], mesh.edges[pe, 1]
+    par_of = np.where(ei == ch, ej, ei)
+    sgn = np.where(ei == ch, 1.0, -1.0)
+    Par = sp.coo_matrix(
+        (np.ones(len(ch)), (par_of, ch)), shape=(mesh.nv, mesh.nv)
+    ).tocsr()
+    S = Excess.tocsr()
+    T = (Par @ S).tocsr()
+    guard = 0
+    while T.nnz:
+        S = (S + T).tocsr()
+        T = (Par @ T).tocsr()
+        guard += 1
+        if guard > mesh.nv:  # cannot happen: Par is a forest (nilpotent)
+            raise RuntimeError("routing forest contains a cycle")
+    return ch, pe, sgn, S
+
+
 def _spanning_forest(mesh, v2agg, interior_edges):
     """BFS spanning forest of each aggregate over interior facets.
 
@@ -467,8 +458,10 @@ def _spanning_forest(mesh, v2agg, interior_edges):
     return parent_edge, order
 
 
-def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
-    """Flow-scaled fundamental-cycle curl basis (any mesh, scalar dofs).
+def build_loops_tree(
+    mesh: AlgebraicMesh, incidence: sp.spmatrix | None = None
+) -> sp.csr_matrix | None:
+    """Flow-scaled incidence-cycle curl basis (any mesh, scalar dofs).
 
     Facets whose (coarse, oriented-sum) flow cancelled to zero carry no
     flux for ANY dof value: they are flux-free kernel directions of their
@@ -476,10 +469,20 @@ def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     through one loses that edge's flux and stops being divergence-free.
     Each gets a singleton column instead; together with the cycles of the
     nonzero-flow subgraph the columns span ker(D) exactly.
+
+    ``incidence``: precomputed incidence cycles (entries w.r.t. the dual
+    edge orientation) — geometric loops or level-contracted loops
+    (:func:`geometric_loops` / :func:`contract_loops`). Columns touching a
+    dead (zero-flow) facet are dropped (their live part is an open chain,
+    not a cycle of the live subgraph). Default: BFS fundamental cycles of
+    the live subgraph (:func:`_loops_incidence`).
     """
     flow = mesh.edge_data["flow"]
     act = np.abs(flow) > 1e-300
-    C = _loops_incidence(mesh, active=act)
+    if incidence is None:
+        C = _loops_incidence(mesh, active=act)
+    else:
+        C = _drop_dead_columns(incidence, act)
     cols = []
     if C is not None:
         cols.append(_flow_scale(mesh) @ C)
@@ -494,6 +497,210 @@ def build_loops_tree(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
     if not cols:
         return None
     return sp.hstack(cols, format="csr")
+
+
+def _drop_dead_columns(Y: sp.spmatrix, act: np.ndarray):
+    """Drop loop columns that touch a dead (zero-flow) facet row."""
+    Yc = Y.tocsc()
+    if Yc.nnz == 0:
+        return None
+    touch_dead = np.zeros(Yc.shape[1], dtype=bool)
+    dead_rows = ~act
+    if dead_rows.any():
+        mask = dead_rows[Yc.indices]
+        if mask.any():
+            col_of = np.repeat(
+                np.arange(Yc.shape[1]), np.diff(Yc.indptr)
+            )
+            touch_dead = (
+                np.bincount(col_of[mask], minlength=Yc.shape[1]) > 0
+            )
+    keep = ~touch_dead
+    if not keep.any():
+        return None
+    return Yc[:, keep].tocsr()
+
+
+def geometric_loops(
+    mesh: AlgebraicMesh,
+    facet_verts: np.ndarray,
+    vert_pos: np.ndarray,
+    bnd_facet_verts: np.ndarray,
+) -> sp.csr_matrix | None:
+    """SHORT incidence cycles from the primal mesh geometry.
+
+    The reference's `CalcFacetLoops` (src/stokes/common/stokes_pc.cpp):
+    in 2D one loop per interior primal VERTEX (the facets incident to it,
+    i.e. the dual-graph face around it), in 3D one loop per interior
+    primal EDGE (the facets sharing it — the fan of cells around the
+    edge). Loop length = local degree (~6), so the potential operator
+    C^T A C stays O(1)-sparse per row — unlike fundamental-cycle bases,
+    whose O(diameter) tree paths densify it quadratically (measured
+    126 s setup at 10.7k DoF before this).
+
+    Parameters: ``facet_verts`` (ne, dim) primal vertex ids of each
+    INTERIOR facet, aligned with ``mesh.edges``; ``vert_pos`` primal
+    vertex coordinates; ``bnd_facet_verts`` vertex ids of the boundary
+    (eliminated) facets — loops are built only around primal entities
+    with a CLOSED interior fan, i.e. not touching the boundary surface.
+
+    Entries are +-1 w.r.t. the dual edge orientation (``mesh.edges``),
+    so columns are exact incidence cycles; a final boundary-operator
+    check drops any non-cycle column (degenerate geometry).
+    """
+    pos = mesh.vertex_data["pos"]  # dual (cell centroid) positions
+    e = mesh.edges
+    ne = len(e)
+    fv = np.asarray(facet_verts, dtype=np.int64)
+    if ne == 0 or fv.shape[0] != ne:
+        return None
+    d = pos[e[:, 1]] - pos[e[:, 0]]  # dual edge vectors
+    vp = np.asarray(vert_pos, float)
+    dim = vp.shape[1]
+    rows_l, cols_l, vals_l = [], [], []
+    if dim == 2:
+        # one loop per interior primal vertex: each interior facet (a
+        # segment v--w) contributes to the loops of both endpoints
+        is_bnd = np.zeros(len(vp), dtype=bool)
+        if len(bnd_facet_verts):
+            is_bnd[np.unique(np.asarray(bnd_facet_verts, np.int64))] = True
+        anchors = []
+        for s_ in (0, 1):
+            v, w = fv[:, s_], fv[:, 1 - s_]
+            keep = ~is_bnd[v]
+            if not keep.any():
+                continue
+            u = vp[w[keep]] - vp[v[keep]]
+            cr = u[:, 0] * d[keep, 1] - u[:, 1] * d[keep, 0]
+            rows_l.append(np.flatnonzero(keep))
+            anchors.append(v[keep])
+            vals_l.append(np.where(cr > 0, 1.0, -1.0))
+        if not rows_l:
+            return None
+        anchors = np.concatenate(anchors)
+        _, loop_of = np.unique(anchors, return_inverse=True)
+        cols_l = [loop_of]
+    else:
+        # one loop per interior primal edge: each interior facet (a
+        # triangle) contributes to the loops of its 3 edges
+        nvert = len(vp)
+        bnd_keys = np.empty(0, dtype=np.int64)
+        if len(bnd_facet_verts):
+            bf = np.asarray(bnd_facet_verts, np.int64)
+            pk = []
+            for a_i, b_i in ((0, 1), (0, 2), (1, 2)):
+                lo = np.minimum(bf[:, a_i], bf[:, b_i])
+                hi = np.maximum(bf[:, a_i], bf[:, b_i])
+                pk.append(lo * nvert + hi)
+            bnd_keys = np.unique(np.concatenate(pk))
+        keys_l, rws, vls = [], [], []
+        for a_i, b_i, w_i in ((0, 1, 2), (0, 2, 1), (1, 2, 0)):
+            a, b, w = fv[:, a_i], fv[:, b_i], fv[:, w_i]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            key = lo * nvert + hi
+            keep = ~np.isin(key, bnd_keys, assume_unique=False)
+            if not keep.any():
+                continue
+            t = vp[hi[keep]] - vp[lo[keep]]
+            u = vp[w[keep]] - 0.5 * (vp[lo[keep]] + vp[hi[keep]])
+            s_ = np.sign((np.cross(t, u) * d[keep]).sum(axis=1))
+            nz = s_ != 0
+            rws.append(np.flatnonzero(keep)[nz])
+            keys_l.append(key[keep][nz])
+            vls.append(s_[nz])
+        if not keys_l:
+            return None
+        keys = np.concatenate(keys_l)
+        _, loop_of = np.unique(keys, return_inverse=True)
+        rows_l = rws
+        cols_l = [loop_of]
+        vals_l = vls
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l) if len(cols_l) > 1 else cols_l[0]
+    vals = np.concatenate(vals_l)
+    nl = int(cols.max()) + 1
+    Y = sp.coo_matrix((vals, (rows, cols)), shape=(ne, nl)).tocsc()
+    # boundary-operator check: keep exact cycles only
+    B = sp.coo_matrix(
+        (
+            np.concatenate([np.ones(ne), -np.ones(ne)]),
+            (
+                np.concatenate([e[:, 0], e[:, 1]]),
+                np.concatenate([np.arange(ne)] * 2),
+            ),
+        ),
+        shape=(mesh.nv, ne),
+    ).tocsr()
+    resid = B @ Y
+    bad = np.flatnonzero(
+        np.abs(resid).max(axis=0).toarray().ravel() > 1e-12
+    )
+    if len(bad):
+        keep = np.ones(Y.shape[1], dtype=bool)
+        keep[bad] = False
+        if not keep.any():
+            return None
+        Y = Y[:, keep]
+    return Y.tocsr()
+
+
+def contract_loops(
+    Y: sp.spmatrix,
+    mesh: AlgebraicMesh,
+    v2agg: np.ndarray,
+    cedges: np.ndarray,
+    e2ce: np.ndarray,
+) -> sp.csr_matrix | None:
+    """Contract incidence loops through one dual-mesh coarsening step.
+
+    Cell aggregation is a graph CONTRACTION of the dual graph (connected
+    aggregates collapse, parallel facets merge), and the quotient chain
+    map sends cycles to cycles: the image of a spanning set of the fine
+    cycle space SPANS the coarse cycle space. So the loop set transfers
+    level-to-level exactly — the coarse analog of the reference
+    re-deriving loops on its coarse (still topological) meshes — while
+    staying SHORT: a contracted loop has at most its fine length.
+
+    Rows map fine facet -> coarse facet with the `map_stokes_mesh`
+    orientation sign; zero columns (loops swallowed by one aggregate) are
+    dropped; duplicate columns (up to sign) are deduplicated.
+    """
+    if Y is None:
+        return None
+    m = e2ce >= 0
+    if not m.any():
+        return None
+    fe = np.flatnonzero(m)
+    ce = e2ce[fe]
+    sign = np.where(
+        v2agg[mesh.edges[fe, 0]] == cedges[ce, 0], 1.0, -1.0
+    )
+    T = sp.coo_matrix(
+        (sign, (ce, fe)), shape=(len(cedges), Y.shape[0])
+    ).tocsr()
+    Yc = (T @ Y).tocsc()
+    Yc.eliminate_zeros()
+    nz = np.diff(Yc.indptr) > 0
+    if not nz.any():
+        return None
+    Yc = Yc[:, nz]
+    # dedupe columns up to sign: normalize leading entry positive, hash
+    indptr, indices, data = Yc.indptr, Yc.indices, Yc.data
+    seen: dict[bytes, int] = {}
+    keep = []
+    for j in range(Yc.shape[1]):
+        s0, s1 = indptr[j], indptr[j + 1]
+        dj = data[s0:s1]
+        if dj[0] < 0:
+            dj = -dj
+        key = indices[s0:s1].tobytes() + dj.tobytes()
+        if key not in seen:
+            seen[key] = j
+            keep.append(j)
+    if len(keep) < Yc.shape[1]:
+        Yc = Yc[:, np.asarray(keep, dtype=np.int64)]
+    return Yc.tocsr()
 
 
 def _loops_incidence(
@@ -572,17 +779,23 @@ def _loops_incidence(
     return sp.coo_matrix((vals, (rows, cols)), shape=(ne, nl)).tocsr()
 
 
-def build_loops(mesh: AlgebraicMesh) -> sp.csr_matrix | None:
+def build_loops(
+    mesh: AlgebraicMesh, incidence: sp.spmatrix | None = None
+) -> sp.csr_matrix | None:
     """Curl matrix C: loops -> facet space (`CalcFacetLoops` analog).
 
-    On lattice dual meshes: the elementary 4-cycles (in 2D one loop per
-    interior primal node, in 3D one per interior primal edge) — short,
-    geometric, like the reference. Off-lattice (general/perturbed meshes,
-    SPW-coarsened levels): the spanning-forest fundamental cycle basis
-    (:func:`build_loops_tree`), which spans ker(D) on any dual graph.
+    With ``incidence`` (geometric finest loops or level-contracted loops):
+    flow-scale those — the simplicial fast path. Otherwise, on lattice
+    dual meshes: the elementary 4-cycles (in 2D one loop per interior
+    primal node, in 3D one per interior primal edge) — short, geometric,
+    like the reference. Off-lattice with no incidence given: the
+    spanning-forest fundamental cycle basis (:func:`build_loops_tree`),
+    which spans ker(D) on any dual graph but carries O(diameter) loops.
     """
     from ..coarsen.lattice import detect_lattice
 
+    if incidence is not None:
+        return build_loops_tree(mesh, incidence=incidence)
     det = detect_lattice(mesh.vertex_data["pos"])
     if det is None:
         return build_loops_tree(mesh)

@@ -33,8 +33,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _truncate_columns(
+    Y: sp.spmatrix, max_per_col: int, min_frac: float
+) -> sp.csc_matrix:
+    """Keep the ``max_per_col`` largest |entries| per column (and drop
+    entries below ``min_frac`` of the column max). Vectorized rank-
+    within-column via lexsort."""
+    Y = Y.tocsc()
+    if Y.nnz == 0:
+        return Y
+    ncol = Y.shape[1]
+    col_of = np.repeat(np.arange(ncol), np.diff(Y.indptr))
+    av = np.abs(Y.data)
+    order = np.lexsort((-av, col_of))
+    rank = np.arange(Y.nnz) - np.repeat(Y.indptr[:-1], np.diff(Y.indptr))
+    keep_sorted = rank < max_per_col
+    keep = np.zeros(Y.nnz, dtype=bool)
+    keep[order] = keep_sorted
+    if min_frac > 0:
+        colmax = np.zeros(ncol)
+        np.maximum.at(colmax, col_of, av)
+        keep &= av >= min_frac * colmax[col_of]
+    return sp.csc_matrix(
+        (Y.data[keep], (Y.indices[keep], col_of[keep])), shape=Y.shape
+    )
+
+
 def _curl_smooth_prol(
-    A: sp.spmatrix, C: sp.spmatrix, P: sp.spmatrix, omega: float
+    A: sp.spmatrix,
+    C: sp.spmatrix,
+    P: sp.spmatrix,
+    omega: float,
+    max_per_col: int = 8,
+    min_frac: float = 0.02,
 ) -> sp.csr_matrix:
     """Divergence-compatible prolongation smoothing: P += C Y.
 
@@ -47,6 +78,13 @@ def _curl_smooth_prol(
     grad-div penalty (measured 63 -> ~30 iterations at alpha=1e3): the
     penalty annihilates C-range components, so the un-smoothed P's curl
     error is exactly what stiffens with alpha.
+
+    Y is TRUNCATED per coarse column (top ``max_per_col`` loops, sp_*
+    truncation semantics) BEFORE forming C Y: truncating Y — unlike
+    truncating P — cannot break divergence preservation, since any C(.)
+    is div-free. Without it the smoothed support compounds level-over-
+    level (measured colP 69 -> 716 -> 2212 on a 13k-DoF 3D problem,
+    densifying every coarse operator).
     """
     A = A.tocsr()
     d = np.asarray((C.multiply(A @ C)).sum(axis=0)).ravel()  # diag(C^T A C)
@@ -65,6 +103,7 @@ def _curl_smooth_prol(
         x = y / nrm
     scale = omega / max(lam, 1e-12)
     Y = sp.diags(-scale * dinv) @ (CT @ (A @ P))
+    Y = _truncate_columns(Y, max_per_col, min_frac)
     return (P + C @ Y).tocsr()
 
 
@@ -79,6 +118,10 @@ class StokesAMG:
         cell_vol: np.ndarray,
         facet_cells: np.ndarray,
         facet_flow: np.ndarray,
+        facet_verts: np.ndarray | None = None,
+        vert_pos: np.ndarray | None = None,
+        bnd_facet_verts: np.ndarray | None = None,
+        curl_smooth: bool | None = None,
         options: AMGOptions | None = None,
     ):
         self.options = options or AMGOptions()
@@ -87,6 +130,34 @@ class StokesAMG:
         mesh, interior = st.build_dual_mesh(
             cell_pos, cell_vol, facet_cells, facet_flow
         )
+        # primal facet->vertex incidence (optional, aligned with
+        # facet_cells): enables SHORT geometric loops (CalcFacetLoops
+        # analog) at the finest level, contracted level-to-level.
+        # bnd_facet_verts lists the ELIMINATED boundary facets' vertices
+        # so loops around boundary entities are skipped up front; without
+        # it the boundary-operator check inside geometric_loops drops
+        # their (open-fan) columns anyway.
+        self._loops0 = None
+        if facet_verts is not None and vert_pos is not None:
+            fv = np.asarray(facet_verts)
+            interior_mask = np.zeros(len(fv), dtype=bool)
+            interior_mask[interior] = True
+            bnd = fv[~interior_mask]
+            if bnd_facet_verts is not None and len(bnd_facet_verts):
+                bnd = (
+                    np.concatenate([bnd, np.asarray(bnd_facet_verts)])
+                    if len(bnd)
+                    else np.asarray(bnd_facet_verts)
+                )
+            self._loops0 = st.geometric_loops(
+                mesh, fv[interior], vert_pos, bnd
+            )
+        # curl-smoothing auto policy: with SHORT geometric loops the
+        # potential space already absorbs the curl error (measured 3D
+        # alpha=1e3: PW 19 iters at OC 2.5 vs smoothed 12 at OC 20), so
+        # smoothing defaults OFF when loops0 exists; tree-loop levels
+        # keep it (alpha-robustness needs it there: 51 -> 8 iters)
+        self.curl_smooth = curl_smooth
         # scalar normal-flux dofs (MAC/RT0-like) vs VECTOR facet dofs
         # (NC/CR: facet_flow is the (nf, dim) area-normal, facet_bs = dim)
         self.facet_bs = (
@@ -127,11 +198,14 @@ class StokesAMG:
                 return self
         levels: list[st.StokesLevel] = []
         A, mesh = self.A_host, self.mesh0
+        Y = self._loops0  # incidence loops, contracted level-to-level
         lvl = 0
         while True:
             cap = st.StokesLevel(A=A, mesh=mesh)
             cap.C = (
-                st.build_loops(mesh) if bs == 1 else st.build_loops_vec(mesh)
+                st.build_loops(mesh, incidence=Y)
+                if bs == 1
+                else st.build_loops_vec(mesh, incidence=Y)
             )
             levels.append(cap)
             if (
@@ -154,18 +228,27 @@ class StokesAMG:
             )
             from ..config import ProlType
 
-            if (
+            want_smooth = (
                 ProlType(opts.prol.type.get(lvl)) == ProlType.SMOOTHED
                 and cap.C is not None
-            ):
+            )
+            if self.curl_smooth is not None:
+                want_smooth = want_smooth and self.curl_smooth
+            else:
+                want_smooth = want_smooth and Y is None  # auto: see __init__
+            if want_smooth:
                 P = _curl_smooth_prol(
-                    A, cap.C, P, float(opts.prol.omega.get(lvl))
+                    A, cap.C, P, float(opts.prol.omega.get(lvl)),
+                    max_per_col=2 * int(opts.prol.max_per_row.get(lvl)),
+                    min_frac=float(opts.prol.min_frac.get(lvl)),
                 )
             cap.P = P
             cap.v2agg = v2agg
             from ..transfer.galerkin import rap
 
             A = rap(A, P, dtype=np.float32)
+            if Y is not None:
+                Y = st.contract_loops(Y, mesh, v2agg, cedges, e2ce)
             mesh = cmesh
             lvl += 1
         self.setup_levels_ = levels
@@ -175,31 +258,57 @@ class StokesAMG:
         return self
 
     # ------------------------------------------------------------------
+    def _stage_transfer(self, M: sp.spmatrix, nr_pad: int, nc_pad: int):
+        """Scalar rectangular operator (P/R/C/CT) in tile-ELL with pinned
+        interface pads; supernode, then block-ELL fallback without the
+        native packer."""
+        from ..sparse import formats
+
+        M = M.tocsr()
+        te = formats.tile_ell_from_scipy(
+            M, self.dtype, tile_m=ROW_ALIGN, nr_pad=nr_pad,
+            nc_pad=nc_pad, stage=True,
+        )
+        if te is not None:
+            return te
+        return formats.supernode_from_scipy(
+            M, self.dtype, tile=ROW_ALIGN, nr_pad=nr_pad, nc_pad=nc_pad,
+            stage=True,
+        )
+
     def _compile_device(self):
+        """Stage the hierarchy in the shared per-level format chooser
+        (DIA / tile-ELL / supernode / dense — same machinery as the H1
+        path). The generic block-ELL previously used here gathers one x
+        scalar per NONZERO; tile-ELL gathers one per distinct column of
+        an 8-row tile (~5x fewer), which dominates the per-iteration
+        device time of the many-operator Hiptmair cycle."""
+        from ..sparse import formats
+        from .amg import _scalar_pad
+
         opts = self.options
         nlev = len(self.setup_levels_)
+        A_fmts = [
+            formats.choose_format(
+                cap.A.tocsr(), 1, self.dtype, ROW_ALIGN, stage=True
+            )
+            for cap in self.setup_levels_
+        ]
+        pads = [_scalar_pad(f, 1) for f in A_fmts]
         dev_levels = []
         for i, cap in enumerate(self.setup_levels_):
-            A_ell = bell.from_scipy(
-                cap.A, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
-                stage=True,
-            )
             is_coarsest = i == nlev - 1
             sm = None
             if not is_coarsest or opts.coarse_solve != CoarseSolveType.INV:
-                sm = self._build_hiptmair(cap, A_ell.nrows_pad, i)
-            P_ell = R_ell = None
+                sm = self._build_hiptmair(cap, pads[i], i)
+            P_fmt = R_fmt = None
             if cap.P is not None:
-                P_ell = bell.from_scipy(
-                    cap.P, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
-                    stage=True,
-                )
-                R_ell = bell.from_scipy(
-                    cap.P.T.tocsr(), 1, 1, dtype=self.dtype,
-                    row_align=ROW_ALIGN, stage=True,
+                P_fmt = self._stage_transfer(cap.P, pads[i], pads[i + 1])
+                R_fmt = self._stage_transfer(
+                    cap.P.T.tocsr(), pads[i + 1], pads[i]
                 )
             dev_levels.append(
-                DeviceLevel(A=A_ell, smoother=sm, P=P_ell, R=R_ell)
+                DeviceLevel(A=A_fmts[i], smoother=sm, P=P_fmt, R=R_fmt)
             )
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
@@ -207,7 +316,7 @@ class StokesAMG:
             from .amg import _spd_inverse
 
             inv = _spd_inverse(Ad)
-            npad = dev_levels[-1].A.nrows_pad
+            npad = pads[-1]
             out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
             out[: inv.shape[0], : inv.shape[1]] = inv
             coarse_inv = out
@@ -225,6 +334,9 @@ class StokesAMG:
         (`BuildSmoothers`, stokes_pc.cpp:1300-1390.) Falls back to the
         plain range smoother when the level has no loops.
         """
+        from ..sparse import formats
+        from .amg import _scalar_pad
+
         opts = self.options
         sm_opts = opts.smoother
         kind = SmootherType(sm_opts.type.get(level))
@@ -249,23 +361,19 @@ class StokesAMG:
         C = cap.C
         A_pot = (C.T @ cap.A @ C).tocsr()
         A_pot = (A_pot + A_pot.T) * 0.5
-        Cp = bell.from_scipy(
-            C, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN, stage=True
+        A_pot_fmt = formats.choose_format(
+            A_pot, 1, self.dtype, ROW_ALIGN, stage=True
         )
-        CTp = bell.from_scipy(
-            C.T.tocsr(), 1, 1, dtype=self.dtype, row_align=ROW_ALIGN,
-            stage=True,
-        )
-        A_pot_ell = bell.from_scipy(
-            A_pot, 1, 1, dtype=self.dtype, row_align=ROW_ALIGN, stage=True
-        )
+        pot_pad = _scalar_pad(A_pot_fmt, 1)
+        Cp = self._stage_transfer(C, nrows_pad, pot_pad)
+        CTp = self._stage_transfer(C.T.tocsr(), pot_pad, nrows_pad)
         pot_sm = build_smoother(
-            A_pot, 1, range_opts, level, A_pot_ell.nrows_pad, self.dtype
+            A_pot, 1, range_opts, level, pot_pad, self.dtype
         )
         return HiptmairSmoother(
             range_sm=range_sm,
             pot_sm=pot_sm,
-            A_pot=A_pot_ell,
+            A_pot=A_pot_fmt,
             C=Cp,
             CT=CTp,
         )

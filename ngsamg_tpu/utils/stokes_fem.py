@@ -34,6 +34,11 @@ class StokesProblem:
     facet_flow: np.ndarray  # (nfacets,) face area (flow weight)
     facet_pos: np.ndarray  # (nfacets, dim) face centers
     alpha: float
+    # primal facet->vertex incidence (optional): enables the short
+    # geometric loop basis (StokesAMG facet_verts/vert_pos kwargs)
+    facet_verts: np.ndarray | None = None  # (nfacets, dim) vertex ids
+    vert_pos: np.ndarray | None = None  # (nverts, dim)
+    bnd_facet_verts: np.ndarray | None = None  # eliminated boundary facets
 
     @property
     def n(self):
@@ -205,7 +210,8 @@ def _simplex_facets(verts: np.ndarray, elems: np.ndarray):
     Returns (fc_all (nf_all, 2) adjacent cells (-1 = boundary),
     area (nf_all,), unit normal (nf_all, dim) oriented cell0 -> cell1,
     facet centroids, cell volumes, cell centroids, inv (ncell*nl,) facet
-    index of each local face, nl = dim+1, ncell).
+    index of each local face, nl = dim+1, ncell, fverts (nf_all, dim)
+    primal vertex ids of each facet).
     """
     ncell, nl = elems.shape
     dim = nl - 1
@@ -247,7 +253,7 @@ def _simplex_facets(verts: np.ndarray, elems: np.ndarray):
     d0 = fpos - cpos[fc_all[:, 0]]
     flip = (normal * d0).sum(axis=1) < 0
     normal[flip] *= -1.0
-    return fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell
+    return fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell, uniq
 
 
 def stokes_tri(
@@ -282,7 +288,7 @@ def stokes_tri(
 
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
     geo = _simplex_facets(verts, elems)
-    (fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell) = geo
+    (fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell, fverts) = geo
     interior = fc_all[:, 1] >= 0
     fi = np.flatnonzero(interior)
     nf = len(fi)
@@ -339,6 +345,9 @@ def stokes_tri(
         facet_flow=flow,
         facet_pos=fpos[fi],
         alpha=alpha,
+        facet_verts=fverts[fi],
+        vert_pos=verts,
+        bnd_facet_verts=fverts[~interior],
     )
     return prob, normal[fi]
 
@@ -373,7 +382,8 @@ def stokes_cr(
     from .fem import _unstructured_mesh
 
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
-    fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell = _simplex_facets(
+    (fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell,
+     fverts) = _simplex_facets(
         verts, elems
     )
     interior = fc_all[:, 1] >= 0
@@ -440,6 +450,9 @@ def stokes_cr(
         facet_flow=flow_vec,  # VECTOR flow (nf, dim)
         facet_pos=fpos[fi],
         alpha=alpha,
+        facet_verts=fverts[fi],
+        vert_pos=verts,
+        bnd_facet_verts=fverts[~interior],
     )
     return prob, normal[fi]
 
@@ -564,7 +577,8 @@ def stokes_hdg_p1(
     from .fem import _unstructured_mesh
 
     verts, elems = _unstructured_mesh(n, dim, seed=seed)
-    fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell = _simplex_facets(
+    (fc_all, area, normal, fpos, vol, cpos, inv, nl, ncell,
+     fverts) = _simplex_facets(
         verts, elems
     )
     interior = fc_all[:, 1] >= 0
