@@ -221,15 +221,18 @@ def main():
         }
 
     # Stokes leg (dual-mesh facet AMG, div-preserving prolongation,
-    # spanning-forest loop basis, Hiptmair smoothing — simplicial mesh)
+    # short geometric loops + Hiptmair smoothing — 3D simplicial mesh at
+    # the >=100k-DoF scale the reference's largest subsystem lives at)
     stokes = None
     if os.environ.get("NGSAMG_BENCH_STOKES", "1") != "0":
         from ngsamg_tpu.precond.stokes import StokesAMG
         from ngsamg_tpu.utils.stokes_fem import stokes_tri
 
-        sprob, _ = stokes_tri(
-            int(os.environ.get("NGSAMG_BENCH_STOKES_N", "20")),
-            dim=2, alpha=10.0,
+        sn = int(os.environ.get("NGSAMG_BENCH_STOKES_N", "20"))
+        sdim = int(os.environ.get("NGSAMG_BENCH_STOKES_DIM", "3"))
+        sprob, _ = _cached_problem(
+            f"stokes_tri{sdim}d_{sn}",
+            lambda: stokes_tri(sn, dim=sdim, alpha=10.0),
         )
         sopts = AMGOptions()
         sopts.levels.max_coarse_size = 80
@@ -242,9 +245,14 @@ def main():
                 cell_vol=sprob.cell_vol,
                 facet_cells=sprob.facet_cells,
                 facet_flow=sprob.facet_flow,
+                facet_verts=sprob.facet_verts,
+                vert_pos=sprob.vert_pos,
+                bnd_facet_verts=sprob.bnd_facet_verts,
                 options=sopts,
             ).setup()
             ts_setup = min(ts_setup, time.perf_counter() - t0)
+            if _rep == 0:
+                spc.solve(sprob.b, tol=tol, maxiter=8)  # compile warm-up
             t0 = time.perf_counter()
             sx, sinfo = spc.solve(sprob.b, tol=tol, maxiter=150)
             ts_solve = min(ts_solve, time.perf_counter() - t0)

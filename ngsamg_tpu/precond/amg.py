@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax import lax
 
 from ..apps.base import Energy
 from ..apps.elasticity import ElasticityEnergy
@@ -99,6 +100,56 @@ def _refine_residual(A64, b64, x64):
 
 
 from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("offs", "dims", "nslabs", "nrows", "nrows_pad"),
+)
+def _refine_residual_slabbed(
+    vals, b64, x64, *, offs, dims, nslabs, nrows, nrows_pad
+):
+    """f64 residual r = b - A x over a StencilDia, in dim-0 lattice slabs.
+
+    The whole-lattice f64 stencil matvec materializes a padded copy of x
+    plus one shifted temporary per stencil offset — ~17 vector-sized
+    emulated-f64 buffers — which set the single-chip compile-OOM ceiling
+    at ~83M DoF (docs/SCALING.md). Computing the residual slab-by-slab
+    (static slices, sequential through the output buffer so XLA's
+    live-range allocator reuses one slab's temporaries for the next)
+    bounds the transient footprint to O(n / nslabs).
+    """
+    d = len(dims)
+    d0 = dims[0]
+    rr = [max(abs(int(o[k])) for o in offs) for k in range(d)]
+    slab = -(-d0 // nslabs)
+    d0pad = slab * nslabs
+    restn = nrows // d0
+    x3 = x64[:nrows, 0].reshape(dims)
+    xp = jnp.pad(
+        x3,
+        [(rr[0], d0pad - d0 + rr[0])]
+        + [(rr[k], rr[k]) for k in range(1, d)],
+    )
+    bflat = b64[:nrows, 0]
+    rbuf = jnp.zeros((d0pad * restn,), x64.dtype)
+    rest_shape = tuple(dims[1:])
+    for i in range(nslabs):
+        a = i * slab
+        y = jnp.zeros((slab,) + rest_shape, x64.dtype)
+        for t, off in enumerate(offs):
+            sl = (
+                slice(a + rr[0] + int(off[0]), a + rr[0] + int(off[0]) + slab),
+            ) + tuple(
+                slice(rr[k] + int(off[k]), rr[k] + int(off[k]) + dims[k])
+                for k in range(1, d)
+            )
+            y = y + vals[t] * xp[sl]
+        lo, hi = a * restn, min((a + slab) * restn, nrows)
+        rs = bflat[lo:hi] - y.reshape(-1)[: hi - lo]
+        rbuf = lax.dynamic_update_slice(rbuf, rs, (lo,))
+    r = jnp.pad(rbuf[:nrows], (0, nrows_pad - nrows))[:, None]
+    return r, jnp.vdot(r[:, 0], r[:, 0])
 
 
 @_partial(jax.jit, static_argnames=("dt",))
@@ -949,6 +1000,21 @@ class AMGPreconditioner:
         A64 = self._A64_dev
         n, n_pad = A64.nrows, A64.nrows_pad
         dt = str(jnp.dtype(self.dtype))
+        # Past ~32M rows, slab the f64 residual so the emulated-f64 stencil
+        # matvec's ~17 vector-sized temporaries shrink to O(n/nslabs) —
+        # they, not the hierarchy, set the 83M single-chip compile ceiling.
+        nslabs = 1
+        if isinstance(A64, formats.StencilDia) and n > 32 * 1024 * 1024:
+            nslabs = -(-n // (16 * 1024 * 1024))
+
+        def _resid(b64, x64):
+            if nslabs > 1:
+                return _refine_residual_slabbed(
+                    A64.vals, b64, x64, offs=A64.offs, dims=A64.dims,
+                    nslabs=nslabs, nrows=n, nrows_pad=n_pad,
+                )
+            return _refine_residual(A64, b64, x64)
+
         with jax.enable_x64(True):
             b64 = jnp.pad(
                 jnp.asarray(b, jnp.float64), (0, n_pad - n)
@@ -959,7 +1025,7 @@ class AMGPreconditioner:
         relres = 1.0
         for outer in range(max_outer):
             with jax.enable_x64(True):
-                r64, rn2 = _refine_residual(A64, b64, x64)
+                r64, rn2 = _resid(b64, x64)
                 rn = float(jnp.sqrt(rn2))
             relres = rn / bnorm
             history.append(relres)
@@ -990,7 +1056,7 @@ class AMGPreconditioner:
                 )
             total_it += int(res.iterations)
         with jax.enable_x64(True):
-            _r64, rn2 = _refine_residual(A64, b64, x64)
+            _r64, rn2 = _resid(b64, x64)
             relres = float(jnp.sqrt(rn2)) / bnorm
         history.append(relres)
         if return_device:

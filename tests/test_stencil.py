@@ -201,3 +201,66 @@ def test_fast_path_gating():
     assert pc2.setup_levels_[0].stencil is None
     x, info = pc2.solve(prob2.b, tol=1e-8)
     assert info.converged
+
+
+def test_refine_residual_slabbed_matches_plain():
+    """Slab-chunked f64 defect-correction residual == whole-lattice path.
+
+    The slabbed variant bounds the emulated-f64 matvec temporaries past
+    ~32M rows (the single-chip compile-OOM driver, docs/SCALING.md); it
+    must agree with the plain path to f64 roundoff on odd dims, 1-3D,
+    with asymmetric offsets and non-divisible slab counts.
+    """
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ngsamg_tpu.precond.amg import (
+        _refine_residual,
+        _refine_residual_slabbed,
+    )
+    from ngsamg_tpu.sparse import formats
+
+    rng = np.random.default_rng(0)
+    with jax.enable_x64(True):
+        for dims in [(13, 11, 7), (9,), (10, 5)]:
+            n = int(np.prod(dims))
+            npad = -(-n // 8) * 8
+            d = len(dims)
+            offs, vals = [], []
+            for off in itertools.product(*([(-2, -1, 0, 1)] * d)):
+                if sum(abs(o) for o in off) <= 2:
+                    offs.append(off)
+                    vals.append(float(rng.standard_normal()))
+            A64 = formats.StencilDia(
+                vals=jnp.asarray(vals, jnp.float64),
+                offs=tuple(offs),
+                dims=dims,
+                nrows=n,
+                nrows_pad=npad,
+            )
+            x = np.zeros((npad, 1))
+            x[:n, 0] = rng.standard_normal(n)
+            b = np.zeros((npad, 1))
+            b[:n, 0] = rng.standard_normal(n)
+            x64 = jnp.asarray(x, jnp.float64)
+            b64 = jnp.asarray(b, jnp.float64)
+            r_ref, rn2_ref = _refine_residual(A64, b64, x64)
+            scale = float(jnp.max(jnp.abs(r_ref))) + 1.0
+            for nslabs in (2, 3, 5):
+                r_s, rn2_s = _refine_residual_slabbed(
+                    A64.vals,
+                    b64,
+                    x64,
+                    offs=A64.offs,
+                    dims=dims,
+                    nslabs=nslabs,
+                    nrows=n,
+                    nrows_pad=npad,
+                )
+                err = float(jnp.max(jnp.abs(r_s - r_ref)))
+                assert err <= 4e-15 * scale, (dims, nslabs, err)
+                assert abs(float(rn2_s - rn2_ref)) <= 1e-12 * max(
+                    float(rn2_ref), 1.0
+                )
