@@ -10,13 +10,51 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def _try_autobuild():  # pragma: no cover - environment dependent
+    """Build the extension in-place on first import when a toolchain is
+    available (fresh checkouts otherwise silently run the slow numpy
+    fallbacks). Best-effort: any failure leaves HAVE_NATIVE False."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("NGSAMG_NO_AUTOBUILD", "0") == "1":
+        return False
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    setup_py = os.path.join(root, "setup.py")
+    if not os.path.exists(setup_py):
+        return False
+    try:
+        subprocess.run(
+            [sys.executable, setup_py, "build_ext", "--inplace"],
+            cwd=root,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=300,
+            check=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 try:
     from . import _ngsamg_native as _nat
 
     HAVE_NATIVE = True
 except ImportError:  # pragma: no cover - environment dependent
-    _nat = None
-    HAVE_NATIVE = False
+    if _try_autobuild():
+        try:
+            from . import _ngsamg_native as _nat
+
+            HAVE_NATIVE = True
+        except ImportError:
+            _nat = None
+            HAVE_NATIVE = False
+    else:
+        _nat = None
+        HAVE_NATIVE = False
 
 
 def _csr_idx(indptr, indices):
