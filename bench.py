@@ -75,6 +75,31 @@ def _cached_problem(tag: str, builder):
     return prob
 
 
+def _free_device_state(tag: str):
+    """Release one bench leg's device memory before the next leg.
+
+    Dropping the Python refs alone is not enough: jitted executables
+    cached per shape capture the hierarchy arrays as constants and keep
+    them resident (measured: the elasticity leg's device_put still
+    RESOURCE_EXHAUSTED after pc=None+gc.collect()).  clear_caches()
+    drops those executables; the legs recompile anyway (different
+    shapes).
+    """
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+    try:
+        live = sum(int(a.nbytes) for a in jax.live_arrays())
+        print(f"[bench] live device bytes after {tag}: {live/1e6:.1f} MB",
+              file=sys.stderr)
+    except Exception:
+        pass
+
+
 def main():
     from ngsamg_tpu.utils.jaxcfg import enable_persistent_cache
 
@@ -137,6 +162,15 @@ def main():
 
     r = np.linalg.norm(prob.A @ x - prob.b) / np.linalg.norm(prob.b)
     dofs_per_s = prob.n / (t_setup + t_solve)
+    n_levels = pc.num_levels
+    op_complexity = pc.operator_complexity
+
+    # free this leg's device-resident hierarchy before the next leg:
+    # the legs together would exceed HBM (measured: the 10M headline +
+    # 935k unstructured hierarchies resident made the 1.25M elasticity
+    # device_put RESOURCE_EXHAUSTED)
+    pc = x_dev = None
+    _free_device_state("headline")
 
     # unstructured leg (perturbed Delaunay; SPW + smoothed prol +
     # supernode formats) — the paths a general mesh exercises
@@ -182,6 +216,8 @@ def main():
             "operator_complexity": round(upc.operator_complexity, 3),
             "setup_stages_s": ustages,
         }
+        upc = ux = None
+        _free_device_state("unstructured")
 
     # elasticity leg (robust EVP matching, rigid transports, BSR formats)
     elasticity = None
@@ -219,6 +255,8 @@ def main():
             "solve_s": round(te_solve, 3),
             "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
         }
+        epc = ex = None
+        _free_device_state("elasticity")
 
     # Stokes leg (dual-mesh facet AMG, div-preserving prolongation,
     # short geometric loops + Hiptmair smoothing — 3D simplicial mesh at
@@ -270,36 +308,50 @@ def main():
                 sprob.A.shape[0] / (ts_setup + ts_solve), 1
             ),
         }
+        spc = sx = None
+        _free_device_state("stokes")
 
-    # GS leg (the parity-default smoother: color-sorted sweeps)
+    # GS leg (the parity-default smoother: color-sorted sweeps) at >=1M
+    # DoF, with a same-problem Chebyshev run quantifying the GS-vs-
+    # Chebyshev gap at the scale where it matters (the per-color static
+    # slices pay the ~0.55 ms/op fixed cost x ncolors x levels x sweeps)
     gs = None
     if os.environ.get("NGSAMG_BENCH_GS", "1") != "0":
-        gn = int(os.environ.get("NGSAMG_BENCH_GS_N", "48"))
+        gn = int(os.environ.get("NGSAMG_BENCH_GS_N", "101"))
         gp = _cached_problem(f"poisson3d_{gn}", lambda: fem.poisson_3d(gn))
-        gopts = AMGOptions()
-        gopts.smoother = SmootherOptions(type=SmootherType.GS)
-        tg_setup = tg_solve = float("inf")
-        for _rep in range(max(repeats, 1)):
-            t0 = time.perf_counter()
-            gpc = AMGPreconditioner(
-                gp.A, coords=gp.coords, options=gopts
-            ).setup()
-            tg_setup = min(tg_setup, time.perf_counter() - t0)
-            if _rep == 0:
-                gpc.solve(gp.b, tol=tol, maxiter=8)
-            t0 = time.perf_counter()
-            gx, ginfo = gpc.solve(gp.b, tol=tol)
-            tg_solve = min(tg_solve, time.perf_counter() - t0)
-        gr = np.linalg.norm(gp.A @ gx - gp.b) / np.linalg.norm(gp.b)
-        gs = {
-            "n_dof": gp.n,
-            "iterations": int(ginfo.iterations),
-            "relres": float(gr),
-            "converged": bool(ginfo.converged and gr < 10 * tol),
-            "setup_s": round(tg_setup, 3),
-            "solve_s": round(tg_solve, 3),
-            "dofs_per_s": round(gp.n / (tg_setup + tg_solve), 1),
-        }
+        gs = {"n_dof": gp.n}
+        for sm in ("gs", "chebyshev"):
+            gopts = AMGOptions()
+            gopts.smoother = SmootherOptions(type=SmootherType(sm))
+            tg_setup = tg_solve = float("inf")
+            for _rep in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                gpc = AMGPreconditioner(
+                    gp.A, coords=gp.coords, options=gopts
+                ).setup()
+                tg_setup = min(tg_setup, time.perf_counter() - t0)
+                if _rep == 0:
+                    gpc.solve(gp.b, tol=tol, maxiter=8)
+                t0 = time.perf_counter()
+                gx, ginfo = gpc.solve(gp.b, tol=tol)
+                tg_solve = min(tg_solve, time.perf_counter() - t0)
+            gr = np.linalg.norm(gp.A @ gx - gp.b) / np.linalg.norm(gp.b)
+            gs[sm] = {
+                "iterations": int(ginfo.iterations),
+                "relres": float(gr),
+                "converged": bool(ginfo.converged and gr < 10 * tol),
+                "setup_s": round(tg_setup, 3),
+                "solve_s": round(tg_solve, 3),
+                "dofs_per_s": round(gp.n / (tg_setup + tg_solve), 1),
+            }
+            gpc = gx = None
+            _free_device_state(f"gs-leg:{sm}")
+        gs["converged"] = bool(
+            gs["gs"]["converged"] and gs["chebyshev"]["converged"]
+        )
+        gs["solve_ratio_gs_over_cheb"] = round(
+            gs["gs"]["solve_s"] / max(gs["chebyshev"]["solve_s"], 1e-9), 2
+        )
 
     result = {
         "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",
@@ -314,8 +366,8 @@ def main():
             "iterations": int(info.iterations),
             "relres": float(r),
             "converged": bool(info.converged and r < 10 * tol),
-            "levels": pc.num_levels,
-            "operator_complexity": round(pc.operator_complexity, 3),
+            "levels": n_levels,
+            "operator_complexity": round(op_complexity, 3),
             "setup_s": round(t_setup, 3),
             "solve_s": round(t_solve, 3),
             "solve_dofs_per_s": round(prob.n / t_solve, 1),
