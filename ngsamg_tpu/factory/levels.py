@@ -557,12 +557,14 @@ def setup_levels(
             cur.P_amg = P  # pre-embedding (dpv-space) prol: GetRotationOfBF
             P = (E @ P).tobsr(blocksize=(cur.row_bs, energy.dpv))
 
-        # Galerkin products in the solve dtype: f32 coarse operators serve
-        # an f32 preconditioner, but an f64 solve needs f64 RAP — on
-        # ill-conditioned (jump elasticity) problems f32-rounded coarse
-        # operators measurably break the V-cycle's positive definiteness
-        rap_dt = np.float32 if opts.dtype != "float64" else np.float64
-        Ac = rap(cur.A, P, dtype=rap_dt)
+        # Galerkin products ALWAYS in f64 on the host: the device staging
+        # casts to the solve dtype afterwards. Computing RAP in f32 for
+        # f32 runs (the previous behavior) fuzzes exact coarse null modes
+        # to ~1e-7 — measured: the 3D-elasticity coarsest's rot null mode
+        # became -7.8e-9, Cholesky then "succeeded" with a garbage inverse
+        # (||A_c^-1 A_c - I|| = 735) and the f32 cycle went indefinite
+        # (740 PCG iterations at 6k DoF, divergence at 1.25M).
+        Ac = rap(cur.A, P, dtype=np.float64)
         cur.P = P
         cur.v2agg = v2agg
         levels.append(

@@ -165,16 +165,27 @@ def _refine_accumulate(x64, dx32, rn):
 def _spd_inverse(Ad: np.ndarray) -> np.ndarray:
     """Dense inverse of an SPD matrix: Cholesky (4x faster than the
     eigh-based pinv at ~3000 rows), pseudo-inverse fallback for the
-    singular/regularized cases (`RegularizeMatrix` analog)."""
+    singular/regularized cases (`RegularizeMatrix` analog).
+
+    Cholesky on a NEAR-singular matrix can succeed numerically while
+    producing a garbage inverse (measured ||A^-1 A - I|| = 735 on a
+    coarsest elasticity matrix whose rot null mode had been fuzzed to
+    -8e-9 by f32 rounding) — so the result is verified on a random
+    vector and falls back to the eigh pseudo-inverse when inaccurate."""
     try:
         import scipy.linalg as sla
 
         cf = sla.cho_factor(Ad, lower=True, check_finite=False)
-        return sla.cho_solve(
+        inv = sla.cho_solve(
             cf, np.eye(Ad.shape[0]), check_finite=False
         )
+        v = np.random.default_rng(0).standard_normal(Ad.shape[0])
+        err = np.linalg.norm(Ad @ (inv @ v) - v) / np.linalg.norm(v)
+        if not np.isfinite(err) or err > 1e-8:
+            raise np.linalg.LinAlgError(f"cho inverse off by {err:.1e}")
+        return inv
     except Exception:
-        return np.linalg.pinv(Ad, rcond=1e-12, hermitian=True)
+        return np.linalg.pinv(Ad, rcond=1e-10, hermitian=True)
 
 
 @dataclass
@@ -208,6 +219,8 @@ class AMGPreconditioner:
         self.options = options
         self.freedofs = None if freedofs is None else np.asarray(freedofs, bool)
         self._ext_free = None  # external->internal dof map (perm/subset)
+        self._scale0 = None  # symmetric-scaling boundary (f32 hierarchies)
+        self._x64_cycle = False  # cycle carries an f64 coarse solve
         if dof_layout == "compound":
             # component-major user layout [x0..xn, y0..yn, ...] permuted to
             # the interleaved internal layout (the reference's compound
@@ -496,6 +509,48 @@ class AMGPreconditioner:
         # levels, dense MXU matvec for small coarse levels).
         from ..native import csr_permute as _nat_permute
 
+        # Per-level symmetric diagonal scaling for sub-f64 device dtypes:
+        # stage A'_l = S_l A_l S_l (unit diagonal) and P'_l = S_l^-1 P_l
+        # S_{l+1}, so every Galerkin identity holds on the scaled hierarchy
+        # and the solve boundary maps x = S_0 y, r' = S_0 r. The hierarchy
+        # itself (aggregates, transports, P) is still built in f64 on the
+        # UNSCALED operator — RBM/energy semantics are untouched; scaling
+        # is purely a device-staging conditioner. Without it the f32 cycle
+        # collapses on ill-scaled block energies (measured: 1.25M-DoF 3D
+        # elasticity DIVERGES unscaled, 740 iters at 6k; scaled it matches
+        # the f64 iteration count). The reference never faces this — it is
+        # all-f64 (utils_denseLA.hpp LAPACK paths); on TPU, f32 + scaling +
+        # f64 defect correction is the production scheme.
+        self._scale0 = None
+        use_scaling = jnp.dtype(self.dtype) != jnp.float64 and all(
+            lev.stencil is None and lev.lattice_transfer is None
+            for lev in self.setup_levels_
+        )
+        svecs: list = [None] * nlev
+
+        def _sym_scale(A, i):
+            """Scale A (CSR/BSR, already permuted) to unit diagonal."""
+            d = A.diagonal()
+            s = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 1.0)
+            svecs[i] = s
+            if sp.issparse(A) and A.format == "bsr":
+                R, C = A.blocksize
+                brow = np.repeat(
+                    np.arange(A.shape[0] // R), np.diff(A.indptr)
+                )
+                sr = s[brow[:, None] * R + np.arange(R)]
+                scl = s[A.indices[:, None] * C + np.arange(C)]
+                data = A.data * sr[:, :, None] * scl[:, None, :]
+                return sp.bsr_matrix(
+                    (data, A.indices, A.indptr), shape=A.shape
+                )
+            A = A.tocsr()
+            rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+            return sp.csr_matrix(
+                (A.data * (s[rows] * s[A.indices]), A.indices, A.indptr),
+                shape=A.shape,
+            )
+
         A_fmts, A_perm, sms = [], [], []
         for i, lev in enumerate(self.setup_levels_):
             A = lev.A
@@ -503,6 +558,8 @@ class AMGPreconditioner:
                 p = scal_perms[i]
                 Ap = _nat_permute(A, p, p)
                 A = Ap if Ap is not None else A[p][:, p].tocsr()
+            if use_scaling and A is not None:
+                A = _sym_scale(A, i)
             _mark("permute")
             A_perm.append(A)
             if lev.stencil is not None:
@@ -560,6 +617,22 @@ class AMGPreconditioner:
                                 P = P[scal_perms[i]]
                             if scal_perms[i + 1] is not None:
                                 P = P[:, scal_perms[i + 1]]
+                if use_scaling and P is not None:
+                    # P' = S_f^-1 P S_c (entries *= s_c[col] / s_f[row])
+                    sf = svecs[i]
+                    sc = svecs[i + 1]
+                    P = P.tocsr()
+                    dat = P.data.copy()
+                    if sc is not None:
+                        dat *= sc[P.indices]
+                    if sf is not None:
+                        rows = np.repeat(
+                            np.arange(P.shape[0]), np.diff(P.indptr)
+                        )
+                        dat /= sf[rows]
+                    P = sp.csr_matrix(
+                        (dat, P.indices, P.indptr), shape=P.shape
+                    )
                 nf_pad = _scalar_pad(A_fmts[i], lev.row_bs)
                 nc_pad = _scalar_pad(
                     A_fmts[i + 1], self.setup_levels_[i + 1].row_bs
@@ -674,11 +747,20 @@ class AMGPreconditioner:
             )
             _mark("pack_PR")
         self._coarsest_perm = scal_perms[-1]
+        if use_scaling and svecs[0] is not None:
+            # solve-boundary scale in UNPERMUTED internal order:
+            # x = S_0 y and r' = S_0 r both multiply by S_0
+            self._scale0 = (
+                svecs[0] if self._iperm0 is None else svecs[0][self._iperm0]
+            )
         coarse_inv = None
         if opts.coarse_solve == CoarseSolveType.INV:
             # invert the PERMUTED coarsest matrix: the device format and the
             # restriction into the coarsest level are built in A_perm order
-            coarse_inv = self._build_coarse_inv(dev_levels[-1], A_perm[-1])
+            coarse_inv = self._build_coarse_inv(
+                dev_levels[-1], A_perm[-1], keep_f64=use_scaling
+            )
+        self._x64_cycle = bool(use_scaling and coarse_inv is not None)
         _mark("coarse_inv")
         # local cluster correction (smoothers/cluster_corr.py): batched
         # exact solves on near-singular sliver clusters of the finest
@@ -711,7 +793,14 @@ class AMGPreconditioner:
             cluster_corr=cluster_corr,
             cycle=opts.cycle.value,
         )
-        op = jax.device_put(op_host)
+        if self._x64_cycle:
+            # keep the f64 coarse-inverse leaf f64 through the put (x64-off
+            # device_put canonicalizes f64 -> f32); explicit-dtype f32
+            # leaves are unaffected by the scope
+            with jax.enable_x64(True):
+                op = jax.device_put(op_host)
+        else:
+            op = jax.device_put(op_host)
         jax.block_until_ready(jax.tree_util.tree_leaves(op)[:1])
         _mark("device_put")
         # re-point implicit lattice transfers at the level's device A
@@ -763,19 +852,26 @@ class AMGPreconditioner:
                         nrows_pad=self.A_dev.nrows_pad,
                     )
 
-    def _build_coarse_inv(self, dev_coarsest: DeviceLevel, A_coarsest=None):
+    def _build_coarse_inv(
+        self, dev_coarsest: DeviceLevel, A_coarsest=None, keep_f64=False
+    ):
         """Dense pseudo-inverse of the coarsest matrix (CoarseLevelInv).
 
         Computed in f64 on host, shipped padded; applied as one MXU matmul.
         Pseudo-inverse covers the reference's regularized singular coarse
         matrices (`RegularizeMatrix`, elasticity_pc_impl.hpp:139).
         ``A_coarsest`` must be the matrix in the device (permuted) row order.
+        ``keep_f64`` ships the inverse in f64 so the coarse solve runs in
+        f64 inside an f32 cycle (see solve/cycle.py coarse_solve) — needed
+        for ill-conditioned block energies where eps32 * ||A_c^-1|| noise
+        makes the f32-applied pinv indefinite.
         """
         lev = self.setup_levels_[-1]
         Ad = (lev.A if A_coarsest is None else A_coarsest).toarray()
         inv = _spd_inverse(Ad)
         npad = _scalar_pad(dev_coarsest.A, lev.row_bs)
-        out = np.zeros((npad, npad), dtype=np.dtype(self.dtype))
+        out_dtype = np.float64 if keep_f64 else np.dtype(self.dtype)
+        out = np.zeros((npad, npad), dtype=out_dtype)
         out[: inv.shape[0], : inv.shape[1]] = inv
         return out
 
@@ -793,6 +889,8 @@ class AMGPreconditioner:
     def _to_dev(self, v: np.ndarray) -> jax.Array:
         bs = self.setup_levels_[0].row_bs
         v = np.asarray(v)
+        if self._scale0 is not None:
+            v = v * self._scale0  # r' = S_0 r (scaled hierarchy boundary)
         if self._perm0 is not None:
             v = v[self._perm0]
         return bell.block_vec(v, bs, self.A_dev.nrows_pad, self.dtype)
@@ -805,6 +903,8 @@ class AMGPreconditioner:
         )
         if self._iperm0 is not None:
             out = out[self._iperm0]
+        if self._scale0 is not None:
+            out = out * self._scale0  # x = S_0 y
         return out
 
     # partial-Dirichlet (scalFreeRows) external<->internal vector views
@@ -822,11 +922,21 @@ class AMGPreconditioner:
         """A @ p in the external (free-dof) space."""
         return self._contract_ext(self.A_host @ self._expand_ext(p))
 
+    def _cycle_scope(self):
+        """x64 trace scope for cycles carrying an f64 coarse solve."""
+        import contextlib
+
+        return (
+            jax.enable_x64(True) if self._x64_cycle
+            else contextlib.nullcontext()
+        )
+
     def apply(self, r: np.ndarray) -> np.ndarray:
         """x = M^-1 r — one AMG cycle (the reference `Mult`)."""
         self._require_setup()
         r = self._expand_ext(np.asarray(r, dtype=np.float64))
-        out = self._from_dev(amg_apply(self.op, self._to_dev(r)))
+        with self._cycle_scope():
+            out = self._from_dev(amg_apply(self.op, self._to_dev(r)))
         return self._contract_ext(out)
 
     def solve(
@@ -892,18 +1002,19 @@ class AMGPreconditioner:
             if len(history) >= 2 and relres > 0.5 * history[-2]:
                 stagnated = True
                 break  # refinement stagnated (f32 accuracy floor)
-            res: SolveResult = pcg(
-                self.op,
-                self.A_dev,
-                self._to_dev(r),
-                tol=float(max(inner_tol, 0.5 * tol / relres)),
-                # ask only for the reachable reduction: the f32 floor
-                # caps what one inner pass delivers (asking below it
-                # wastes tail iterations on drifted bookkeeping), and
-                # near convergence only tol/relres is needed (the old
-                # min() overshot 1e-8 targets to 1e-11)
-                maxiter=maxiter,
-            )
+            with self._cycle_scope():
+                res: SolveResult = pcg(
+                    self.op,
+                    self.A_dev,
+                    self._to_dev(r),
+                    tol=float(max(inner_tol, 0.5 * tol / relres)),
+                    # ask only for the reachable reduction: the f32 floor
+                    # caps what one inner pass delivers (asking below it
+                    # wastes tail iterations on drifted bookkeeping), and
+                    # near convergence only tol/relres is needed (the old
+                    # min() overshot 1e-8 targets to 1e-11)
+                    maxiter=maxiter,
+                )
             x = x + self._from_dev(res.x)
             total_it += int(res.iterations)
         r = b - self.A_host @ x
@@ -1149,10 +1260,11 @@ class AMGPreconditioner:
             nreal = lev.A.nrows * (bsv if bs == 1 else 1)
 
             def apply_l(r, l=l):
-                return np.asarray(
-                    _cycle(self.op, jnp.asarray(r, self.dtype), l),
-                    dtype=np.float64,
-                )
+                with self._cycle_scope():
+                    return np.asarray(
+                        _cycle(self.op, jnp.asarray(r, self.dtype), l),
+                        dtype=np.float64,
+                    )
 
             def matvec_l(p, lev=lev):
                 return np.asarray(

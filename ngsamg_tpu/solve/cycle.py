@@ -67,8 +67,20 @@ def coarse_solve(op: AMGOperator, b: jax.Array) -> jax.Array:
         x = smooth(lev.smoother, lev.A, None, b)
         return smooth_back(lev.smoother, lev.A, x, b)
     n, bs = b.shape
-    x = (op.coarse_inv @ b.reshape(-1)).reshape(n, bs)
-    return x
+    ci = op.coarse_inv
+    if ci.dtype != b.dtype:
+        # f64 coarse solve inside an f32 cycle (general/scaled path): an
+        # explicit pseudo-inverse with norm ~1/lambda_min applied in f32
+        # injects eps32*kappa-sized indefinite noise — measured spectral
+        # bounds of the coarsest apply (-1864, 629) where (1, 1) is exact,
+        # which makes the whole cycle indefinite and PCG diverge on 3D
+        # elasticity. Requires tracing under jax.enable_x64 (the caller
+        # scopes it; without x64 the astype canonicalizes back to f32 and
+        # this degrades gracefully to the old behavior).
+        x = (ci @ b.reshape(-1).astype(ci.dtype)).astype(b.dtype)
+    else:
+        x = ci @ b.reshape(-1)
+    return x.reshape(n, bs)
 
 
 def _cycle(op: AMGOperator, b: jax.Array, l: int) -> jax.Array:
