@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+from .. import native
 from ..mesh.topo import AlgebraicMesh
 from ..sparse.host import to_bsr
 from .base import Energy
@@ -260,6 +261,12 @@ class ElasticityEnergy(Energy):
         [ -Qjm^T E Qim   Qjm^T E Qjm ]   with E the edge matrix at the
         midpoint frame and Qim/Qjm the half transports.
         """
+        nat = native.rigid_edge_blocks(
+            mesh.vertex_data["pos"], mesh.edges,
+            mesh.edge_data["mat"], self._s,
+        )
+        if nat is not None:
+            return nat
         pos = mesh.vertex_data["pos"]
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
         E = mesh.edge_data["mat"]
@@ -279,10 +286,15 @@ class ElasticityEnergy(Energy):
     def aux_diagonal(self, mesh: AlgebraicMesh) -> np.ndarray:
         """(nv, dpv, dpv) diagonal of the replacement matrix."""
         nv, dpv = mesh.nv, self.dpv
-        Bii, _Bij, _Bji, Bjj = self._edge_rm_blocks(mesh)
-        D = np.zeros((nv, dpv, dpv))
-        np.add.at(D, mesh.edges[:, 0], Bii)
-        np.add.at(D, mesh.edges[:, 1], Bjj)
+        D = native.elast_rm_diag(
+            mesh.vertex_data["pos"], mesh.edges,
+            mesh.edge_data["mat"], self._s,
+        )
+        if D is None:
+            Bii, _Bij, _Bji, Bjj = self._edge_rm_blocks(mesh)
+            D = np.zeros((nv, dpv, dpv))
+            np.add.at(D, mesh.edges[:, 0], Bii)
+            np.add.at(D, mesh.edges[:, 1], Bjj)
         idx = np.arange(self.dim)
         D[:, idx, idx] += mesh.vertex_data["l2wt"][:, None]
         stab = mesh.vertex_data.get("stab")
@@ -362,9 +374,11 @@ class ElasticityEnergy(Energy):
 
         A = to_frame(e_ik, pos[kk])
         B = to_frame(e_jk, pos[kk])
-        Sinv = np.linalg.pinv(A + B, rcond=1e-10, hermitian=True)
-        T = A @ Sinv @ B
-        T = 0.5 * (T + np.transpose(T, (0, 2, 1)))
+        T = native.harmonic_mean_sym(A, B, rcond=1e-10)
+        if T is None:
+            Sinv = np.linalg.pinv(A + B, rcond=1e-10, hermitian=True)
+            T = A @ Sinv @ B
+            T = 0.5 * (T + np.transpose(T, (0, 2, 1)))
         mid_t = 0.5 * (pos[e[eid_t, 0]] + pos[e[eid_t, 1]])
         Qm = self.transport(mid_t, pos[kk])
         boost = np.swapaxes(Qm, -1, -2) @ (T @ Qm)
@@ -401,14 +415,25 @@ class ElasticityEnergy(Energy):
         if neib_boost:
             E = E + self._neib_boost(mesh)
         D = self.aux_diagonal(mesh)
+        if len(E) < DEVICE_SOC_MIN_EDGES:
+            out = native.elast_soc_robust(
+                pos, mesh.edges, E, D, self._s,
+                tol=1e-10, reduction=reduction,
+            )
+            if out is not None:
+                return out
         mid = 0.5 * (pos[i] + pos[j])
         Qmi = self.transport(mid, pos[i])  # coeff at m -> coeff at i
         Qmj = self.transport(mid, pos[j])
         di = np.swapaxes(Qmi, -1, -2) @ (D[i] @ Qmi)
         dj = np.swapaxes(Qmj, -1, -2) @ (D[j] @ Qmj)
-        dsum_inv = np.linalg.pinv(di + dj, rcond=1e-12, hermitian=True)
-        C = di @ dsum_inv @ dj
-        C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
+        C = native.harmonic_mean_sym(di, dj, rcond=1e-12)
+        if C is None:
+            dsum_inv = np.linalg.pinv(
+                di + dj, rcond=1e-12, hermitian=True
+            )
+            C = di @ dsum_inv @ dj
+            C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
         return _pencil_extreme_eig(E, C, reduction=reduction)
 
     # -- coarse data mapping ----------------------------------------------
@@ -485,8 +510,13 @@ class ElasticityEnergy(Energy):
 
 
 # batches at least this large route through the device pencil solver
-# (ops/batched_la.pencil_extreme_eig) — the setup's heaviest eigh batch
-DEVICE_SOC_MIN_EDGES = 200_000
+# (ops/batched_la.pencil_extreme_eig). Effectively OFF by default: the
+# native Jacobi kernel (native.pencil_extreme_eig, 1-6 us/edge) beats the
+# device round trip everywhere measured, and on remote-TPU tunnels each
+# novel batch shape pays a 10-30 s uncacheable eager compile (CLAUDE.md)
+# — ten SPW rounds of distinct edge counts made a 1.25M-DoF elasticity
+# setup take 1223 s. Tests force the device path by setting this to 1.
+DEVICE_SOC_MIN_EDGES = 10**9
 
 
 def _pencil_extreme_eig(E, C, reduction="min", tol=1e-10):
@@ -513,6 +543,9 @@ def _pencil_extreme_eig(E, C, reduction="min", tol=1e-10):
             return np.asarray(out, dtype=np.float64)
         except Exception:  # pragma: no cover - device-availability dependent
             pass
+    out = native.pencil_extreme_eig(E, C, tol=tol, reduction=reduction)
+    if out is not None:
+        return out
     lam, V = np.linalg.eigh(C)
     lam_max = np.maximum(lam[:, -1:], 1e-300)
     ok = lam > tol * lam_max

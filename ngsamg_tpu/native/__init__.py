@@ -372,3 +372,84 @@ def bsr_from_edge_blocks(edges, Bii, Bij, Bji, Bjj, Dv):
     return sp.bsr_matrix(
         (blocks, indices, indptr), shape=(nv * d, nv * d)
     )
+
+
+def pencil_extreme_eig(E, C, tol=1e-10, reduction="min"):
+    """Batched extreme eigenvalue of small symmetric pencils (E, C)
+    restricted to range(C); None when the extension is absent
+    (apps/elasticity._pencil_extreme_eig hot path)."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.pencil_extreme_eig(
+        np.ascontiguousarray(E, dtype=np.float64),
+        np.ascontiguousarray(C, dtype=np.float64),
+        float(tol),
+        0 if reduction == "min" else 1,
+    )
+
+
+def harmonic_mean_sym(A, B, rcond=1e-12):
+    """Batched symmetrized series energy A (A+B)^+ B; None when the
+    extension is absent (soc_robust / _neib_boost)."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.harmonic_mean_sym(
+        np.ascontiguousarray(A, dtype=np.float64),
+        np.ascontiguousarray(B, dtype=np.float64),
+        float(rcond),
+    )
+
+
+def csr_sym_scale(A, s):
+    """data * s[row] * s[col] in one pass over a CSR; None when the
+    extension is absent (precond/amg device-staging scaling)."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.csr_sym_scale(
+        A.indptr, A.indices,
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        np.ascontiguousarray(s, dtype=np.float64),
+    )
+
+
+def elast_rm_diag(pos, edges, E, s):
+    """Fused replacement-matrix diagonal (aux_diagonal's RM part): D[i] +=
+    Qim^T E Qim, D[j] += Qjm^T E Qjm; None when the extension is absent."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.elast_rm_diag(
+        np.ascontiguousarray(pos, dtype=np.float64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        np.ascontiguousarray(E, dtype=np.float64),
+        float(s),
+    )
+
+
+def elast_soc_robust(pos, edges, E, D, s, tol=1e-10, reduction="min"):
+    """Fully fused robust SOC per edge (midpoint transports + series
+    energy + extreme pencil eigenvalue); None when the extension is
+    absent (apps/elasticity.soc_robust)."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.elast_soc_robust(
+        np.ascontiguousarray(pos, dtype=np.float64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        np.ascontiguousarray(E, dtype=np.float64),
+        np.ascontiguousarray(D, dtype=np.float64),
+        float(s),
+        float(tol),
+        0 if reduction == "min" else 1,
+    )
+
+
+def rigid_edge_blocks(pos, edges, E, s):
+    """Fused per-edge replacement-matrix blocks (Bii, Bij, Bji, Bjj);
+    None when the extension is absent (_edge_rm_blocks hot path)."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.rigid_edge_blocks(
+        np.ascontiguousarray(pos, dtype=np.float64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        np.ascontiguousarray(E, dtype=np.float64),
+        float(s),
+    )

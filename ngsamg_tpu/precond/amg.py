@@ -545,10 +545,16 @@ class AMGPreconditioner:
                     (data, A.indices, A.indptr), shape=A.shape
                 )
             A = A.tocsr()
-            rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+            from ..native import csr_sym_scale as _nat_scale
+
+            dat = _nat_scale(A, s)
+            if dat is None:
+                rows = np.repeat(
+                    np.arange(A.shape[0]), np.diff(A.indptr)
+                )
+                dat = A.data * (s[rows] * s[A.indices])
             return sp.csr_matrix(
-                (A.data * (s[rows] * s[A.indices]), A.indices, A.indptr),
-                shape=A.shape,
+                (dat, A.indices, A.indptr), shape=A.shape
             )
 
         A_fmts, A_perm, sms = [], [], []
