@@ -176,140 +176,187 @@ def main():
     # supernode formats) — the paths a general mesh exercises
     unstructured = None
     if os.environ.get("NGSAMG_BENCH_UNSTRUCTURED", "1") != "0":
-        # ~935k DoF (52^3-lattice perturbed Delaunay + one uniform red
-        # refinement): the SPW + smoothed-prol + tile-ELL + cluster-
-        # correction path at the scale the reference lives at
-        nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "52"))
-        uref = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_REFINE", "1"))
-        up = _cached_problem(
-            f"unstruct3d_{nu}_r{uref}",
-            lambda: fem.unstructured_poisson(nu, dim=3, refine=uref),
-        )
-        tu_setup = tu_solve = float("inf")
-        ustages = None
-        for _rep in range(max(repeats, 1)):
-            t0 = time.perf_counter()
-            upc = AMGPreconditioner(
-                up.A, coords=up.coords, options=opts
-            ).setup()
-            tu_setup = min(tu_setup, time.perf_counter() - t0)
-            ustages = {
-                k: round(v, 3)
-                for k, v in upc._device_stage_times.items()
+        # a transient failure here (co-tenant HBM pressure, tunnel
+        # hiccup) must not kill the headline metric above
+        try:
+            # ~935k DoF (52^3-lattice perturbed Delaunay + one uniform red
+            # refinement): the SPW + smoothed-prol + tile-ELL + cluster-
+            # correction path at the scale the reference lives at
+            nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "52"))
+            uref = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_REFINE", "1"))
+            up = _cached_problem(
+                f"unstruct3d_{nu}_r{uref}",
+                lambda: fem.unstructured_poisson(nu, dim=3, refine=uref),
+            )
+            tu_setup = tu_solve = float("inf")
+            ustages = None
+            for _rep in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                upc = AMGPreconditioner(
+                    up.A, coords=up.coords, options=opts
+                ).setup()
+                tu_setup = min(tu_setup, time.perf_counter() - t0)
+                ustages = {
+                    k: round(v, 3)
+                    for k, v in upc._device_stage_times.items()
+                }
+                ustages["host_factory"] = round(upc.setup_time_host, 3)
+                if _rep == 0:
+                    upc.solve(up.b, tol=tol, maxiter=8)  # compile warm-up
+                t0 = time.perf_counter()
+                ux, uinfo = upc.solve(up.b, tol=tol)
+                tu_solve = min(tu_solve, time.perf_counter() - t0)
+            ur = np.linalg.norm(up.A @ ux - up.b) / np.linalg.norm(up.b)
+            unstructured = {
+                "n_dof": up.n,
+                "iterations": int(uinfo.iterations),
+                "relres": float(ur),
+                "converged": bool(uinfo.converged and ur < 10 * tol),
+                "setup_s": round(tu_setup, 3),
+                "setup_us_per_dof": round(1e6 * tu_setup / up.n, 2),
+                "solve_s": round(tu_solve, 3),
+                "dofs_per_s": round(up.n / (tu_setup + tu_solve), 1),
+                "operator_complexity": round(upc.operator_complexity, 3),
+                "setup_stages_s": ustages,
             }
-            ustages["host_factory"] = round(upc.setup_time_host, 3)
-            if _rep == 0:
-                upc.solve(up.b, tol=tol, maxiter=8)  # compile warm-up
-            t0 = time.perf_counter()
-            ux, uinfo = upc.solve(up.b, tol=tol)
-            tu_solve = min(tu_solve, time.perf_counter() - t0)
-        ur = np.linalg.norm(up.A @ ux - up.b) / np.linalg.norm(up.b)
-        unstructured = {
-            "n_dof": up.n,
-            "iterations": int(uinfo.iterations),
-            "relres": float(ur),
-            "converged": bool(uinfo.converged and ur < 10 * tol),
-            "setup_s": round(tu_setup, 3),
-            "setup_us_per_dof": round(1e6 * tu_setup / up.n, 2),
-            "solve_s": round(tu_solve, 3),
-            "dofs_per_s": round(up.n / (tu_setup + tu_solve), 1),
-            "operator_complexity": round(upc.operator_complexity, 3),
-            "setup_stages_s": ustages,
-        }
-        upc = ux = None
-        _free_device_state("unstructured")
+            upc = ux = None
+            _free_device_state("unstructured")
+        except Exception as _e:
+            import traceback
+
+            traceback.print_exc()
+            unstructured = {
+                "error": f"{type(_e).__name__}: {_e}",
+                "converged": False,
+            }
+            _free_device_state("unstructured:error")
 
     # elasticity leg (robust EVP matching, rigid transports, BSR formats)
     elasticity = None
     if os.environ.get("NGSAMG_BENCH_ELAST", "1") != "0":
-        # 3D, ~1.25M DoF (3x3 blocks on the MXU): robust EVP matching,
-        # rigid transports, block formats at benchmark scale
-        en = int(os.environ.get("NGSAMG_BENCH_ELAST_N", "36"))
-        eref = int(os.environ.get("NGSAMG_BENCH_ELAST_REFINE", "1"))
-        edim = int(os.environ.get("NGSAMG_BENCH_ELAST_DIM", "3"))
-        ep = _cached_problem(
-            f"elast{edim}d_{en}_r{eref}",
-            lambda: fem.unstructured_elasticity(en, dim=edim, refine=eref),
-        )
-        te_setup = te_solve = float("inf")
-        for _rep in range(max(repeats, 1)):
-            t0 = time.perf_counter()
-            epc = AMGPreconditioner(
-                ep.A, energy="elasticity", block_size=edim,
-                coords=ep.coords,
-            ).setup()
-            te_setup = min(te_setup, time.perf_counter() - t0)
-            if _rep == 0:
-                epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
-            t0 = time.perf_counter()
-            ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120)
-            te_solve = min(te_solve, time.perf_counter() - t0)
-        er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
-        elasticity = {
-            "n_dof": ep.n,
-            "iterations": int(einfo.iterations),
-            "relres": float(er),
-            "converged": bool(einfo.converged and er < 10 * tol),
-            "setup_s": round(te_setup, 3),
-            "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
-            "solve_s": round(te_solve, 3),
-            "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
-        }
-        epc = ex = None
-        _free_device_state("elasticity")
+        # a transient failure here (co-tenant HBM pressure, tunnel
+        # hiccup) must not kill the headline metric above
+        try:
+            # 3D, ~1.25M DoF (3x3 blocks on the MXU): robust EVP matching,
+            # rigid transports, block formats at benchmark scale
+            en = int(os.environ.get("NGSAMG_BENCH_ELAST_N", "36"))
+            eref = int(os.environ.get("NGSAMG_BENCH_ELAST_REFINE", "1"))
+            edim = int(os.environ.get("NGSAMG_BENCH_ELAST_DIM", "3"))
+            ep = _cached_problem(
+                f"elast{edim}d_{en}_r{eref}",
+                lambda: fem.unstructured_elasticity(en, dim=edim, refine=eref),
+            )
+            # reference-budget configuration (<40 iters, tests/elasticity/
+            # mdim/simple/test_3d_lo.py:5-11): 2 smoothing sweeps + goal
+            # aaf 0.15 (measured 27 f64 iters at 147k vs 48 default), solved
+            # via the mixed-precision outer (f64 Krylov + f32 cycle as M) so
+            # iteration counts track the f64-quality cycle instead of paying
+            # the f32 inner-PCG accuracy floor (measured 1.5x)
+            from ngsamg_tpu import SpecOpt
+
+            eopts = AMGOptions()
+            eopts.smoother.steps = SpecOpt(2)
+            eopts.coarsen.aaf = SpecOpt(0.15)
+            te_setup = te_solve = float("inf")
+            for _rep in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                epc = AMGPreconditioner(
+                    ep.A, energy="elasticity", block_size=edim,
+                    coords=ep.coords, options=eopts,
+                ).setup()
+                te_setup = min(te_setup, time.perf_counter() - t0)
+                if _rep == 0:
+                    epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
+                t0 = time.perf_counter()
+                ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120, mixed=True)
+                te_solve = min(te_solve, time.perf_counter() - t0)
+            er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
+            elasticity = {
+                "n_dof": ep.n,
+                "iterations": int(einfo.iterations),
+                "relres": float(er),
+                "converged": bool(einfo.converged and er < 10 * tol),
+                "setup_s": round(te_setup, 3),
+                "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
+                "solve_s": round(te_solve, 3),
+                "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
+            }
+            epc = ex = None
+            _free_device_state("elasticity")
+        except Exception as _e:
+            import traceback
+
+            traceback.print_exc()
+            elasticity = {
+                "error": f"{type(_e).__name__}: {_e}",
+                "converged": False,
+            }
+            _free_device_state("elasticity:error")
 
     # Stokes leg (dual-mesh facet AMG, div-preserving prolongation,
     # short geometric loops + Hiptmair smoothing — 3D simplicial mesh at
     # the >=100k-DoF scale the reference's largest subsystem lives at)
     stokes = None
     if os.environ.get("NGSAMG_BENCH_STOKES", "1") != "0":
-        from ngsamg_tpu.precond.stokes import StokesAMG
-        from ngsamg_tpu.utils.stokes_fem import stokes_tri
+        # a transient failure here (co-tenant HBM pressure, tunnel
+        # hiccup) must not kill the headline metric above
+        try:
+            from ngsamg_tpu.precond.stokes import StokesAMG
+            from ngsamg_tpu.utils.stokes_fem import stokes_tri
 
-        sn = int(os.environ.get("NGSAMG_BENCH_STOKES_N", "20"))
-        sdim = int(os.environ.get("NGSAMG_BENCH_STOKES_DIM", "3"))
-        sprob, _ = _cached_problem(
-            f"stokes_tri{sdim}d_{sn}",
-            lambda: stokes_tri(sn, dim=sdim, alpha=10.0),
-        )
-        sopts = AMGOptions()
-        sopts.levels.max_coarse_size = 80
-        ts_setup = ts_solve = float("inf")
-        for _rep in range(max(repeats, 1)):
-            t0 = time.perf_counter()
-            spc = StokesAMG(
-                sprob.A,
-                cell_pos=sprob.cell_pos,
-                cell_vol=sprob.cell_vol,
-                facet_cells=sprob.facet_cells,
-                facet_flow=sprob.facet_flow,
-                facet_verts=sprob.facet_verts,
-                vert_pos=sprob.vert_pos,
-                bnd_facet_verts=sprob.bnd_facet_verts,
-                options=sopts,
-            ).setup()
-            ts_setup = min(ts_setup, time.perf_counter() - t0)
-            if _rep == 0:
-                spc.solve(sprob.b, tol=tol, maxiter=8)  # compile warm-up
-            t0 = time.perf_counter()
-            sx, sinfo = spc.solve(sprob.b, tol=tol, maxiter=150)
-            ts_solve = min(ts_solve, time.perf_counter() - t0)
-        sr = np.linalg.norm(sprob.A @ sx - sprob.b) / np.linalg.norm(
-            sprob.b
-        )
-        stokes = {
-            "n_dof": sprob.A.shape[0],
-            "iterations": int(sinfo.iterations),
-            "relres": float(sr),
-            "converged": bool(sinfo.converged and sr < 10 * tol),
-            "setup_s": round(ts_setup, 3),
-            "solve_s": round(ts_solve, 3),
-            "dofs_per_s": round(
-                sprob.A.shape[0] / (ts_setup + ts_solve), 1
-            ),
-        }
-        spc = sx = None
-        _free_device_state("stokes")
+            sn = int(os.environ.get("NGSAMG_BENCH_STOKES_N", "20"))
+            sdim = int(os.environ.get("NGSAMG_BENCH_STOKES_DIM", "3"))
+            sprob, _ = _cached_problem(
+                f"stokes_tri{sdim}d_{sn}",
+                lambda: stokes_tri(sn, dim=sdim, alpha=10.0),
+            )
+            sopts = AMGOptions()
+            sopts.levels.max_coarse_size = 80
+            ts_setup = ts_solve = float("inf")
+            for _rep in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                spc = StokesAMG(
+                    sprob.A,
+                    cell_pos=sprob.cell_pos,
+                    cell_vol=sprob.cell_vol,
+                    facet_cells=sprob.facet_cells,
+                    facet_flow=sprob.facet_flow,
+                    facet_verts=sprob.facet_verts,
+                    vert_pos=sprob.vert_pos,
+                    bnd_facet_verts=sprob.bnd_facet_verts,
+                    options=sopts,
+                ).setup()
+                ts_setup = min(ts_setup, time.perf_counter() - t0)
+                if _rep == 0:
+                    spc.solve(sprob.b, tol=tol, maxiter=8)  # compile warm-up
+                t0 = time.perf_counter()
+                sx, sinfo = spc.solve(sprob.b, tol=tol, maxiter=150)
+                ts_solve = min(ts_solve, time.perf_counter() - t0)
+            sr = np.linalg.norm(sprob.A @ sx - sprob.b) / np.linalg.norm(
+                sprob.b
+            )
+            stokes = {
+                "n_dof": sprob.A.shape[0],
+                "iterations": int(sinfo.iterations),
+                "relres": float(sr),
+                "converged": bool(sinfo.converged and sr < 10 * tol),
+                "setup_s": round(ts_setup, 3),
+                "solve_s": round(ts_solve, 3),
+                "dofs_per_s": round(
+                    sprob.A.shape[0] / (ts_setup + ts_solve), 1
+                ),
+            }
+            spc = sx = None
+            _free_device_state("stokes")
+        except Exception as _e:
+            import traceback
+
+            traceback.print_exc()
+            stokes = {
+                "error": f"{type(_e).__name__}: {_e}",
+                "converged": False,
+            }
+            _free_device_state("stokes:error")
 
     # GS leg (the parity-default smoother: color-sorted sweeps) at >=1M
     # DoF, with a same-problem Chebyshev run quantifying the GS-vs-
@@ -317,41 +364,53 @@ def main():
     # slices pay the ~0.55 ms/op fixed cost x ncolors x levels x sweeps)
     gs = None
     if os.environ.get("NGSAMG_BENCH_GS", "1") != "0":
-        gn = int(os.environ.get("NGSAMG_BENCH_GS_N", "101"))
-        gp = _cached_problem(f"poisson3d_{gn}", lambda: fem.poisson_3d(gn))
-        gs = {"n_dof": gp.n}
-        for sm in ("gs", "chebyshev"):
-            gopts = AMGOptions()
-            gopts.smoother = SmootherOptions(type=SmootherType(sm))
-            tg_setup = tg_solve = float("inf")
-            for _rep in range(max(repeats, 1)):
-                t0 = time.perf_counter()
-                gpc = AMGPreconditioner(
-                    gp.A, coords=gp.coords, options=gopts
-                ).setup()
-                tg_setup = min(tg_setup, time.perf_counter() - t0)
-                if _rep == 0:
-                    gpc.solve(gp.b, tol=tol, maxiter=8)
-                t0 = time.perf_counter()
-                gx, ginfo = gpc.solve(gp.b, tol=tol)
-                tg_solve = min(tg_solve, time.perf_counter() - t0)
-            gr = np.linalg.norm(gp.A @ gx - gp.b) / np.linalg.norm(gp.b)
-            gs[sm] = {
-                "iterations": int(ginfo.iterations),
-                "relres": float(gr),
-                "converged": bool(ginfo.converged and gr < 10 * tol),
-                "setup_s": round(tg_setup, 3),
-                "solve_s": round(tg_solve, 3),
-                "dofs_per_s": round(gp.n / (tg_setup + tg_solve), 1),
+        # a transient failure here (co-tenant HBM pressure, tunnel
+        # hiccup) must not kill the headline metric above
+        try:
+            gn = int(os.environ.get("NGSAMG_BENCH_GS_N", "101"))
+            gp = _cached_problem(f"poisson3d_{gn}", lambda: fem.poisson_3d(gn))
+            gs = {"n_dof": gp.n}
+            for sm in ("gs", "chebyshev"):
+                gopts = AMGOptions()
+                gopts.smoother = SmootherOptions(type=SmootherType(sm))
+                tg_setup = tg_solve = float("inf")
+                for _rep in range(max(repeats, 1)):
+                    t0 = time.perf_counter()
+                    gpc = AMGPreconditioner(
+                        gp.A, coords=gp.coords, options=gopts
+                    ).setup()
+                    tg_setup = min(tg_setup, time.perf_counter() - t0)
+                    if _rep == 0:
+                        gpc.solve(gp.b, tol=tol, maxiter=8)
+                    t0 = time.perf_counter()
+                    gx, ginfo = gpc.solve(gp.b, tol=tol)
+                    tg_solve = min(tg_solve, time.perf_counter() - t0)
+                gr = np.linalg.norm(gp.A @ gx - gp.b) / np.linalg.norm(gp.b)
+                gs[sm] = {
+                    "iterations": int(ginfo.iterations),
+                    "relres": float(gr),
+                    "converged": bool(ginfo.converged and gr < 10 * tol),
+                    "setup_s": round(tg_setup, 3),
+                    "solve_s": round(tg_solve, 3),
+                    "dofs_per_s": round(gp.n / (tg_setup + tg_solve), 1),
+                }
+                gpc = gx = None
+                _free_device_state(f"gs-leg:{sm}")
+            gs["converged"] = bool(
+                gs["gs"]["converged"] and gs["chebyshev"]["converged"]
+            )
+            gs["solve_ratio_gs_over_cheb"] = round(
+                gs["gs"]["solve_s"] / max(gs["chebyshev"]["solve_s"], 1e-9), 2
+            )
+        except Exception as _e:
+            import traceback
+
+            traceback.print_exc()
+            gs = {
+                "error": f"{type(_e).__name__}: {_e}",
+                "converged": False,
             }
-            gpc = gx = None
-            _free_device_state(f"gs-leg:{sm}")
-        gs["converged"] = bool(
-            gs["gs"]["converged"] and gs["chebyshev"]["converged"]
-        )
-        gs["solve_ratio_gs_over_cheb"] = round(
-            gs["gs"]["solve_s"] / max(gs["chebyshev"]["solve_s"], 1e-9), 2
-        )
+            _free_device_state("gs:error")
 
     result = {
         "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",

@@ -55,6 +55,7 @@ def _scalar_pad(fmt, bs: int) -> int:
             formats.SupernodeELL,
             formats.StencilDia,
             formats.TileELL,
+            formats.TileELLStack,
         ),
     ):
         return fmt.nrows_pad  # scalar units (bs == 1 formats)
@@ -460,6 +461,10 @@ class AMGPreconditioner:
     def _compile_device(self):
         opts = self.options
         nlev = len(self.setup_levels_)
+        # bucketed/chunked tile-ELL only on single-device placements:
+        # row-sharding assumes uniform per-level arrays (parallel/shard.py,
+        # parallel/halo.py stay on the plain TileELL layout)
+        self._use_tile_stack = int(opts.shards) <= 1
         stages = self._device_stage_times = {}
         _t0 = time.perf_counter()
 
@@ -483,9 +488,15 @@ class AMGPreconditioner:
             elif need_smoother:
                 perm, cb = plan_row_order(lev.A, lev.row_bs, opts.smoother, i)
             if perm is None and lev.stencil is None:
-                # non-GS level: RCM reorder if it will be supernoded
+                # non-GS level: RCM reorder if it will be supernoded;
+                # single-device levels additionally tile-sort so the
+                # bucketed/chunked tile-ELL packs contiguous runs
                 perm = formats.plan_reorder(
-                    lev.A, lev.row_bs, self._row_align
+                    lev.A, lev.row_bs, self._row_align,
+                    tile_sort_chunk=(
+                        formats.TILE_CHUNK if self._use_tile_stack
+                        else None
+                    ),
                 )
             perms.append(perm)
             bounds.append(cb)
@@ -579,7 +590,11 @@ class AMGPreconditioner:
                 )
             else:
                 A_fmt = formats.choose_format(
-                    A, lev.row_bs, self.dtype, self._row_align, stage=True
+                    A, lev.row_bs, self.dtype, self._row_align, stage=True,
+                    stack_chunk=(
+                        formats.TILE_CHUNK if self._use_tile_stack
+                        else None
+                    ),
                 )
             A_fmts.append(A_fmt)
             _mark("pack_A")
@@ -953,11 +968,20 @@ class AMGPreconditioner:
         maxiter: int = 300,
         use_refinement: bool | None = None,
         return_device: bool = False,
+        mixed: bool | None = None,
     ) -> tuple[np.ndarray, SolveInfo]:
         """AMG-PCG solve to relative residual ``tol``.
 
         With an f32 device dtype and a tight tolerance, runs float64 defect
         correction around the device PCG (inner tol bounded by f32 accuracy).
+
+        ``mixed=True`` goes straight to the mixed-precision outer PCG (f64
+        host Krylov + the f32 device cycle as M) instead of defect
+        correction — iteration counts then track the f64-quality cycle
+        (measured 1.5x fewer on ill-conditioned block energies, where each
+        f32 inner pass stalls at its accuracy floor). ``None`` keeps the
+        automatic behavior (defect correction with mixed as the stagnation
+        fallback).
 
         ``return_device=True`` returns the solution as a DEVICE array (f64,
         length n) instead of copying it to the host — the production-serving
@@ -986,6 +1010,11 @@ class AMGPreconditioner:
             else 1
         )
 
+        if mixed and jnp.dtype(self.dtype) != jnp.float64:
+            x, info = self._solve_mixed_outer(
+                b, bnorm, tol=tol, maxiter=maxiter
+            )
+            return self._contract_ext(x), info
         if self._A64_dev is not None and use_refinement:
             x, info = self._solve_device_refined(
                 b, bnorm, tol, inner_tol, max_outer, maxiter,

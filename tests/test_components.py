@@ -642,3 +642,80 @@ def test_elmat_lsq_variant():
             np.testing.assert_allclose(W[(int(i), int(j))], -v, rtol=1e-9)
             checked += 1
     assert checked > 50
+
+
+# ---------------------------------------------------------------------------
+# bucketed/chunked tile-ELL (TileELLStack)
+# ---------------------------------------------------------------------------
+
+
+def _stack_matvec_parity(A, chunk, tile_m=8):
+    import jax.numpy as jnp
+
+    from ngsamg_tpu.sparse import formats
+
+    st = formats.tile_ell_stack_from_scipy(
+        A, np.float32, tile_m=tile_m, chunk=chunk
+    )
+    assert st is not None
+    n, nc = A.shape
+    assert st.nrows == n
+    assert st.nrows_pad == sum(b.nrows_pad for b in st.blocks)
+    assert st.ncols_pad % chunk == 0 and st.ncols_pad >= nc
+    x = np.random.default_rng(7).standard_normal(nc).astype(np.float32)
+    xp = np.zeros((st.ncols_pad, 1), dtype=np.float32)
+    xp[:nc, 0] = x
+    y = np.asarray(formats.matvec(st, jnp.asarray(xp)))[: st.nrows, 0]
+    np.testing.assert_allclose(y, A @ x, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_tile_ell_stack_matvec_matches_scipy(chunk):
+    # mesh-like graph: FE Poisson (clustered columns reward chunking)
+    p = fem.unstructured_poisson(9, dim=3)
+    _stack_matvec_parity(p.A.tocsr().astype(np.float64), chunk)
+
+
+@pytest.mark.parametrize("n", [257, 1000])  # odd / non-tile-multiple rows
+def test_tile_ell_stack_random_odd_sizes(n):
+    A = _rand_spd(n, seed=3, density=0.02)
+    _stack_matvec_parity(A, 4)
+
+
+def test_tile_ell_stack_long_tail_buckets():
+    # union distribution with a long tail: a few dense rows force K_max
+    # far above the mean; bucketing must split (or legally absorb) runs
+    n = 4608  # above plan_reorder's dense-level threshold
+    rng = np.random.default_rng(5)
+    A = sp.random(n, n, density=0.004, random_state=rng).tolil()
+    A[:8, ::16] = 1.0  # one very wide tile
+    A = (A + A.T + 8 * sp.eye(n)).tocsr()
+
+    from ngsamg_tpu.sparse import formats
+
+    perm = formats.plan_reorder(A, 1, 8, tile_sort_chunk=4)
+    assert perm is not None
+    assert np.array_equal(np.sort(perm), np.arange(n))
+    Ap = A[perm][:, perm].tocsr()
+    st = formats.tile_ell_stack_from_scipy(Ap, np.float32, chunk=4)
+    # tile-sorting puts the wide tile first; the tail splits into a
+    # narrower bucket (the 512-tile merge floor bounds how many)
+    ks = [b.cols.shape[1] for b in st.blocks]
+    assert len(st.blocks) >= 2
+    assert min(ks) < max(ks)  # per-bucket widths actually differ
+    _stack_matvec_parity(Ap, 4)
+
+
+def test_tile_ell_stack_in_pipeline():
+    # choose_format routes bs==1 non-DIA levels to the stack when a
+    # stack_chunk is passed (single-device placements, amg._compile_device)
+    from ngsamg_tpu.sparse import formats
+
+    p = fem.unstructured_poisson(14, dim=3)
+    A = p.A.tocsr()
+    perm = formats.plan_reorder(A, 1, 8, tile_sort_chunk=formats.TILE_CHUNK)
+    Ap = (A[perm][:, perm]).tocsr() if perm is not None else A
+    fmt = formats.choose_format(
+        Ap, 1, np.float32, 8, stack_chunk=formats.TILE_CHUNK
+    )
+    assert isinstance(fmt, (formats.TileELLStack, formats.DiaMatrix))
