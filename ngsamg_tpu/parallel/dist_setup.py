@@ -101,9 +101,11 @@ def _finest_wl2(parts, starts):
     attractive part; coarse-level Galerkin collapses stay signed so
     repulsive couplings cancel (serial-equality invariant).
     """
-    W_parts, l2_parts = [], []
-    for s, Ap in enumerate(parts):
-        C = Ap.tocsr()
+    n_shards = len(parts)
+    W_parts = [None] * n_shards
+    l2_parts = [None] * n_shards
+    for s in get_transport().my_shards(n_shards):
+        C = parts[s].tocsr()
         rows_l = np.repeat(
             np.arange(C.shape[0], dtype=np.int64), np.diff(C.indptr)
         )
@@ -113,8 +115,8 @@ def _finest_wl2(parts, starts):
             (-C.data[keep], C.indices[keep], _recount(C.indptr, keep)),
             shape=C.shape,
         )
-        W_parts.append(W)
-        l2_parts.append(np.maximum(np.asarray(C.sum(axis=1)).ravel(), 0.0))
+        W_parts[s] = W
+        l2_parts[s] = np.maximum(np.asarray(C.sum(axis=1)).ravel(), 0.0)
     return W_parts, l2_parts
 
 
@@ -134,22 +136,24 @@ def _aux_diag(W_parts, l2_parts):
 
     Attractive clamp: W rows carry SIGNED weights (apps/h1.soc parity).
     """
-    out = []
-    for s, W in enumerate(W_parts):
+    out = [None] * len(W_parts)
+    for s in get_transport().my_shards(len(W_parts)):
+        W = W_parts[s]
         rows_l = np.repeat(
             np.arange(W.shape[0], dtype=np.int64), np.diff(W.indptr)
         )
         d = l2_parts[s] + np.bincount(
             rows_l, weights=np.maximum(W.data, 0.0), minlength=W.shape[0]
         )
-        out.append(np.maximum(d, 1e-300))
+        out[s] = np.maximum(d, 1e-300)
     return out
 
 
 def _strength_parts(W_parts, d_parts, starts):
     """soc rows: s_e = max(w_e,0) (1/d_i + 1/d_j)/2 (apps/h1.soc)."""
-    out = []
-    for s, W in enumerate(W_parts):
+    out = [None] * len(W_parts)
+    for s in get_transport().my_shards(len(W_parts)):
+        W = W_parts[s]
         rows_l = np.repeat(
             np.arange(W.shape[0], dtype=np.int64), np.diff(W.indptr)
         )
@@ -157,9 +161,7 @@ def _strength_parts(W_parts, d_parts, starts):
         soc = np.maximum(W.data, 0.0) * 0.5 * (
             1.0 / d_parts[s][rows_l] + 1.0 / dj
         )
-        out.append(
-            sp.csr_matrix((soc, W.indices, W.indptr), shape=W.shape)
-        )
+        out[s] = sp.csr_matrix((soc, W.indices, W.indptr), shape=W.shape)
     return out
 
 
@@ -180,10 +182,17 @@ def _jitter(rows_g: np.ndarray, cols_g: np.ndarray, vals: np.ndarray):
 
 def _dist_handshake(S_parts, starts, theta: float):
     """Mutual-proposal matching, shard-local rows + per-round halos."""
+    tr = get_transport()
     n_shards = len(S_parts)
-    rowmax_parts = [csr_rowwise_max(S.indptr, S.data) for S in S_parts]
-    jit_parts, strong_parts, rowsl_parts = [], [], []
-    for s, S in enumerate(S_parts):
+    mine = list(tr.my_shards(n_shards))
+    rowmax_parts = [None] * n_shards
+    jit_parts = [None] * n_shards
+    strong_parts = [None] * n_shards
+    rowsl_parts = [None] * n_shards
+    for s in mine:
+        rowmax_parts[s] = csr_rowwise_max(S_parts[s].indptr, S_parts[s].data)
+    for s in mine:
+        S = S_parts[s]
         rows_l = np.repeat(
             np.arange(S.shape[0], dtype=np.int64), np.diff(S.indptr)
         )
@@ -191,17 +200,19 @@ def _dist_handshake(S_parts, starts, theta: float):
         vals = _jitter(rows_l + starts[s], cols_g, S.data)
         rmax_j = _gather(rowmax_parts, starts, cols_g)
         thresh = theta * np.minimum(rowmax_parts[s][rows_l], rmax_j)
-        strong_parts.append(vals >= np.maximum(thresh, 1e-300))
-        jit_parts.append(vals)
-        rowsl_parts.append(rows_l)
+        strong_parts[s] = vals >= np.maximum(thresh, 1e-300)
+        jit_parts[s] = vals
+        rowsl_parts[s] = rows_l
 
-    partner_parts = [
-        np.full(S.shape[0], -1, dtype=np.int64) for S in S_parts
-    ]
-    avail_parts = [np.ones(S.shape[0], dtype=bool) for S in S_parts]
+    partner_parts = [None] * n_shards
+    avail_parts = [None] * n_shards
+    for s in mine:
+        partner_parts[s] = np.full(S_parts[s].shape[0], -1, dtype=np.int64)
+        avail_parts[s] = np.ones(S_parts[s].shape[0], dtype=bool)
     for _round in range(8):
-        best_parts = []
-        for s, S in enumerate(S_parts):
+        best_parts = [None] * n_shards
+        for s in mine:
+            S = S_parts[s]
             cols_g = S.indices.astype(np.int64)
             av_j = _gather(avail_parts, starts, cols_g)
             valid = (
@@ -211,56 +222,63 @@ def _dist_handshake(S_parts, starts, theta: float):
                 S.indptr, S.indices, jit_parts[s], valid=valid
             )
             best[~avail_parts[s]] = -1
-            best_parts.append(best)
+            best_parts[s] = best
         any_new = False
-        accepts = []
-        for s in range(n_shards):
+        accepts = [None] * n_shards
+        for s in mine:
             best = best_parts[s]
             v_l = np.flatnonzero(best >= 0)
             b = best[v_l]
             bb = _gather(best_parts, starts, b)
             mutual = bb == (v_l + starts[s])
-            accepts.append((v_l[mutual], b[mutual]))
+            accepts[s] = (v_l[mutual], b[mutual])
             any_new = any_new or bool(mutual.any())
-        for s, (v_l, b) in enumerate(accepts):
+        for s in mine:
+            v_l, b = accepts[s]
             partner_parts[s][v_l] = b
             avail_parts[s][v_l] = False
-        if not any_new:
+        if not tr.allreduce_any(any_new):
             break
     return partner_parts
 
 
 def _dist_aggregates(partner_parts, starts):
     """Compact aggregate ids; numbering == serial np.unique(rep) order."""
+    tr = get_transport()
     n_shards = len(partner_parts)
-    rep_parts, isrep_parts = [], []
-    for s, partner in enumerate(partner_parts):
+    mine = list(tr.my_shards(n_shards))
+    rep_parts = [None] * n_shards
+    isrep_parts = [None] * n_shards
+    for s in mine:
+        partner = partner_parts[s]
         v_g = np.arange(len(partner), dtype=np.int64) + starts[s]
         rep = np.where(partner >= 0, np.minimum(v_g, partner), v_g)
-        rep_parts.append(rep)
-        isrep_parts.append(rep == v_g)
-    counts = np.array([m.sum() for m in isrep_parts], dtype=np.int64)
+        rep_parts[s] = rep
+        isrep_parts[s] = rep == v_g
+    counts = tr.allgather(
+        np.array([isrep_parts[s].sum() for s in mine], dtype=np.int64)
+    )
     coarse_starts = np.zeros(n_shards + 1, dtype=np.int64)
     coarse_starts[1:] = np.cumsum(counts)
-    aggid_parts = []
-    for s in range(n_shards):
+    aggid_parts = [None] * n_shards
+    for s in mine:
         aid = np.full(len(rep_parts[s]), -1, dtype=np.int64)
         aid[isrep_parts[s]] = coarse_starts[s] + np.arange(counts[s])
-        aggid_parts.append(aid)
-    v2agg_parts = []
-    for s in range(n_shards):
+        aggid_parts[s] = aid
+    v2agg_parts = [None] * n_shards
+    for s in mine:
         v2 = aggid_parts[s].copy()
         need = v2 < 0
-        if need.any():
-            v2[need] = _gather(aggid_parts, starts, rep_parts[s][need])
-        v2agg_parts.append(v2)
+        v2[need] = _gather(aggid_parts, starts, rep_parts[s][need])
+        v2agg_parts[s] = v2
     return v2agg_parts, coarse_starts
 
 
 def _dist_collapse(G_parts, starts, v2agg_parts, coarse_starts):
     """Coarse graph C^T G C (off-diagonal part), rows routed to owners."""
     ri_l, cj_l, vv_l = [], [], []
-    for s, G in enumerate(G_parts):
+    for s in get_transport().my_shards(len(G_parts)):
+        G = G_parts[s]
         rows_l = np.repeat(
             np.arange(G.shape[0], dtype=np.int64), np.diff(G.indptr)
         )
@@ -288,9 +306,10 @@ def _dist_symmetrize(Ac_parts, starts):
     sees its own rows plus incoming transpose messages, exactly the
     reference's ReduceTable-routed assembly, reducetable.hpp:22)."""
     n = int(starts[-1])
+    mine = list(get_transport().my_shards(len(Ac_parts)))
     ri, cj, vv = [], [], []
-    for s, C in enumerate(Ac_parts):
-        coo = C.tocoo()
+    for s in mine:
+        coo = Ac_parts[s].tocoo()
         ri.append(coo.col.astype(np.int64))  # transposed entries
         cj.append(coo.row.astype(np.int64) + starts[s])
         vv.append(coo.data)
@@ -301,12 +320,12 @@ def _dist_symmetrize(Ac_parts, starts):
         np.concatenate(vv) if vv else np.zeros(0),
         n,
     )
-    out = []
-    for s, C in enumerate(Ac_parts):
-        M = ((C.tocsr() + T_parts[s]) * 0.5).tocsr()
+    out = [None] * len(Ac_parts)
+    for s in mine:
+        M = ((Ac_parts[s].tocsr() + T_parts[s]) * 0.5).tocsr()
         M.sum_duplicates()
         M.sort_indices()
-        out.append(M)
+        out[s] = M
     return out
 
 
@@ -330,8 +349,9 @@ def _dist_spw(S_parts, starts, opts: AMGOptions, level: int):
 def _collapse_l2(l2_parts, starts, v2agg_parts, coarse_starts):
     """Coarse l2 weights: owner-reduced sums of member weights."""
     n_shards = len(l2_parts)
-    all_v2 = np.concatenate(v2agg_parts)
-    all_l2 = np.concatenate(l2_parts)
+    mine = list(get_transport().my_shards(n_shards))
+    all_v2 = np.concatenate([v2agg_parts[s] for s in mine])
+    all_l2 = np.concatenate([l2_parts[s] for s in mine])
     m = all_v2 >= 0
     return _reduce_by_owner(
         coarse_starts,
@@ -360,11 +380,11 @@ def _dist_spw_wl2(W_parts, l2_parts, starts, opts: AMGOptions, level: int):
     )
     adopt = bool(opts.coarsen.adopt_orphans.get(level))
     n_shards = len(W_parts)
+    mine = list(get_transport().my_shards(n_shards))
     n0 = int(starts[-1])
-    v2c_parts = [
-        np.arange(starts[s], starts[s + 1], dtype=np.int64)
-        for s in range(n_shards)
-    ]
+    v2c_parts = [None] * n_shards
+    for s in mine:
+        v2c_parts[s] = np.arange(starts[s], starts[s + 1], dtype=np.int64)
     cur_W, cur_l2, cur_starts = W_parts, l2_parts, starts
     n_cur = n0
     for _round in range(rounds):
@@ -379,7 +399,7 @@ def _dist_spw_wl2(W_parts, l2_parts, starts, opts: AMGOptions, level: int):
         n_agg = int(coarse_starts[-1])
         if n_agg >= n_cur or n_agg == 0:
             break
-        for s in range(n_shards):
+        for s in mine:
             v2 = v2c_parts[s]
             m = v2 >= 0
             v2[m] = _gather(c2agg_parts, cur_starts, v2[m])
@@ -405,11 +425,11 @@ def _dist_spw_core(
 ):
     """Explicit-knob SPW core (serial coarsen/pairwise.spw_aggregate)."""
     n_shards = len(S_parts)
+    mine = list(get_transport().my_shards(n_shards))
     n0 = int(starts[-1])
-    v2c_parts = [
-        np.arange(starts[s], starts[s + 1], dtype=np.int64)
-        for s in range(n_shards)
-    ]
+    v2c_parts = [None] * n_shards
+    for s in mine:
+        v2c_parts[s] = np.arange(starts[s], starts[s + 1], dtype=np.int64)
     cur_S, cur_starts = S_parts, starts
     n_cur = n0
     for _round in range(rounds):
@@ -422,7 +442,7 @@ def _dist_spw_core(
         n_agg = int(coarse_starts[-1])
         if n_agg >= n_cur:
             break
-        for s in range(n_shards):
+        for s in mine:
             v2 = v2c_parts[s]
             m = v2 >= 0  # dropped vertices stay -1 (serial mask rule)
             v2[m] = _gather(c2agg_parts, cur_starts, v2[m])
@@ -440,8 +460,10 @@ def _dist_spw_core(
 
 def _dist_adopt_orphans(Sc_parts, coarse_starts, v2c_parts):
     """Serial _adopt_orphans, shard-local (sizes/argmax/renumber)."""
+    tr = get_transport()
     n_shards = len(Sc_parts)
-    all_v2c = np.concatenate(v2c_parts)
+    mine = list(tr.my_shards(n_shards))
+    all_v2c = np.concatenate([v2c_parts[s] for s in mine])
     sizes_parts = _reduce_by_owner(
         coarse_starts,
         all_v2c[all_v2c >= 0],
@@ -451,48 +473,50 @@ def _dist_adopt_orphans(Sc_parts, coarse_starts, v2c_parts):
             for s in range(n_shards)
         ],
     )
-    orphan_parts = [sz == 1 for sz in sizes_parts]
-    if not any(o.any() for o in orphan_parts):
+    orphan_parts = [
+        (sz == 1 if sz is not None else None) for sz in sizes_parts
+    ]
+    if not tr.allreduce_any(any(orphan_parts[s].any() for s in mine)):
         return v2c_parts, coarse_starts
-    tgt_parts, surv_parts = [], []
-    for s, Sc in enumerate(Sc_parts):
+    tgt_parts = [None] * n_shards
+    surv_parts = [None] * n_shards
+    for s in mine:
+        Sc = Sc_parts[s]
         nloc = Sc.shape[0]
         best, _bv = csr_rowwise_argmax(Sc.indptr, Sc.indices, Sc.data)
         c_g = np.arange(nloc, dtype=np.int64) + coarse_starts[s]
         tgt = c_g.copy()
         has = best >= 0
         orphan_best = np.zeros(nloc, dtype=bool)
-        if has.any():
-            orphan_best[has] = _gather(
-                orphan_parts, coarse_starts, best[has]
-            )
+        orphan_best[has] = _gather(orphan_parts, coarse_starts, best[has])
         ok = orphan_parts[s] & has & ~orphan_best
         tgt[ok] = best[ok]
-        tgt_parts.append(tgt)
-        surv_parts.append(~ok)  # adopted-away ids vanish
-    counts = np.array([m.sum() for m in surv_parts], dtype=np.int64)
+        tgt_parts[s] = tgt
+        surv_parts[s] = ~ok  # adopted-away ids vanish
+    counts = tr.allgather(
+        np.array([surv_parts[s].sum() for s in mine], dtype=np.int64)
+    )
     new_starts = np.zeros(n_shards + 1, dtype=np.int64)
     new_starts[1:] = np.cumsum(counts)
-    newid_parts = []
-    for s in range(n_shards):
+    newid_parts = [None] * n_shards
+    for s in mine:
         nid = np.full(len(surv_parts[s]), -1, dtype=np.int64)
         nid[surv_parts[s]] = new_starts[s] + np.arange(counts[s])
-        newid_parts.append(nid)
-    remap_parts = []
-    for s in range(n_shards):
+        newid_parts[s] = nid
+    remap_parts = [None] * n_shards
+    for s in mine:
         rm = newid_parts[s].copy()
         adopted = rm < 0
-        if adopted.any():
-            rm[adopted] = _gather(
-                newid_parts, coarse_starts, tgt_parts[s][adopted]
-            )
-        remap_parts.append(rm)
-    out_parts = []
-    for s in range(len(v2c_parts)):
+        rm[adopted] = _gather(
+            newid_parts, coarse_starts, tgt_parts[s][adopted]
+        )
+        remap_parts[s] = rm
+    out_parts = [None] * n_shards
+    for s in mine:
         v2 = v2c_parts[s].copy()
         m = v2 >= 0
         v2[m] = _gather(remap_parts, coarse_starts, v2[m])
-        out_parts.append(v2)
+        out_parts[s] = v2
     return out_parts, new_starts
 
 
@@ -505,16 +529,25 @@ def _dist_power_rho(matvec_rows, starts, seed: int, iters=10):
     """Distributed power iteration for rho(D^-1 M).
 
     ``matvec_rows(s, x)`` returns (D^-1 M x) on shard s's owned rows; the
-    random start vector uses the serial seeds (0 = aux, 1 = real matrix)."""
-    n = int(starts[-1])
+    random start vector uses the serial seeds (0 = aux, 1 = real matrix).
+
+    The iterate stays REPLICATED (an O(n) vector, not matrix state):
+    every controller regenerates the same start vector and re-assembles y
+    via ``allgather_parts`` each iteration, so the norm — and hence rho,
+    the prolongation scale, and the whole hierarchy — is bitwise-equal
+    across 1..n controllers (partial-sum allreduce would differ in the
+    last ulp and could flip downstream truncation ties)."""
+    tr = get_transport()
     rng = np.random.default_rng(seed)
-    x = rng.standard_normal(n)
+    x = rng.standard_normal(int(starts[-1]))
     lam = 1.0
     n_shards = len(starts) - 1
+    mine = list(tr.my_shards(n_shards))
     for _ in range(iters):
-        y = np.empty(n)
-        for s in range(n_shards):
-            y[starts[s] : starts[s + 1]] = matvec_rows(s, x)
+        y_parts = [None] * n_shards
+        for s in mine:
+            y_parts[s] = matvec_rows(s, x)
+        y = tr.allgather_parts(y_parts)
         nrm = np.linalg.norm(y)
         if nrm == 0:
             return 2.0
@@ -537,11 +570,7 @@ def _dist_rho_aux(W_parts, d_parts, starts, iters=10):
         rows_l = np.repeat(
             np.arange(nloc, dtype=np.int64), np.diff(W.indptr)
         )
-        xj = _gather(
-            [x[starts[t] : starts[t + 1]] for t in range(len(W_parts))],
-            starts,
-            W.indices.astype(np.int64),
-        )
+        xj = x[W.indices]  # x is replicated (see _dist_power_rho)
         off = np.bincount(
             rows_l, weights=-np.maximum(W.data, 0.0) * xj, minlength=nloc
         )
@@ -561,11 +590,7 @@ def _dist_rho_real(A_parts, starts, iters=10):
         rows_l = np.repeat(
             np.arange(nloc, dtype=np.int64), np.diff(C.indptr)
         )
-        xj = _gather(
-            [x[starts[t] : starts[t + 1]] for t in range(len(A_parts))],
-            starts,
-            C.indices.astype(np.int64),
-        )
+        xj = x[C.indices]  # x is replicated (see _dist_power_rho)
         Ax = np.bincount(rows_l, weights=C.data * xj, minlength=nloc)
         diagA = C.diagonal(k=int(starts[s]))[:nloc]
         return _safe_inv(diagA) * Ax
@@ -593,8 +618,8 @@ def _dist_prol(
     max_classic = int(opts.prol.max_classic.get(level))
     rho_r = scale_r = None
 
-    P_parts = []
-    for s in range(n_shards):
+    P_parts = [None] * n_shards
+    for s in get_transport().my_shards(n_shards):
         W = W_parts[s]
         nloc = W.shape[0]
         rows_l = np.repeat(
@@ -697,7 +722,7 @@ def _dist_prol(
             max_per_row=int(opts.prol.max_per_row.get(level)),
             min_frac=float(opts.prol.min_frac.get(level)),
         )
-        P_parts.append(Pb.tocsr())
+        P_parts[s] = Pb.tocsr()
     return P_parts
 
 
@@ -711,7 +736,7 @@ def _dist_rap(A_parts, starts, P_parts, coarse_starts):
     n_shards = len(A_parts)
     nc = int(coarse_starts[-1])
     ri_l, cj_l, vv_l = [], [], []
-    for s in range(n_shards):
+    for s in get_transport().my_shards(n_shards):
         A_s = A_parts[s].tocsr()
         cols = np.unique(A_s.indices.astype(np.int64))
         P_halo = _gather_csr_rows(P_parts, starts, cols, nc)
@@ -903,37 +928,83 @@ def dist_setup_levels(
         )
     if bs != 1:
         return _dist_setup_vector(A, energy, opts, n_shards, bs)
-    lc = opts.levels
-    log = FactoryLog()
     parts, starts = split_rows(A.tocsr().astype(np.float64), n_shards)
+    recs, log = _scalar_levels_parts(parts, starts, opts, energy)
 
     def ph_mesh(n):
         return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
 
-    n = int(starts[-1])
+    # single-controller packaging (the MP driver packages rank parts in
+    # parallel/mp_runtime.py instead)
     levels = [
         SetupLevel(
             index=0,
             A=sp.vstack(parts, format="csr"),
             row_bs=1,
-            mesh=ph_mesh(n),
+            mesh=ph_mesh(int(starts[-1])),
         )
     ]
+    for rec in recs:
+        levels[-1].P = sp.vstack(rec["P_parts"], format="csr").tobsr(
+            blocksize=(1, 1)
+        )
+        levels[-1].v2agg = np.concatenate(rec["v2agg_parts"])
+        levels.append(
+            SetupLevel(
+                index=len(levels),
+                A=sp.vstack(rec["Ac_parts"], format="csr"),
+                row_bs=1,
+                mesh=ph_mesh(int(rec["coarse_starts"][-1])),
+            )
+        )
+    return levels, log
+
+
+def _scalar_levels_parts(parts, starts, opts, energy):
+    """The scalar-H1 distributed level loop, rank-local.
+
+    Consumes per-shard finest rows (``None`` in slots owned by another
+    controller) and returns one record per coarsening step holding the
+    owned slots of P / A_c / v2agg plus the replicated coarse_starts —
+    rows stay per-shard end to end. Under a single-controller transport
+    every slot is owned (exact previous behavior); under
+    ``mp_runtime.MPTransport`` each rank owns one slot and all
+    cross-shard movement is real message passing.
+    """
+    tr = get_transport()
+    n_shards = len(starts) - 1
+    mine = list(tr.my_shards(n_shards))
+    lc = opts.levels
+    log = FactoryLog()
+    n = int(starts[-1])
     log.nvs.append(n)
-    log.nnzs.append(int(sum(p.nnz for p in parts)))
+    log.nnzs.append(
+        int(
+            tr.allgather(
+                np.array([parts[s].nnz for s in mine], dtype=np.int64)
+            ).sum()
+        )
+    )
     W_parts, l2_parts = _finest_wl2(parts, starts)
-    log.finest_global_bytes = shard_nbytes(*parts)
+    log.finest_global_bytes = int(
+        tr.allgather(
+            np.array(
+                [shard_nbytes(parts[s]) for s in mine], dtype=np.int64
+            )
+        ).sum()
+    )
 
     def _track_peak(*state_parts):
-        # resident bytes of the LARGEST shard's level-loop state — what one
-        # rank of a multi-controller run would hold at this point
+        # resident bytes of the LARGEST owned shard's level-loop state —
+        # what one rank of a multi-controller run holds at this point
         per_shard = [
             shard_nbytes(*(sp_[s] for sp_ in state_parts if sp_ is not None))
-            for s in range(n_shards)
+            for s in mine
         ]
         log.peak_shard_bytes = max(log.peak_shard_bytes, max(per_shard))
 
     _track_peak(parts, W_parts, l2_parts)
+    recs = []
     lvl = 0
     while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
         d_parts = _aux_diag(W_parts, l2_parts)
@@ -948,25 +1019,32 @@ def dist_setup_levels(
             opts, lvl, energy,
         )
         Ac_parts = _dist_rap(parts, starts, P_parts, coarse_starts)
-        # owner-local symmetrization (serial rap() parity) — rows stay
-        # per-shard end to end; the vstack below only PACKAGES the level
-        # for the single-controller consumer (SetupLevel)
+        # owner-local symmetrization (serial rap() parity) — no global
+        # matrix is ever materialized in the level loop
         Ac_parts = _dist_symmetrize(Ac_parts, coarse_starts)
         _track_peak(parts, W_parts, l2_parts, P_parts, Ac_parts)
-        Ac = sp.vstack(Ac_parts, format="csr")
-        levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
-            blocksize=(1, 1)
-        )
-        levels[-1].v2agg = np.concatenate(v2agg_parts)
-        levels.append(
-            SetupLevel(index=lvl + 1, A=Ac, row_bs=1, mesh=ph_mesh(nc))
-        )
         log.nvs.append(nc)
-        log.nnzs.append(int(Ac.nnz))
+        log.nnzs.append(
+            int(
+                tr.allgather(
+                    np.array(
+                        [Ac_parts[s].nnz for s in mine], dtype=np.int64
+                    )
+                ).sum()
+            )
+        )
+        recs.append(
+            {
+                "P_parts": P_parts,
+                "v2agg_parts": v2agg_parts,
+                "Ac_parts": Ac_parts,
+                "coarse_starts": coarse_starts,
+            }
+        )
         # next-level sharded state (mesh map_data analog)
         W_parts = _dist_collapse(W_parts, starts, v2agg_parts, coarse_starts)
-        all_v2 = np.concatenate(v2agg_parts)
-        all_l2 = np.concatenate(l2_parts)
+        all_v2 = np.concatenate([v2agg_parts[s] for s in mine])
+        all_l2 = np.concatenate([l2_parts[s] for s in mine])
         m = all_v2 >= 0
         l2_parts = _reduce_by_owner(
             coarse_starts,
@@ -981,4 +1059,4 @@ def dist_setup_levels(
         starts = coarse_starts
         n = nc
         lvl += 1
-    return levels, log
+    return recs, log

@@ -13,7 +13,8 @@ data movement through four primitives with exactly those shapes:
 * ``gather_csr_rows(parts, starts, r)`` — sparse rows from their owners
 
 This module puts those primitives behind a :class:`Transport` interface with
-two implementations:
+two implementations (a third, true multi-process one lives in
+``parallel/mp_runtime.py``):
 
 * :class:`LocalTransport` — single-controller numpy index movement (the
   production default on this one-host infrastructure; zero overhead).
@@ -24,6 +25,10 @@ two implementations:
   the ICI/DCN program a multi-controller run executes; on the virtual CPU
   mesh it validates that the setup's entire communication pattern lowers
   to XLA collectives with O(routed items) volume.
+* ``mp_runtime.MPTransport`` — one spawned OS process per shard (separate
+  address spaces, pipe-mesh message passing): the execution model of the
+  reference's MPI ranks, run by the same rank-local level loop via
+  :meth:`Transport.my_shards`.
 
 Payloads cross the device boundary bit-cast to uint32 words so f64/i64
 values round-trip EXACTLY regardless of the process's x64 mode — the
@@ -74,9 +79,23 @@ def shard_nbytes(*objs) -> int:
 
 
 class Transport:
-    """Abstract communication boundary (one method per MPI shape)."""
+    """Abstract communication boundary (one method per MPI shape).
+
+    Single-controller transports (Local, Collective) own every shard:
+    ``my_shards`` is ``range(n)`` and the replicated-metadata collectives
+    (``allgather``/``allgather_parts``/``allreduce_any``) are identities —
+    the caller already computed the global quantity. A true
+    multi-controller transport (``mp_runtime.MPTransport``: one OS process
+    per shard) overrides them with real message passing; setup code that
+    iterates ``for s in transport.my_shards(n)`` and funnels every
+    cross-shard access through the primitives runs unchanged under both.
+    """
 
     name = "abstract"
+
+    def my_shards(self, n_shards: int):
+        """The shard indices THIS controller computes (all, by default)."""
+        return range(n_shards)
 
     def gather(
         self, parts: list, starts: np.ndarray, idx: np.ndarray
@@ -94,6 +113,19 @@ class Transport:
 
     def gather_csr_rows(self, parts, starts, rows_g, ncols):
         raise NotImplementedError
+
+    # -- replicated-metadata collectives (identity on one controller) ------
+    def allgather(self, arr: np.ndarray) -> np.ndarray:
+        """Concatenate each controller's contribution, rank order."""
+        return np.asarray(arr)
+
+    def allgather_parts(self, parts: list) -> np.ndarray:
+        """Concatenate per-shard arrays (None for shards owned elsewhere)
+        into the replicated global vector."""
+        return np.concatenate([np.asarray(p) for p in parts if p is not None])
+
+    def allreduce_any(self, flag: bool) -> bool:
+        return bool(flag)
 
 
 class LocalTransport(Transport):
