@@ -174,6 +174,40 @@ def rho_power_h1(edges, w, d, x0, iters=10):
     )
 
 
+def tile_chunk_counts(indptr, indices, M, chunk, T):
+    """int64[T] distinct column-chunk count per M-row tile, or None."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.tile_chunk_counts(
+        *_csr_idx(indptr, indices), int(M), int(chunk), int(T)
+    )
+
+
+def tile_ell_fill_range(A, M, chunk, t0, t1, K, out_data, out_cols):
+    """Fill one bucket of the bucketed/chunked tile-ELL in place.
+
+    ``out_data`` (t1-t0, K, chunk, M) matching A.data's float dtype,
+    ``out_cols`` (t1-t0, K) int32, both zeroed by the caller. Returns
+    True, or False when the extension is absent."""
+    if not HAVE_NATIVE:
+        return False
+    data = A.data
+    if data.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        data = data.astype(np.float64)
+    _nat.tile_ell_fill_range(
+        *_csr_idx(A.indptr, A.indices),
+        np.ascontiguousarray(data),
+        int(M),
+        int(chunk),
+        int(t0),
+        int(t1),
+        int(K),
+        out_data,
+        out_cols,
+    )
+    return True
+
+
 def tile_ell_pack(A, M, T):
     """(data (T,K,M) f32, cols (T,K) i32, K) or None (extension absent)."""
     if not HAVE_NATIVE:

@@ -686,12 +686,20 @@ def tile_ell_from_scipy(
     )
 
 
-TILE_CHUNK = int(__import__("os").environ.get("NGSAMG_TILE_CHUNK", "4"))
+# chunk=2 measured best overall on the 1.19M-DoF tet mesh: bytes 629 MB
+# (vs 917 at chunk=4, 713 plain — device_put through the tunnel is a
+# setup cost) at 9.2M gathered slots per SpMV (vs 6.9M / 19.8M)
+TILE_CHUNK = int(__import__("os").environ.get("NGSAMG_TILE_CHUNK", "2"))
 _STACK_MIN_TILES = 512  # merge smaller bucket runs (bounds op count)
 
 
 def _tile_chunk_counts(C: sp.csr_matrix, tile_m: int, chunk: int, T: int):
     """Distinct column-chunk count per tile (tiles = tile_m-row groups)."""
+    from ..native import tile_chunk_counts as _nat_counts
+
+    cnt = _nat_counts(C.indptr, C.indices, tile_m, chunk, T)
+    if cnt is not None:
+        return cnt
     n = C.shape[0]
     t_rows = min(T * tile_m, n)
     nnz_head = int(C.indptr[t_rows])
@@ -758,59 +766,93 @@ def tile_ell_stack_from_scipy(
         for b in range(len(bounds) - 1)
     ]
 
-    # global slot assignment: rank of each (tile, chunk) pair within tile
-    t_rows = min(T * tile_m, nr)
-    nnz_head = int(C.indptr[t_rows])
-    rows = np.repeat(
-        np.arange(t_rows, dtype=np.int64), np.diff(C.indptr[: t_rows + 1])
-    )
-    cols = C.indices[:nnz_head].astype(np.int64)
-    vals = C.data[:nnz_head]
-    tid = rows // tile_m
-    cc = cols // chunk
-    order = np.lexsort((cc, tid))
-    tid_s, cc_s = tid[order], cc[order]
-    newpair = np.ones(len(order), dtype=bool)
-    if len(order) > 1:
-        newpair[1:] = (tid_s[1:] != tid_s[:-1]) | (cc_s[1:] != cc_s[:-1])
-    gid = np.cumsum(newpair) - 1
-    pair_tid = tid_s[newpair]
-    pair_cc = cc_s[newpair]
-    tile_first = np.searchsorted(pair_tid, np.arange(T, dtype=np.int64))
-    slot_pair = np.arange(len(pair_tid), dtype=np.int64) - tile_first[
-        pair_tid
-    ]
-    slot = slot_pair[gid]
-    coff = (cols % chunk)[order]
-    moff = (rows % tile_m)[order]
-    val_s = vals[order]
     dt = np.dtype(dtype)
+    blocks = [None] * (len(bounds) - 1)
+    if dt in (np.dtype(np.float32), np.dtype(np.float64)):
+        # native per-bucket fill: one pass over each bucket's rows, no
+        # global lexsort/scatter temporaries (30-40 s at 18M nnz)
+        from ..native import tile_ell_fill_range as _nat_fill
 
-    blocks = []
-    for b in range(len(bounds) - 1):
-        t0, t1 = bounds[b], bounds[b + 1]
-        Kb, Tb = Ks[b], t1 - t0
-        m = (tid_s >= t0) & (tid_s < t1)
-        lt = tid_s[m] - t0
-        if chunk > 1:
+        Cd = (
+            C
+            if C.data.dtype == dt
+            else sp.csr_matrix(
+                (C.data.astype(dt), C.indices, C.indptr), shape=C.shape
+            )
+        )
+        for b in range(len(bounds) - 1):
+            t0, t1 = bounds[b], bounds[b + 1]
+            Kb, Tb = Ks[b], t1 - t0
             data = np.zeros((Tb, Kb, chunk, tile_m), dtype=dt)
-            data[lt, slot[m], coff[m], moff[m]] = val_s[m]
-        else:
-            data = np.zeros((Tb, Kb, tile_m), dtype=dt)
-            data[lt, slot[m], moff[m]] = val_s[m]
-        colsb = np.zeros((Tb, Kb), dtype=np.int32)
-        colsb[lt, slot[m]] = cc_s[m].astype(np.int32)
-        blocks.append(
+            colsb = np.zeros((Tb, Kb), dtype=np.int32)
+            if not _nat_fill(Cd, tile_m, chunk, t0, t1, Kb, data, colsb):
+                blocks = [None] * (len(bounds) - 1)
+                break
+            blocks[b] = (
+                data.reshape(Tb, Kb, tile_m) if chunk == 1 else data,
+                colsb,
+            )
+    if blocks and blocks[0] is None:
+        # python fallback: global slot assignment (rank of each
+        # (tile, chunk) pair within its tile) + per-bucket scatters
+        t_rows = min(T * tile_m, nr)
+        nnz_head = int(C.indptr[t_rows])
+        rows = np.repeat(
+            np.arange(t_rows, dtype=np.int64),
+            np.diff(C.indptr[: t_rows + 1]),
+        )
+        cols = C.indices[:nnz_head].astype(np.int64)
+        vals = C.data[:nnz_head]
+        tid = rows // tile_m
+        cc = cols // chunk
+        order = np.lexsort((cc, tid))
+        tid_s, cc_s = tid[order], cc[order]
+        newpair = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            newpair[1:] = (tid_s[1:] != tid_s[:-1]) | (
+                cc_s[1:] != cc_s[:-1]
+            )
+        gid = np.cumsum(newpair) - 1
+        pair_tid = tid_s[newpair]
+        tile_first = np.searchsorted(
+            pair_tid, np.arange(T, dtype=np.int64)
+        )
+        slot_pair = np.arange(len(pair_tid), dtype=np.int64) - tile_first[
+            pair_tid
+        ]
+        slot = slot_pair[gid]
+        coff = (cols % chunk)[order]
+        moff = (rows % tile_m)[order]
+        val_s = vals[order]
+        for b in range(len(bounds) - 1):
+            t0, t1 = bounds[b], bounds[b + 1]
+            Kb, Tb = Ks[b], t1 - t0
+            m = (tid_s >= t0) & (tid_s < t1)
+            lt = tid_s[m] - t0
+            if chunk > 1:
+                data = np.zeros((Tb, Kb, chunk, tile_m), dtype=dt)
+                data[lt, slot[m], coff[m], moff[m]] = val_s[m]
+            else:
+                data = np.zeros((Tb, Kb, tile_m), dtype=dt)
+                data[lt, slot[m], moff[m]] = val_s[m]
+            colsb = np.zeros((Tb, Kb), dtype=np.int32)
+            colsb[lt, slot[m]] = cc_s[m].astype(np.int32)
+            blocks[b] = (data, colsb)
+    out_blocks = []
+    for b, (data, colsb) in enumerate(blocks):
+        t0, t1 = bounds[b], bounds[b + 1]
+        out_blocks.append(
             TileELL(
                 data=data if stage else jnp.asarray(data),
                 cols=colsb if stage else jnp.asarray(colsb),
-                nrows=min(max(nr - t0 * tile_m, 0), Tb * tile_m),
-                nrows_pad=Tb * tile_m,
+                nrows=min(max(nr - t0 * tile_m, 0), (t1 - t0) * tile_m),
+                nrows_pad=(t1 - t0) * tile_m,
                 ncols_pad=nc_pad,
                 tile_m=tile_m,
                 chunk_c=chunk,
             )
         )
+    blocks = out_blocks
     return TileELLStack(
         blocks=tuple(blocks),
         nrows=nr,
