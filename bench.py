@@ -257,6 +257,9 @@ def main():
             eopts = AMGOptions()
             eopts.smoother.steps = SpecOpt(2)
             eopts.coarsen.aaf = SpecOpt(0.15)
+            esm = os.environ.get("NGSAMG_BENCH_ELAST_SM")
+            if esm:
+                eopts.smoother.type = SpecOpt(SmootherType(esm))
             te_setup = te_solve = float("inf")
             for _rep in range(max(repeats, 1)):
                 t0 = time.perf_counter()

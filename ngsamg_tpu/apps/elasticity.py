@@ -197,9 +197,12 @@ class ElasticityEnergy(Energy):
         # vertex weight: excess of diagonal over incident couplings — the
         # Dirichlet/L2 part (same construction as H1; near the clamped
         # boundary this correctly breaks rigid-mode preservation)
-        vwt = diag.copy()
-        np.subtract.at(vwt, mesh.edges[:, 0], mesh.edge_data["wt"])
-        np.subtract.at(vwt, mesh.edges[:, 1], mesh.edge_data["wt"])
+        wts = mesh.edge_data["wt"]
+        vwt = (
+            diag
+            - np.bincount(mesh.edges[:, 0], weights=wts, minlength=mesh.nv)
+            - np.bincount(mesh.edges[:, 1], weights=wts, minlength=mesh.nv)
+        )
         mesh.vertex_data["l2wt"] = np.maximum(vwt, 0.0)
         mesh.vertex_data["pos"] = np.asarray(coords, dtype=np.float64)
         return mesh
@@ -208,9 +211,12 @@ class ElasticityEnergy(Energy):
     def soc(self, mesh: AlgebraicMesh) -> np.ndarray:
         w = mesh.edge_data["wt"]
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
-        d = mesh.vertex_data["l2wt"].copy()
-        np.add.at(d, i, w)
-        np.add.at(d, j, w)
+        nv = mesh.nv
+        d = (
+            mesh.vertex_data["l2wt"]
+            + np.bincount(i, weights=w, minlength=nv)
+            + np.bincount(j, weights=w, minlength=nv)
+        )
         d = np.maximum(d, 1e-300)
         return w * 0.5 * (1.0 / d[i] + 1.0 / d[j])
 
@@ -382,9 +388,9 @@ class ElasticityEnergy(Energy):
         mid_t = 0.5 * (pos[e[eid_t, 0]] + pos[e[eid_t, 1]])
         Qm = self.transport(mid_t, pos[kk])
         boost = np.swapaxes(Qm, -1, -2) @ (T @ Qm)
-        out = np.zeros_like(E)
-        np.add.at(out, eid_t, boost)
-        return out
+        from ..mesh.topo import scatter_add
+
+        return scatter_add(eid_t, boost, len(E))
 
     def soc_robust(
         self, mesh: AlgebraicMesh, reduction="max", neib_boost=False
@@ -452,24 +458,22 @@ class ElasticityEnergy(Energy):
         from coarse edges only — the default here; the reference default
         0.5 keeps half, making later rounds more conservative).
         """
+        from ..mesh.topo import scatter_add
+
         cmesh = AlgebraicMesh(nv=n_agg, edges=coarse_edges)
         act = v2agg >= 0
         # coarse positions first (needed for transports)
         pos = mesh.vertex_data["pos"]
-        cpos = np.zeros((n_agg, pos.shape[1]))
-        cnt = np.zeros(n_agg)
-        np.add.at(cpos, v2agg[act], pos[act])
-        np.add.at(cnt, v2agg[act], 1.0)
+        cpos = scatter_add(v2agg[act], pos[act], n_agg)
+        cnt = np.bincount(v2agg[act], minlength=n_agg).astype(np.float64)
         cpos /= np.maximum(cnt, 1.0)[:, None]
         cmesh.vertex_data["pos"] = cpos
 
         m = e2ce >= 0
-        wt = np.zeros(len(coarse_edges))
-        np.add.at(wt, e2ce[m], mesh.edge_data["wt"][m])
+        wt = scatter_add(e2ce[m], mesh.edge_data["wt"][m], len(coarse_edges))
         cmesh.edge_data["wt"] = wt
 
         dpv = self.dpv
-        Ec = np.zeros((len(coarse_edges), dpv, dpv))
         if m.any():
             fi, fj = mesh.edges[m, 0], mesh.edges[m, 1]
             mid_f = 0.5 * (pos[fi] + pos[fj])
@@ -478,11 +482,12 @@ class ElasticityEnergy(Energy):
             Q = self.transport(mid_c, mid_f)  # coeff at m_c -> coeff at m_f
             Ef = mesh.edge_data["mat"][m]
             Et = np.swapaxes(Q, -1, -2) @ (Ef @ Q)
-            np.add.at(Ec, ce, Et)
+            Ec = scatter_add(ce, Et, len(coarse_edges))
+        else:
+            Ec = np.zeros((len(coarse_edges), dpv, dpv))
         cmesh.edge_data["mat"] = Ec
 
-        l2 = np.zeros(n_agg)
-        np.add.at(l2, v2agg[act], mesh.vertex_data["l2wt"][act])
+        l2 = scatter_add(v2agg[act], mesh.vertex_data["l2wt"][act], n_agg)
         cmesh.vertex_data["l2wt"] = l2
 
         stab_f = mesh.vertex_data.get("stab")
@@ -492,7 +497,7 @@ class ElasticityEnergy(Energy):
             if stab_f is not None:
                 Qv = self.transport(cpos[v2agg[act]], pos[act])
                 St = np.swapaxes(Qv, -1, -2) @ (stab_f[act] @ Qv)
-                np.add.at(cstab, v2agg[act], St)
+                cstab += scatter_add(v2agg[act], St, n_agg)
             if boost != 0.0 and (~m).any():
                 fi, fj = mesh.edges[~m, 0], mesh.edges[~m, 1]
                 ci = v2agg[fi]
@@ -504,7 +509,7 @@ class ElasticityEnergy(Energy):
                     contrib = (2.0 * boost) * (
                         np.swapaxes(Q, -1, -2) @ (Eb @ Q)
                     )
-                    np.add.at(cstab, ci[same], contrib)
+                    cstab += scatter_add(ci[same], contrib, n_agg)
             cmesh.vertex_data["stab"] = cstab
         return cmesh
 

@@ -62,6 +62,23 @@ class AlgebraicMesh:
         return G
 
 
+def scatter_add(idx: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
+    """Sum ``vals[k]`` into row ``idx[k]`` of an (n, *vals.shape[1:]) array.
+
+    bincount-based scatter-add: ~10-30x faster than ``np.add.at`` (an
+    unbuffered element-at-a-time ufunc) on multi-million-entry mesh-data
+    mappings. Always accumulates in float64.
+    """
+    vals = np.asarray(vals)
+    if vals.ndim == 1:
+        return np.bincount(idx, weights=vals, minlength=n)
+    flat = vals.reshape(len(vals), -1)
+    out = np.empty((n, flat.shape[1]), dtype=np.float64)
+    for k in range(flat.shape[1]):
+        out[:, k] = np.bincount(idx, weights=flat[:, k], minlength=n)
+    return out.reshape((n,) + vals.shape[1:])
+
+
 def mesh_from_matrix_graph(W: sp.csr_matrix) -> AlgebraicMesh:
     """Build the edge list from a symmetric scalar connectivity graph.
 

@@ -15,10 +15,25 @@ import scipy.sparse as sp
 
 
 def to_bsr(A: sp.spmatrix, bs: int) -> sp.bsr_matrix:
-    """View a scalar CSR as BSR with square block size ``bs``."""
+    """View a scalar CSR as BSR with square block size ``bs``.
+
+    The conversion is cached on the matrix object: setup stages (row
+    ordering, block diagonals, classic-row choice, strength graphs) all
+    need the same BSR view of a level matrix, and csr->bsr costs ~7 s at
+    56M nnz. Level matrices are never mutated in place after construction
+    (CLAUDE.md invariant), so the cache cannot go stale.
+    """
     if isinstance(A, sp.bsr_matrix) and A.blocksize == (bs, bs):
         return A
-    return sp.bsr_matrix(A, blocksize=(bs, bs))
+    cached = getattr(A, "_amg_bsr_cache", None)
+    if cached is not None and cached[0] == bs:
+        return cached[1]
+    B = sp.bsr_matrix(A, blocksize=(bs, bs))
+    try:
+        A._amg_bsr_cache = (bs, B)
+    except AttributeError:
+        pass
+    return B
 
 
 def block_norm_graph(A: sp.spmatrix, bs: int):
@@ -31,16 +46,26 @@ def block_norm_graph(A: sp.spmatrix, bs: int):
     (the reference's matrix-graph -> BlockTM conversion,
     src/base/precond/amg_pc_vertex_impl.hpp:941-1090).
     """
+    cached = getattr(A, "_amg_bng_cache", None)
+    if cached is not None and cached[0] == bs:
+        return cached[1], cached[2]
     if bs == 1:
         C = A.tocsr().copy()
         d = np.abs(C.diagonal())
         C.setdiag(0.0)
         C.eliminate_zeros()
         C.data = np.abs(C.data)
+        _bng_store(A, bs, C, d)
         return C, d
     B = to_bsr(A, bs)
     nv = B.shape[0] // bs
-    norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
+    # einsum: one pass over the block data, no astype/square temporaries
+    # (an astype(f64) copy alone was ~0.35 s per 450 MB at this host's
+    # first-touch page-fault rate)
+    dat = B.data if B.data.dtype == np.float64 else B.data.astype(
+        np.float64, copy=False
+    )
+    norms = np.sqrt(np.einsum("nij,nij->n", dat, dat))
     # copy structure arrays: setdiag/eliminate_zeros mutate them in place
     W = sp.csr_matrix(
         (norms, B.indices.copy(), B.indptr.copy()), shape=(nv, nv)
@@ -48,7 +73,15 @@ def block_norm_graph(A: sp.spmatrix, bs: int):
     d = W.diagonal().copy()
     W.setdiag(0.0)
     W.eliminate_zeros()
+    _bng_store(A, bs, W, d)
     return W, d
+
+
+def _bng_store(A, bs, W, d):
+    try:
+        A._amg_bng_cache = (bs, W, d)
+    except AttributeError:
+        pass
 
 
 def block_diagonal(A: sp.spmatrix, bs: int) -> np.ndarray:
@@ -98,9 +131,11 @@ def csr_rowwise_argmax(indptr, indices, vals, valid=None):
     lexsort here dominated the whole AMG setup at scale).
     """
     n = len(indptr) - 1
-    v = vals.astype(np.float64, copy=True)
     if valid is not None:
+        v = vals.astype(np.float64, copy=True)
         v[~valid] = -np.inf
+    else:
+        v = vals.astype(np.float64, copy=False)
     best_col = np.full(n, -1, dtype=np.int64)
     best_val = np.full(n, -np.inf)
     deg = np.diff(indptr)
