@@ -35,7 +35,7 @@ from ..config import AMGOptions, CoarseSolveType, options_from_flags
 from ..factory.levels import setup_levels
 from ..smoothers.build import build_smoother, plan_row_order
 from ..solve.cycle import AMGOperator, DeviceLevel, amg_apply
-from ..solve.pcg import SolveResult, pcg
+from ..solve.pcg import SolveResult, pcg, pcg_mixed
 from ..sparse import bell, formats
 
 ROW_ALIGN = 8
@@ -849,6 +849,11 @@ class AMGPreconditioner:
         # move device->host at ~15 MB/s, which made host-side refinement
         # the dominant solve cost at 10M DoF
         self._A64_dev = None
+        # f64 device twin of the finest operator for the DEVICE-RESIDENT
+        # mixed-precision outer PCG (built lazily on first mixed solve);
+        # _A0_perm keeps the permuted+scaled f64 host matrix it packs from
+        self._A64_mixed = None
+        self._A0_perm = A_perm[0]
         if (
             isinstance(self.A_dev, formats.StencilDia)
             and self._perm0 is None
@@ -1011,9 +1016,15 @@ class AMGPreconditioner:
         )
 
         if mixed and jnp.dtype(self.dtype) != jnp.float64:
-            x, info = self._solve_mixed_outer(
-                b, bnorm, tol=tol, maxiter=maxiter
-            )
+            A64 = self._ensure_A64_mixed()
+            if A64 is not None:
+                x, info = self._solve_mixed_device(
+                    b, bnorm, tol=tol, maxiter=maxiter, A64=A64
+                )
+            else:
+                x, info = self._solve_mixed_outer(
+                    b, bnorm, tol=tol, maxiter=maxiter
+                )
             return self._contract_ext(x), info
         if self._A64_dev is not None and use_refinement:
             x, info = self._solve_device_refined(
@@ -1066,9 +1077,15 @@ class AMGPreconditioner:
             # only through M (measured: beam diverges at relres 1.77
             # under defect correction, converges to 5e-9 in 21 mixed
             # iterations with eig bounds [0.31, 1.0]).
-            x, mixed_info = self._solve_mixed_outer(
-                b, bnorm, tol=tol, maxiter=maxiter
-            )
+            A64 = self._ensure_A64_mixed()
+            if A64 is not None:
+                x, mixed_info = self._solve_mixed_device(
+                    b, bnorm, tol=tol, maxiter=maxiter, A64=A64
+                )
+            else:
+                x, mixed_info = self._solve_mixed_outer(
+                    b, bnorm, tol=tol, maxiter=maxiter
+                )
             info = SolveInfo(
                 iterations=total_it + mixed_info.iterations,
                 relres=mixed_info.relres,
@@ -1085,6 +1102,115 @@ class AMGPreconditioner:
             history=history,
         )
         return self._contract_ext(x), info
+
+    def _ensure_A64_mixed(self):
+        """f64 DEVICE twin of the finest operator (lazy, cached).
+
+        Packs the permuted+scaled f64 host matrix into the same format
+        (and padding) as the f32 device operator, so mixed-precision
+        Krylov state shares the hierarchy's vector layout. Index arrays
+        are shared with the f32 twin where the formats allow it.
+        """
+        if self._A64_mixed is not None:
+            return self._A64_mixed
+        if self._A64_dev is not None:  # exact f64 stencil already there
+            self._A64_mixed = self._A64_dev
+            return self._A64_mixed
+        A0 = self._A0_perm
+        Af = self.A_dev
+        if A0 is None or Af is None:
+            return None
+        bs = self.setup_levels_[0].row_bs
+        fmt = None
+        with jax.enable_x64(True):
+            if isinstance(Af, formats.TileELLStack):
+                fmt = formats.tile_ell_stack_from_scipy(
+                    A0, np.float64, tile_m=Af.tile_m,
+                    chunk=Af.blocks[0].chunk_c,
+                    nr_pad=Af.nrows_pad, nc_pad=Af.ncols_pad,
+                )
+            elif isinstance(Af, formats.TileELL):
+                fmt = formats.tile_ell_from_scipy(
+                    A0, np.float64, tile_m=Af.tile_m,
+                    nr_pad=Af.nrows_pad, nc_pad=Af.ncols_pad,
+                )
+            elif isinstance(Af, formats.DiaMatrix):
+                fmt = formats.dia_from_scipy(
+                    A0, np.float64, row_align=Af.nrows_pad,
+                    use_pallas=False,
+                )
+            elif isinstance(Af, formats.SupernodeELL):
+                fmt = formats.supernode_from_scipy(
+                    A0, np.float64, tile=Af.tile_r, tile_c=Af.tile_c,
+                    nr_pad=Af.nrows_pad, nc_pad=Af.nrows_pad,
+                )
+            elif isinstance(Af, formats.DenseMatrix):
+                fmt = formats.dense_from_scipy(
+                    A0, bs, np.float64, row_align=Af.nrows_pad,
+                )
+            elif isinstance(Af, bell.BlockELL):
+                fmt = bell.from_scipy(
+                    sp.bsr_matrix(A0, blocksize=(bs, bs))
+                    if not (sp.issparse(A0) and A0.format == "bsr")
+                    else A0,
+                    bs, bs, dtype=np.float64,
+                    row_align=self._row_align,
+                )
+            if fmt is not None and _scalar_pad(fmt, bs) == _scalar_pad(
+                Af, bs
+            ):
+                fmt = jax.device_put(fmt)
+                self._A64_mixed = fmt
+        return self._A64_mixed
+
+    def _solve_mixed_device(
+        self, b: np.ndarray, bnorm: float, *, tol: float, maxiter: int,
+        A64,
+    ) -> tuple[np.ndarray, SolveInfo]:
+        """Device-resident mixed-precision PCG (see solve/pcg.pcg_mixed).
+
+        f64 Krylov vectors and finest matvec live on device; the f32
+        hierarchy is applied as M inside the same jitted chunk — zero
+        per-iteration host<->device traffic (the host mixed outer pays a
+        cycle readback per iteration: ~1 s through a remote-TPU tunnel
+        at 1M DoF, which dominated the elasticity bench solve).
+        """
+        bs = self.setup_levels_[0].row_bs
+        with jax.enable_x64(True), self._cycle_scope():
+            v = np.asarray(b, dtype=np.float64)
+            if self._scale0 is not None:
+                v = v * self._scale0
+            if self._perm0 is not None:
+                v = v[self._perm0]
+            b64 = bell.block_vec(
+                v, bs, self.A_dev.nrows_pad, np.float64
+            )
+            res = pcg_mixed(
+                self.op, A64, b64, tol=tol, maxiter=maxiter,
+                cycle_dt=str(jnp.dtype(self.dtype)),
+            )
+            # true-residual verification on device (recursive residuals
+            # drift; one extra f64 matvec)
+            from ..sparse.formats import matvec as _mv
+
+            r_true = b64 - _mv(A64, res.x)
+            relres = float(
+                jnp.sqrt(jnp.vdot(r_true.reshape(-1), r_true.reshape(-1)))
+            ) / bnorm
+            x = jax.device_get(
+                bell.flat_vec(res.x, self.A_dev.nrows)
+            ).astype(np.float64)
+        if self._iperm0 is not None:
+            x = x[self._iperm0]
+        if self._scale0 is not None:
+            x = x * self._scale0
+        return x, SolveInfo(
+            iterations=int(res.iterations),
+            relres=relres,
+            outer_iterations=1,
+            converged=relres <= tol,
+            history=[relres],
+        )
 
     def _solve_mixed_outer(
         self, b: np.ndarray, bnorm: float, *, tol: float, maxiter: int

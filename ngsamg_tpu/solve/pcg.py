@@ -160,6 +160,107 @@ def pcg(
     return SolveResult(x=x, iterations=k, relres=relres)
 
 
+@partial(jax.jit, static_argnames=("chunk", "cycle_dt"))
+def _pcg_mixed_chunk(
+    op: AMGOperator,
+    A64,
+    state,
+    tol_abs2: jax.Array,
+    chunk: int = 4,
+    cycle_dt: str = "float32",
+):
+    """Mixed-precision PCG chunk: f64 Krylov state + f64 finest matvec,
+    the (f32/bf16) AMG cycle as M.
+
+    M is applied to the unit-normalized residual (exact for a linear M),
+    so the cast into the cycle dtype never leaves its dynamic range. The
+    whole iteration is device-resident — the TPU-native replacement for
+    a host-driven mixed outer, whose per-iteration cycle readback through
+    a remote-TPU tunnel costs ~1000x the cycle itself.
+    """
+    dt = jnp.dtype(cycle_dt)
+    tiny = jnp.finfo(jnp.float64).tiny
+
+    def body(_i, s):
+        x, r, p, rz_prev, rn, k = s
+        active = rn > tol_abs2
+        rnorm = jnp.sqrt(jnp.maximum(rn, tiny))
+        z32 = amg_apply(op, (r * (1.0 / rnorm)).astype(dt))
+        z = z32.astype(jnp.float64) * rnorm
+        rz = _dot(r, z)
+        first = k == 0
+        beta = jnp.where(
+            first, 0.0, rz / jnp.where(rz_prev == 0, tiny, rz_prev)
+        )
+        p_new = z + beta * p
+        q = matvec(A64, p_new)
+        pq = _dot(p_new, q)
+        ok = active & (pq > 0) & (jnp.abs(rz) > 0)
+        alpha = jnp.where(ok, rz / jnp.where(pq == 0, tiny, pq), 0.0)
+        x = x + alpha * p_new
+        r = jnp.where(ok, r - alpha * q, r)
+        p = jnp.where(ok, p_new, p)
+        rz_prev = jnp.where(ok, rz, rz_prev)
+        rn = jnp.where(ok, _dot(r, r), rn)
+        k = k + ok.astype(jnp.int32)
+        return (x, r, p, rz_prev, rn, k)
+
+    if chunk == 1:
+        return body(0, state)
+    if _is_axon():
+        for i in range(chunk):
+            state = body(i, state)
+        return state
+    return jax.lax.fori_loop(0, chunk, body, state)
+
+
+def pcg_mixed(
+    op: AMGOperator,
+    A64,
+    b64: jax.Array,
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    chunk: int | None = None,
+    cycle_dt: str = "float32",
+) -> SolveResult:
+    """Device-resident mixed-precision PCG (f64 Krylov, low-precision M).
+
+    ``A64`` is the exact f64 finest operator ON DEVICE; ``b64`` an f64
+    device block vector. Iteration counts track the f64-quality cycle
+    (the reference's all-f64 solves, LinearSolver.hpp:10-87) while the
+    smoothing/transfer FLOPs stay in the fast dtype. Must be called
+    inside a ``jax.enable_x64(True)`` scope.
+    """
+    if chunk is None:
+        chunk = default_chunk()
+    bnorm2 = float(_dot(b64, b64))
+    if bnorm2 == 0.0:
+        z = jnp.zeros_like(b64)
+        return SolveResult(z, jnp.int32(0), jnp.asarray(0.0, jnp.float64))
+    tol_abs2 = jnp.asarray(tol * tol * bnorm2, jnp.float64)
+    x = jnp.zeros_like(b64)
+    p = jnp.zeros_like(b64)
+    state = (
+        x, b64, p,
+        jnp.zeros((), jnp.float64),
+        jnp.asarray(bnorm2, jnp.float64),
+        jnp.int32(0),
+    )
+    done = 0
+    while done < maxiter:
+        state = _pcg_mixed_chunk(
+            op, A64, state, tol_abs2, chunk=chunk, cycle_dt=cycle_dt
+        )
+        done += chunk
+        rn = float(state[4])
+        if not np.isfinite(rn) or rn <= float(tol_abs2):
+            break
+    x, _r, _p, _rz, rn, k = state
+    relres = jnp.sqrt(jnp.maximum(rn, 0.0) / bnorm2)
+    return SolveResult(x=x, iterations=k, relres=relres)
+
+
 def amg_iteration(
     op: AMGOperator,
     A: BlockELL,

@@ -151,3 +151,51 @@ def test_spw_max_agg_cap():
     sizes = np.bincount(v2agg[v2agg >= 0], minlength=n_agg)
     assert sizes.max() <= 4
     assert n_agg < S.shape[0] / 2  # still actually coarsens
+
+
+def test_mixed_device_pcg_paths():
+    """The device-resident mixed-precision outer PCG (f64 Krylov + f32
+    cycle as M, solve/pcg.pcg_mixed) must build an f64 device twin of the
+    finest operator for every format family and converge to the f64
+    tolerance the f32 inner PCG cannot reach on its own."""
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.sparse import formats
+
+    # BlockELL (GS-colored elasticity finest, scaled+permuted)
+    p = fem.elasticity_3d(8)
+    pc = AMGPreconditioner(
+        p.A, energy="elasticity", block_size=3, coords=p.coords
+    ).setup()
+    x, info = pc.solve(p.b, tol=1e-8, mixed=True)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7
+    assert pc._A64_mixed is not None
+
+    # DiaMatrix finest (Chebyshev, no row permutation)
+    opts = AMGOptions()
+    opts.smoother = SmootherOptions(type=SmootherType("chebyshev"))
+    up = fem.unstructured_poisson(12, dim=3)
+    pc = AMGPreconditioner(up.A, coords=up.coords, options=opts).setup()
+    x, info = pc.solve(up.b, tol=1e-8, mixed=True)
+    r = np.linalg.norm(up.A @ x - up.b) / np.linalg.norm(up.b)
+    assert info.converged and r < 1e-7
+
+    # TileELLStack finest: force the tile path by disallowing DIA
+    import ngsamg_tpu.sparse.formats as fm
+
+    old = fm.count_diagonals
+    fm.count_diagonals = lambda A, limit=None: 10**9
+    try:
+        up2 = fem.unstructured_poisson(20, dim=3)
+        pc = AMGPreconditioner(
+            up2.A, coords=up2.coords, options=opts
+        ).setup()
+        assert isinstance(
+            pc.A_dev, (fm.TileELLStack, fm.TileELL, fm.SupernodeELL)
+        ), type(pc.A_dev)
+        x, info = pc.solve(up2.b, tol=1e-8, mixed=True)
+        r = np.linalg.norm(up2.A @ x - up2.b) / np.linalg.norm(up2.b)
+        assert info.converged and r < 1e-7
+        assert type(pc._A64_mixed) is type(pc.A_dev)
+    finally:
+        fm.count_diagonals = old
