@@ -1185,15 +1185,26 @@ class AMGPreconditioner:
             b64 = bell.block_vec(
                 v, bs, self.A_dev.nrows_pad, np.float64
             )
+            # cap the python-unrolled chunk on big problems: each unrolled
+            # iteration embeds a full V-cycle + the f64 finest matvec, and
+            # XLA's compile-time HBM budgeting (liveness + fragmentation)
+            # grows with the unrolled graph (measured: 4x unroll at 1.25M
+            # scalar DoF elasticity exceeded 15.75G by 1.6G with 7G
+            # fragmentation)
+            n_scal = self.A_dev.nrows_pad * bs
+            chunk = None if n_scal < 2_000_000 else 2
             res = pcg_mixed(
                 self.op, A64, b64, tol=tol, maxiter=maxiter,
+                chunk=chunk,
                 cycle_dt=str(jnp.dtype(self.dtype)),
             )
             # true-residual verification on device (recursive residuals
-            # drift; one extra f64 matvec)
-            from ..sparse.formats import matvec as _mv
+            # drift; one extra f64 matvec, slabbed like the in-loop one)
+            from ..sparse.formats import f64_matvec_slabs, matvec_slabbed
 
-            r_true = b64 - _mv(A64, res.x)
+            r_true = b64 - matvec_slabbed(
+                A64, res.x, f64_matvec_slabs(A64)
+            )
             relres = float(
                 jnp.sqrt(jnp.vdot(r_true.reshape(-1), r_true.reshape(-1)))
             ) / bnorm

@@ -180,6 +180,9 @@ def _pcg_mixed_chunk(
     """
     dt = jnp.dtype(cycle_dt)
     tiny = jnp.finfo(jnp.float64).tiny
+    from ..sparse.formats import f64_matvec_slabs, matvec_slabbed
+
+    nslabs = f64_matvec_slabs(A64)
 
     def body(_i, s):
         x, r, p, rz_prev, rn, k = s
@@ -193,7 +196,7 @@ def _pcg_mixed_chunk(
             first, 0.0, rz / jnp.where(rz_prev == 0, tiny, rz_prev)
         )
         p_new = z + beta * p
-        q = matvec(A64, p_new)
+        q = matvec_slabbed(A64, p_new, nslabs)
         pq = _dot(p_new, q)
         ok = active & (pq > 0) & (jnp.abs(rz) > 0)
         alpha = jnp.where(ok, rz / jnp.where(pq == 0, tiny, pq), 0.0)

@@ -176,6 +176,95 @@ def _stencil_dia_matvec(A: StencilDia, x: jax.Array) -> jax.Array:
     return jnp.pad(yf, (0, A.nrows_pad - A.nrows))[:, None]
 
 
+def f64_matvec_slabs(A, target_bytes: int = 300 * 1024 * 1024) -> int:
+    """Row-slab count bounding emulated-f64 matvec temporaries.
+
+    TPUs have no native f64 dot: XLA emulates an f64 gather+einsum with
+    stacked f32 split pieces whose transient footprint is ~4x the f64
+    data bytes (measured on a 1.25M-scalar-DoF 3D-elasticity BlockELL:
+    a 1.11 GB f64 data array compiled to a 4.44 GB f32[8,n,K,bs,bs]
+    split buffer and OOM'd the 15.75 GB chip). Slabbing the matvec lets
+    the live-range allocator reuse one slab's splits for the next.
+    """
+    data = getattr(A, "data", None)
+    if isinstance(A, SupernodeELL):
+        data = A.inner.data
+    if isinstance(A, TileELLStack):
+        data = max((b.data for b in A.blocks), key=lambda d: d.size)
+    if data is None or jnp.dtype(data.dtype) != jnp.float64:
+        return 1
+    split_bytes = 4 * data.size * 8
+    return max(1, -(-split_bytes // target_bytes))
+
+
+def matvec_slabbed(A, x: jax.Array, nslabs: int) -> jax.Array:
+    """y = A @ x computed in ``nslabs`` sequential row slabs.
+
+    Semantically identical to :func:`matvec`; bounds peak HLO-temp
+    memory to O(1/nslabs) for formats with per-row data (the emulated
+    f64 path — see :func:`f64_matvec_slabs`). Formats without per-row
+    data (StencilDia) or with their own slab path fall through to the
+    plain matvec.
+    """
+    if nslabs <= 1:
+        return matvec(A, x)
+    if isinstance(A, SupernodeELL):
+        xt = x.reshape(-1, A.tile_c)
+        yt = matvec_slabbed(A.inner, xt, nslabs)
+        return yt.reshape(-1, 1)
+    if isinstance(A, BlockELL):
+        n = A.data.shape[0]
+        slab = -(-n // nslabs)
+        slab = -(-slab // 8) * 8
+        ys = []
+        a = 0
+        while a < n:
+            b = min(a + slab, n)
+            xg = x[A.cols[a:b]]
+            ys.append(
+                jnp.einsum(
+                    "nkij,nkj->ni", A.data[a:b], xg,
+                    preferred_element_type=A.data.dtype,
+                )
+            )
+            a = b
+        return jnp.concatenate(ys)
+    if isinstance(A, TileELLStack):
+        total = sum(b.data.shape[0] for b in A.blocks)
+        ys = []
+        for blk in A.blocks:
+            ns = max(1, round(nslabs * blk.data.shape[0] / max(total, 1)))
+            ys.append(_tile_ell_matvec_slabbed(blk, x, ns))
+        return jnp.concatenate(ys)
+    if isinstance(A, TileELL):
+        return _tile_ell_matvec_slabbed(A, x, nslabs)
+    return matvec(A, x)
+
+
+def _tile_ell_matvec_slabbed(A: TileELL, x: jax.Array, nslabs: int):
+    T = A.data.shape[0]
+    slab = max(1, -(-T // nslabs))
+    ys = []
+    a = 0
+    while a < T:
+        b = min(a + slab, T)
+        if A.chunk_c > 1:
+            xc = x[:, 0].reshape(-1, A.chunk_c)[A.cols[a:b]]
+            y = jnp.einsum(
+                "tkcm,tkc->tm", A.data[a:b], xc,
+                preferred_element_type=A.data.dtype,
+            )
+        else:
+            xg = x[:, 0][A.cols[a:b]]
+            y = jnp.einsum(
+                "tkm,tk->tm", A.data[a:b], xg,
+                preferred_element_type=A.data.dtype,
+            )
+        ys.append(y.reshape(-1))
+        a = b
+    return jnp.concatenate(ys)[:, None]
+
+
 def matvec(A, x: jax.Array) -> jax.Array:
     """y = A @ x for any device sparse/dense format; x: (nrows_pad, bs)."""
     if isinstance(A, BlockELL):

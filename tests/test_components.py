@@ -719,3 +719,45 @@ def test_tile_ell_stack_in_pipeline():
         Ap, 1, np.float32, 8, stack_chunk=formats.TILE_CHUNK
     )
     assert isinstance(fmt, (formats.TileELLStack, formats.DiaMatrix))
+
+
+def test_matvec_slabbed_matches_plain():
+    """Row-slab f64 matvec == plain matvec (bitwise per-slab einsums).
+
+    The slab path bounds the transient footprint of XLA's emulated-f64
+    gather+einsum (no native f64 dot on TPU: the splits are ~4x the f64
+    data bytes — a 1.25M-DoF elasticity mixed solve compile-OOM'd on a
+    16G chip without it). Reference role: all-f64 SpMV of the solve
+    phase (utils_sparseLA.hpp SparseMatrix::Mult).
+    """
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ngsamg_tpu.sparse import bell, formats
+
+    rng = np.random.default_rng(3)
+    with jax.enable_x64(True):
+        n = 37
+        S = sp.random(n, n, 0.2, random_state=1, format="csr") + sp.eye(n)
+        B = sp.kron(S, np.ones((3, 3))).tobsr(blocksize=(3, 3))
+        A = bell.from_scipy(B, 3, 3, dtype=np.float64)
+        x = jnp.asarray(rng.standard_normal((A.nrows_pad, 3)))
+        y0 = np.asarray(formats.matvec(A, x))
+        for ns in (2, 5, 64):
+            y1 = np.asarray(formats.matvec_slabbed(A, x, ns))
+            assert np.array_equal(y0, y1)
+
+        C = (sp.random(400, 400, 0.03, random_state=2, format="csr")
+             + sp.eye(400)).tocsr()
+        st = formats.tile_ell_stack_from_scipy(C, np.float64)
+        if st is not None:
+            xp = jnp.asarray(rng.standard_normal((st.ncols_pad, 1)))
+            z0 = np.asarray(formats.matvec(st, xp))
+            for ns in (3, 16):
+                z1 = np.asarray(formats.matvec_slabbed(st, xp, ns))
+                assert np.array_equal(z0, z1)
+
+        # heuristic: f32 operators never slab; big f64 ones do
+        assert formats.f64_matvec_slabs(A) == 1
+        assert formats.f64_matvec_slabs(A, target_bytes=1024) > 1
