@@ -179,10 +179,10 @@ def main():
         # a transient failure here (co-tenant HBM pressure, tunnel
         # hiccup) must not kill the headline metric above
         try:
-            # ~935k DoF (52^3-lattice perturbed Delaunay + one uniform red
+            # ~1.1M DoF (55^3-lattice perturbed Delaunay + one uniform red
             # refinement): the SPW + smoothed-prol + tile-ELL + cluster-
             # correction path at the scale the reference lives at
-            nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "52"))
+            nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "55"))
             uref = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_REFINE", "1"))
             up = _cached_problem(
                 f"unstruct3d_{nu}_r{uref}",
