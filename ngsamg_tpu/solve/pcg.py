@@ -14,6 +14,7 @@ chunk, all FLOPs on chip.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -38,7 +39,16 @@ def default_chunk() -> int:
     The axon remote-TPU platform deadlocks on gathers inside fori_loop
     bodies, so there chunks are python-unrolled straight-line graphs (see
     `_pcg_chunk`); other backends use fori chunks.
+
+    `NGSAMG_PCG_CHUNK` overrides (any backend): on axon the remote compile
+    time scales with the unrolled graph, so chunk=1 trades ~26 ms/iter of
+    extra residual syncs for a ~chunk-x smaller one-time compile — the
+    right call for large multi-format hierarchies (block ELL elasticity)
+    whose chunk-4 graphs take tens of minutes to compile remotely.
     """
+    env = os.environ.get("NGSAMG_PCG_CHUNK")
+    if env:
+        return max(int(env), 1)
     if "axon" in str(jax.config.jax_platforms or ""):
         return 4  # unrolled: 4x fewer tunnel round trips per residual check
     return 16
