@@ -3,9 +3,15 @@
 Mirrors the reference's own throughput metric — "(scal) dofs / (sec * np)"
 printed by its test harness (/root/reference/tests/h1/amg_utils.py:350-360)
 — on the BASELINE.json north-star configuration (3D Poisson, AMG-PCG to
-1e-8). Prints ONE JSON line:
+1e-8). Prints ONE merged JSON line
 
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+RE-PRINTED (flushed) after every completed leg, so a driver timeout can
+never erase finished work: whichever line a parser takes (first or last),
+it is a complete, parseable snapshot of everything measured so far. Legs
+not yet reached carry {"skipped": "pending"}; legs abandoned by the
+wall-clock budget carry {"skipped": "budget"}.
 
 The reference publishes no numbers (BASELINE.md): `vs_baseline` is computed
 against an assumed NgsAMG CPU figure of 2.0e6 DoF/s per core for the
@@ -23,7 +29,11 @@ verify — treat it as the bar one chip must clear for the pod claim to
 hold, not as a measured pod result.
 
 Env knobs: NGSAMG_BENCH_N (grid n, default 216 -> ~9.94M DoF, the
-BASELINE.json metric scale), NGSAMG_BENCH_TOL (default 1e-8).
+BASELINE.json metric scale), NGSAMG_BENCH_TOL (default 1e-8),
+NGSAMG_BENCH_BUDGET_S (global wall-clock budget, default 480 s — chosen
+to sit inside the driver's capture window; a full five-leg cold run
+measured 2026-08-20 takes ~17 min, see docs/SCALING.md, so the default
+budget intentionally trades tail legs for a guaranteed headline).
 """
 
 from __future__ import annotations
@@ -39,6 +49,25 @@ BASELINE_DOFS_PER_S = 2.0e6  # assumed NgsAMG-on-1-core setup+solve throughput
 # per-chip bar implied by BASELINE.json's 64-core-vs-16-chip comparison:
 # 64 cores x 2.0e6 x 0.5 MPI efficiency / 16 chips (see module docstring)
 BASELINE_64CORE_PER_CHIP = BASELINE_DOFS_PER_S * 64 * 0.5 / 16
+
+_T_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("NGSAMG_BENCH_BUDGET_S", "480"))
+
+# rough cold-compile-inclusive cost per optional leg (measured 2026-08-20,
+# axon tunnel, warm problem cache — see docs/SCALING.md "bench wall-clock
+# budget"): a leg is only started when this much budget remains, so a
+# started leg should also finish inside the window
+_LEG_EST_S = {
+    "unstructured": 240.0,
+    "elasticity": 240.0,
+    "stokes": 150.0,
+    "gs": 240.0,
+}
+
+
+def _remaining_s() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T_START)
+
 
 # Problem-assembly cache: FE assembly (Delaunay + element integration) is
 # NOT part of the measured metric (assembly_s is reported separately) and
@@ -98,6 +127,20 @@ def _free_device_state(tag: str):
               file=sys.stderr)
     except Exception:
         pass
+
+
+class _Emitter:
+    """Holds the merged result dict; re-prints the full JSON line after
+    every completed leg (single atomic write + flush) so a timeout at ANY
+    point leaves the last complete snapshot on stdout."""
+
+    def __init__(self):
+        self.result = None
+
+    def emit(self):
+        line = json.dumps(self.result)
+        sys.stdout.write(line + "\n")
+        sys.stdout.flush()
 
 
 def main():
@@ -167,19 +210,75 @@ def main():
 
     # free this leg's device-resident hierarchy before the next leg:
     # the legs together would exceed HBM (measured: the 10M headline +
-    # 935k unstructured hierarchies resident made the 1.25M elasticity
+    # 1.41M unstructured hierarchies resident made the 1.25M elasticity
     # device_put RESOURCE_EXHAUSTED)
     pc = x_dev = None
     _free_device_state("headline")
 
+    em = _Emitter()
+    em.result = {
+        "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",
+        "value": round(dofs_per_s, 1),
+        "unit": "DoF/s/chip",
+        "vs_baseline": round(dofs_per_s / BASELINE_DOFS_PER_S, 3),
+        "extra": {
+            "vs_baseline_64core_per_chip": round(
+                dofs_per_s / BASELINE_64CORE_PER_CHIP, 3
+            ),
+            "n_dof": prob.n,
+            "iterations": int(info.iterations),
+            "relres": float(r),
+            "converged": bool(info.converged and r < 10 * tol),
+            "levels": n_levels,
+            "operator_complexity": round(op_complexity, 3),
+            "setup_s": round(t_setup, 3),
+            "solve_s": round(t_solve, 3),
+            "solve_dofs_per_s": round(prob.n / t_solve, 1),
+            "readback_s": round(t_readback, 3),
+            "vs_baseline_incl_readback": round(
+                prob.n / (t_setup + t_solve + t_readback)
+                / BASELINE_DOFS_PER_S,
+                3,
+            ),
+            "assembly_s": round(t_asm, 3),
+            "tol": tol,
+            "budget_s": _BUDGET_S,
+            "unstructured": {"skipped": "pending"},
+            "elasticity": {"skipped": "pending"},
+            "stokes": {"skipped": "pending"},
+            "gs": {"skipped": "pending"},
+        },
+    }
+    # the headline is on stdout from here on — optional legs can only ADD
+    em.emit()
+
+    def _leg_gate(name: str, env: str) -> bool:
+        """Decide whether to run an optional leg; record skip markers."""
+        if os.environ.get(env, "1") == "0":
+            em.result["extra"][name] = {"skipped": "disabled"}
+            em.emit()
+            return False
+        rem = _remaining_s()
+        if rem < _LEG_EST_S[name]:
+            print(
+                f"[bench] skipping {name}: {rem:.0f}s budget left < "
+                f"{_LEG_EST_S[name]:.0f}s estimate",
+                file=sys.stderr,
+            )
+            em.result["extra"][name] = {
+                "skipped": "budget", "remaining_s": round(rem, 1),
+            }
+            em.emit()
+            return False
+        return True
+
     # unstructured leg (perturbed Delaunay; SPW + smoothed prol +
     # supernode formats) — the paths a general mesh exercises
-    unstructured = None
-    if os.environ.get("NGSAMG_BENCH_UNSTRUCTURED", "1") != "0":
+    if _leg_gate("unstructured", "NGSAMG_BENCH_UNSTRUCTURED"):
         # a transient failure here (co-tenant HBM pressure, tunnel
         # hiccup) must not kill the headline metric above
         try:
-            # ~1.1M DoF (55^3-lattice perturbed Delaunay + one uniform red
+            # ~1.41M DoF (55^3-lattice perturbed Delaunay + one uniform red
             # refinement): the SPW + smoothed-prol + tile-ELL + cluster-
             # correction path at the scale the reference lives at
             nu = int(os.environ.get("NGSAMG_BENCH_UNSTRUCT_N", "55"))
@@ -207,7 +306,7 @@ def main():
                 ux, uinfo = upc.solve(up.b, tol=tol)
                 tu_solve = min(tu_solve, time.perf_counter() - t0)
             ur = np.linalg.norm(up.A @ ux - up.b) / np.linalg.norm(up.b)
-            unstructured = {
+            em.result["extra"]["unstructured"] = {
                 "n_dof": up.n,
                 "iterations": int(uinfo.iterations),
                 "relres": float(ur),
@@ -225,18 +324,16 @@ def main():
             import traceback
 
             traceback.print_exc()
-            unstructured = {
+            em.result["extra"]["unstructured"] = {
                 "error": f"{type(_e).__name__}: {_e}",
                 "converged": False,
             }
             upc = ux = None  # noqa: F841  drop device refs before freeing
             _free_device_state("unstructured:error")
+        em.emit()
 
     # elasticity leg (robust EVP matching, rigid transports, BSR formats)
-    elasticity = None
-    if os.environ.get("NGSAMG_BENCH_ELAST", "1") != "0":
-        # a transient failure here (co-tenant HBM pressure, tunnel
-        # hiccup) must not kill the headline metric above
+    if _leg_gate("elasticity", "NGSAMG_BENCH_ELAST"):
         try:
             # 3D, ~1.25M DoF (3x3 blocks on the MXU): robust EVP matching,
             # rigid transports, block formats at benchmark scale
@@ -258,11 +355,9 @@ def main():
             eopts = AMGOptions()
             eopts.smoother.steps = SpecOpt(2)
             eopts.coarsen.aaf = SpecOpt(0.15)
-            # chebyshev like the other perf legs: multicolor GS at this
-            # scale slices the 555 MB finest ELL data per color and XLA
-            # stacks the slices into a (ncolors, nrows, K, bs, bs) temp
-            # -> 17.3G compile OOM (measured r3); GS stays the CPU/parity
-            # default and is available via NGSAMG_BENCH_ELAST_SM=gs
+            # chebyshev like the other perf legs; multicolor GS is also
+            # available at this scale via NGSAMG_BENCH_ELAST_SM=gs (the
+            # per-color split-ELL storage removed the r3 compile OOM)
             esm = os.environ.get("NGSAMG_BENCH_ELAST_SM", "chebyshev")
             eopts.smoother.type = SpecOpt(SmootherType(esm))
             te_setup = te_solve = float("inf")
@@ -279,7 +374,7 @@ def main():
                 ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120, mixed=True)
                 te_solve = min(te_solve, time.perf_counter() - t0)
             er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
-            elasticity = {
+            em.result["extra"]["elasticity"] = {
                 "n_dof": ep.n,
                 "iterations": int(einfo.iterations),
                 "relres": float(er),
@@ -288,6 +383,7 @@ def main():
                 "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
                 "solve_s": round(te_solve, 3),
                 "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
+                "smoother": esm,
             }
             epc = ex = None
             _free_device_state("elasticity")
@@ -295,20 +391,18 @@ def main():
             import traceback
 
             traceback.print_exc()
-            elasticity = {
+            em.result["extra"]["elasticity"] = {
                 "error": f"{type(_e).__name__}: {_e}",
                 "converged": False,
             }
             epc = ex = None  # noqa: F841  drop device refs before freeing
             _free_device_state("elasticity:error")
+        em.emit()
 
     # Stokes leg (dual-mesh facet AMG, div-preserving prolongation,
     # short geometric loops + Hiptmair smoothing — 3D simplicial mesh at
     # the >=100k-DoF scale the reference's largest subsystem lives at)
-    stokes = None
-    if os.environ.get("NGSAMG_BENCH_STOKES", "1") != "0":
-        # a transient failure here (co-tenant HBM pressure, tunnel
-        # hiccup) must not kill the headline metric above
+    if _leg_gate("stokes", "NGSAMG_BENCH_STOKES"):
         try:
             from ngsamg_tpu.precond.stokes import StokesAMG
             from ngsamg_tpu.utils.stokes_fem import stokes_tri
@@ -344,7 +438,7 @@ def main():
             sr = np.linalg.norm(sprob.A @ sx - sprob.b) / np.linalg.norm(
                 sprob.b
             )
-            stokes = {
+            em.result["extra"]["stokes"] = {
                 "n_dof": sprob.A.shape[0],
                 "iterations": int(sinfo.iterations),
                 "relres": float(sr),
@@ -361,21 +455,19 @@ def main():
             import traceback
 
             traceback.print_exc()
-            stokes = {
+            em.result["extra"]["stokes"] = {
                 "error": f"{type(_e).__name__}: {_e}",
                 "converged": False,
             }
             spc = sx = None  # noqa: F841  drop device refs before freeing
             _free_device_state("stokes:error")
+        em.emit()
 
     # GS leg (the parity-default smoother: color-sorted sweeps) at >=1M
     # DoF, with a same-problem Chebyshev run quantifying the GS-vs-
     # Chebyshev gap at the scale where it matters (the per-color static
     # slices pay the ~0.55 ms/op fixed cost x ncolors x levels x sweeps)
-    gs = None
-    if os.environ.get("NGSAMG_BENCH_GS", "1") != "0":
-        # a transient failure here (co-tenant HBM pressure, tunnel
-        # hiccup) must not kill the headline metric above
+    if _leg_gate("gs", "NGSAMG_BENCH_GS"):
         try:
             gn = int(os.environ.get("NGSAMG_BENCH_GS_N", "101"))
             gp = _cached_problem(f"poisson3d_{gn}", lambda: fem.poisson_3d(gn))
@@ -412,53 +504,27 @@ def main():
             gs["solve_ratio_gs_over_cheb"] = round(
                 gs["gs"]["solve_s"] / max(gs["chebyshev"]["solve_s"], 1e-9), 2
             )
+            em.result["extra"]["gs"] = gs
         except Exception as _e:
             import traceback
 
             traceback.print_exc()
-            gs = {
+            em.result["extra"]["gs"] = {
                 "error": f"{type(_e).__name__}: {_e}",
                 "converged": False,
             }
             gpc = gx = None  # noqa: F841  drop device refs before freeing
             _free_device_state("gs:error")
+        em.emit()
 
-    result = {
-        "metric": "h1_3d_poisson_amg_setup_plus_pcg_solve_throughput",
-        "value": round(dofs_per_s, 1),
-        "unit": "DoF/s/chip",
-        "vs_baseline": round(dofs_per_s / BASELINE_DOFS_PER_S, 3),
-        "extra": {
-            "vs_baseline_64core_per_chip": round(
-                dofs_per_s / BASELINE_64CORE_PER_CHIP, 3
-            ),
-            "n_dof": prob.n,
-            "iterations": int(info.iterations),
-            "relres": float(r),
-            "converged": bool(info.converged and r < 10 * tol),
-            "levels": n_levels,
-            "operator_complexity": round(op_complexity, 3),
-            "setup_s": round(t_setup, 3),
-            "solve_s": round(t_solve, 3),
-            "solve_dofs_per_s": round(prob.n / t_solve, 1),
-            "readback_s": round(t_readback, 3),
-            "vs_baseline_incl_readback": round(
-                prob.n / (t_setup + t_solve + t_readback)
-                / BASELINE_DOFS_PER_S,
-                3,
-            ),
-            "assembly_s": round(t_asm, 3),
-            "tol": tol,
-            "unstructured": unstructured,
-            "elasticity": elasticity,
-            "stokes": stokes,
-            "gs": gs,
-        },
-    }
-    print(json.dumps(result))
-    ok = result["extra"]["converged"]
-    for leg in (unstructured, elasticity, stokes, gs):
-        ok = ok and (leg is None or leg["converged"])
+    em.result["extra"]["bench_wall_s"] = round(
+        time.perf_counter() - _T_START, 1
+    )
+    em.emit()
+    ok = em.result["extra"]["converged"]
+    for name in ("unstructured", "elasticity", "stokes", "gs"):
+        leg = em.result["extra"][name]
+        ok = ok and leg.get("converged", "skipped" in leg)
     return 0 if ok else 1
 
 

@@ -48,7 +48,15 @@ def default_chunk() -> int:
     """
     env = os.environ.get("NGSAMG_PCG_CHUNK")
     if env:
-        return max(int(env), 1)
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"ignoring malformed NGSAMG_PCG_CHUNK={env!r}; "
+                "using the backend default"
+            )
     if "axon" in str(jax.config.jax_platforms or ""):
         return 4  # unrolled: 4x fewer tunnel round trips per residual check
     return 16
