@@ -602,12 +602,26 @@ class AMGPreconditioner:
             need_smoother = (not is_coarsest) or (
                 opts.coarse_solve != CoarseSolveType.INV
             )
+            # single-device GS levels get per-color SPLIT matrix storage
+            # (from the already-packed staged ELL arrays — no extra host
+            # pass); sharded placements keep the sliced variant, whose
+            # uniform arrays the row partitioner can split
+            gs_ell = (
+                (A_fmt.data, A_fmt.cols)
+                if (
+                    self._use_tile_stack
+                    and bounds[i]
+                    and isinstance(A_fmt, bell.BlockELL)
+                )
+                else None
+            )
             sms.append(
                 build_smoother(
                     A, lev.row_bs, opts.smoother, i,
                     _block_pad(A_fmt, lev.row_bs), self.dtype,
                     color_bounds=bounds[i],
                     stencil=lev.stencil,
+                    ell=gs_ell,
                 )
                 if need_smoother
                 else None

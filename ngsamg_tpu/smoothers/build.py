@@ -93,12 +93,22 @@ def build_smoother(
     dtype,
     color_bounds: tuple | None = None,
     stencil=None,
+    ell: tuple | None = None,
 ) -> Smoother:
     """Build the device smoother for one (already color-permuted) level.
 
     ``stencil`` (a transfer/stencil.LatticeOp) replaces ``A`` on structured
     fast-path levels: diagonals, l1 modifications, and the Chebyshev
     lambda_max bound (Gershgorin) all come from the stencil arrays.
+
+    ``ell`` — the level's already-packed ELL arrays ``(data, cols)`` as
+    HOST numpy (``data``: (n_pad, K, bs, bs), ``cols``: (n_pad, K),
+    left-packed padding like :func:`ngsamg_tpu.sparse.host.pad_to_ell`).
+    When given, a GS smoother stores its matrix rows SPLIT per color with
+    per-color ELL widths (see GSSmoother docstring: the split storage is
+    what lets multicolor GS compile at block-problem scale). Omit on
+    row-sharded placements, whose uneven per-color arrays cannot be
+    partitioned.
     """
     kind = SmootherType(opts.type.get(level))
     steps = int(opts.steps.get(level))
@@ -183,9 +193,38 @@ def build_smoother(
         if color_bounds is None or color_bounds == ():
             raise ValueError("GS smoother requires a color-permuted level")
         Dinv = _pinv_blocks(D)
+        cdata, ccols, cdinv = (), (), ()
+        if ell is not None:
+            edata, ecols = ell
+            Dinv_t = np.asarray(Dinv, dtype=np.dtype(dtype))
+            cd, cc, ci = [], [], []
+            for c in range(len(color_bounds) - 1):
+                lo, hi = color_bounds[c], color_bounds[c + 1]
+                dsl, csl = edata[lo:hi], ecols[lo:hi]
+                # per-color ELL width: slots are left-packed, so the last
+                # used slot bounds the row degree (a genuinely-zero block
+                # at column 0 counts as padding — contributes nothing)
+                used = csl != 0
+                if dsl.size:
+                    used |= (dsl != 0).any(axis=(2, 3))
+                if used.size and used.any():
+                    w = used.shape[1] - np.argmax(used[:, ::-1], axis=1)
+                    w[~used.any(axis=1)] = 0
+                    Kc = max(int(w.max()), 1)
+                else:
+                    Kc = 1
+                cd.append(np.ascontiguousarray(
+                    dsl[:, :Kc].astype(np.dtype(dtype), copy=False)
+                ))
+                cc.append(np.ascontiguousarray(csl[:, :Kc]))
+                ci.append(Dinv_t[lo:hi].copy())
+            cdata, ccols, cdinv = tuple(cd), tuple(cc), tuple(ci)
         return GSSmoother(
             Dinv=pad_blocks(Dinv),
             color_bounds=color_bounds,
             steps=max(steps, 1),
+            cdata=cdata,
+            ccols=ccols,
+            cdinv=cdinv,
         )
     raise ValueError(f"unsupported smoother type {kind}")

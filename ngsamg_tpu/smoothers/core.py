@@ -61,7 +61,7 @@ class JacobiSmoother:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["Dinv"],
+    data_fields=["Dinv", "cdata", "ccols", "cdinv"],
     meta_fields=["color_bounds", "steps"],
 )
 @dataclass(frozen=True)
@@ -71,11 +71,30 @@ class GSSmoother:
     The level's rows are permuted at setup so each color occupies a
     contiguous slice [bounds[c], bounds[c+1]); the sweep is then pure static
     slicing — no gather of matrix rows, no scatter of updates.
+
+    Two storage modes:
+
+    * **split** (``cdata`` non-empty; the single-device production path):
+      the matrix rows of every color are stored as SEPARATE per-color
+      arrays (``cdata[c]``: (m_c, K_c, bs, bs), ``ccols[c]``: (m_c, K_c),
+      ``cdinv[c]``: (m_c, bs, bs)) split at pack time, with per-color ELL
+      width K_c. The sweep never slices one big array inside jit — at
+      block-problem scale XLA materialized the per-color slices of a
+      single (n, K, bs, bs) array as an (ncolors, n, K, bs, bs) temporary
+      (17.3 GB compile-OOM at 1.25M-DoF 3D elasticity, round 3); separate
+      input arrays make that impossible, so GS runs at any size like the
+      reference's (gssmoother.cpp:196-257).
+    * **sliced** (``cdata == ()``; the row-sharded multi-chip path, where
+      uneven per-color arrays cannot be partitioned): the sweep slices the
+      level's BlockELL ``A.data``/``A.cols`` per color in-graph.
     """
 
     Dinv: jax.Array  # (n_pad, bs, bs)
     color_bounds: tuple  # (ncolors+1,) static ints, ascending
     steps: int = 1
+    cdata: tuple = ()  # per-color (m_c, K_c, bs, bs), or () for sliced mode
+    ccols: tuple = ()  # per-color (m_c, K_c) int32
+    cdinv: tuple = ()  # per-color (m_c, bs, bs)
 
 
 @partial(
@@ -156,6 +175,7 @@ def _gs(sm: GSSmoother, A, x, b, *, reverse: bool):
     bounds = sm.color_bounds
     ncol = len(bounds) - 1
     order = range(ncol - 1, -1, -1) if reverse else range(ncol)
+    split = bool(sm.cdata)
     for step in range(sm.steps):
         for ci, c in enumerate(order):
             lo, hi = bounds[c], bounds[c + 1]
@@ -163,6 +183,13 @@ def _gs(sm: GSSmoother, A, x, b, *, reverse: bool):
                 continue
             if zero_start and step == 0 and ci == 0:
                 r = b[lo:hi]  # x == 0: skip the row product
+            elif split:
+                r = b[lo:hi] - jnp.einsum(
+                    "mkij,mkj->mi",
+                    sm.cdata[c],
+                    x[sm.ccols[c]],
+                    preferred_element_type=sm.cdata[c].dtype,
+                )
             else:
                 r = b[lo:hi] - jnp.einsum(
                     "mkij,mkj->mi",
@@ -170,7 +197,8 @@ def _gs(sm: GSSmoother, A, x, b, *, reverse: bool):
                     x[A.cols[lo:hi]],
                     preferred_element_type=A.data.dtype,
                 )
-            upd = _block_mul(sm.Dinv[lo:hi], r)
+            Dc = sm.cdinv[c] if split else sm.Dinv[lo:hi]
+            upd = _block_mul(Dc, r)
             x = x.at[lo:hi].add(upd)
     return x
 

@@ -266,6 +266,54 @@ def test_smoother_reduces_energy_error(kind):
     assert err < 0.9 * err0
 
 
+@pytest.mark.parametrize("bs", [1, 3])
+def test_gs_split_matches_sliced(bs):
+    """Per-color SPLIT GS storage (the single-device production path) is
+    bitwise the same sweep as the sliced variant (the row-sharded path) —
+    same math, different matrix layout (see GSSmoother docstring)."""
+    import jax.numpy as jnp
+
+    from ngsamg_tpu.smoothers.build import build_smoother, plan_row_order
+    from ngsamg_tpu.smoothers.core import smooth, smooth_back
+    from ngsamg_tpu.config import SmootherOptions
+
+    if bs == 1:
+        p = fem.poisson_2d(14)
+        A, n = p.A, p.n
+    else:
+        p = fem.unstructured_elasticity(5, dim=3)
+        A, n = p.A, p.n
+    opts = SmootherOptions(type=SmootherType.GS, steps=SpecOpt(2))
+    perm, cb = plan_row_order(A, bs, opts, 0)
+    sperm = (perm[:, None] * bs + np.arange(bs)).ravel()
+    A = A[sperm][:, sperm].tocsr()
+    Ad = bell.from_scipy(A, bs, bs)
+    import numpy as _np
+
+    ell = (_np.asarray(Ad.data), _np.asarray(Ad.cols))
+    sm_slice = build_smoother(A, bs, opts, 0, Ad.nrows_pad, jnp.float32,
+                              color_bounds=cb)
+    sm_split = build_smoother(A, bs, opts, 0, Ad.nrows_pad, jnp.float32,
+                              color_bounds=cb, ell=ell)
+    assert sm_split.cdata and not sm_slice.cdata
+    # per-color widths are trimmed to that color's max row degree
+    assert max(d.shape[1] for d in sm_split.cdata) <= Ad.ell_width
+    assert sum(d.shape[0] for d in sm_split.cdata) == cb[-1]
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(n)
+    bd = bell.block_vec(b, bs, Ad.nrows_pad, jnp.float32)
+    for x0 in (None, bell.block_vec(rng.standard_normal(n), bs,
+                                    Ad.nrows_pad, jnp.float32)):
+        xa = smooth(sm_slice, Ad, x0, bd)
+        xb = smooth(sm_split, Ad, x0, bd)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-6, atol=1e-6)
+        ya = smooth_back(sm_slice, Ad, xa, bd)
+        yb = smooth_back(sm_split, Ad, xb, bd)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-6, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # config
 # ---------------------------------------------------------------------------
