@@ -237,6 +237,17 @@ class LevelControl:
     # reject a coarse step whose coarsening ratio exceeds this
     # (base_factory.cpp TryCoarseStep rd_crs_thresh analog)
     min_coarsen_ratio: float = 0.95
+    # -- redistribution (contraction) decisions INSIDE the level loop,
+    # the TryContractStep/FindRDFac analog (base_factory.cpp:573-682):
+    # after each coarse step the distributed setup shrinks the ACTIVE
+    # shard group (remaining shards own empty row ranges, like the
+    # reference's idle dropped ranks) when a shard's coarse rows fall
+    # below rd_min_rows, halving once more when the step's coarsening
+    # ratio nc/n exceeds rd_slow_ratio (slow coarsening concentrates
+    # sooner). Decisions are logged (FactoryLog.contract_decisions) and
+    # cap the device placement (shard_operator shards_hint).
+    rd_min_rows: int = 4096
+    rd_slow_ratio: float = 0.7
 
 
 @dataclass

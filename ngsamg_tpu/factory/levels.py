@@ -71,6 +71,12 @@ class FactoryLog:
     # level-loop state vs the finest global matrix (shard-residency proof)
     peak_shard_bytes: int = 0
     finest_global_bytes: int = 0
+    # distributed setup only: the level loop's redistribution decisions
+    # (TryContractStep/FindRDFac analog, base_factory.cpp:573-682) —
+    # (level, active_before, active_after, reason) per contraction — and
+    # the ACTIVE shard count per level (caps device placement)
+    contract_decisions: list = field(default_factory=list)
+    shards_per_level: list = field(default_factory=list)
 
     @property
     def operator_complexity(self) -> float:

@@ -92,22 +92,23 @@ def _serial_order(G: sp.csr_matrix, own0: int):
 # ---------------------------------------------------------------------------
 
 
-def _rows_finest(A: sp.csr_matrix, coords, energy, vst):
-    """Per-shard finest rows; also sets energy._s (rot_scale auto)."""
+def _rows_finest(A_parts, pos_parts, energy, vst):
+    """Per-shard finest rows from per-shard matrix-row slices (``None`` in
+    slots owned by another controller); also sets energy._s (rot_scale
+    auto, identical on every rank via allgathered edge lengths)."""
+    from .transport import get_transport
+
+    tr = get_transport()
     dim, dpv = energy.dim, energy.dpv
     n_shards = len(vst) - 1
-    pos_parts = [
-        np.asarray(coords[vst[s] : vst[s + 1]], dtype=np.float64)
-        for s in range(n_shards)
-    ]
-    rows_list = []
+    mine = list(tr.my_shards(n_shards))
+    ncols_scal = int(vst[-1]) * dim
+    rows_list = [None] * n_shards
     all_lens = []
-    for s in range(n_shards):
+    for s in mine:
         own0 = int(vst[s])
         nloc = int(vst[s + 1] - vst[s])
-        B = sp.bsr_matrix(
-            A[own0 * dim : (own0 + nloc) * dim], blocksize=(dim, dim)
-        )
+        B = sp.bsr_matrix(A_parts[s], blocksize=(dim, dim))
         norms = np.sqrt(_frob2T(B.data.astype(np.float64)))
         rows_l = _row_locals_b(B)
         cols = B.indices.astype(np.int64)
@@ -136,20 +137,23 @@ def _rows_finest(A: sp.csr_matrix, coords, energy, vst):
         E[:, :dim, :dim] = fac[:, None, None] * np.einsum("ei,ej->eij", t, t)
         wt = norms[offd]
         G = sp.csr_matrix(
-            (wt, c_g, _recount_keep(B.indptr, offd)), shape=(nloc, A.shape[0] // dim)
+            (wt, c_g, _recount_keep(B.indptr, offd)),
+            shape=(nloc, ncols_scal // dim),
         )
         # vertex L2 weight: diag norm minus incident couplings, serial order
         vwt = diag.copy()
         order, _rl = _serial_order(G, own0)
         np.subtract.at(vwt, _row_locals(G)[order], G.data[order])
-        rows_list.append(
-            _Rows(G, E, pos_parts[s], np.maximum(vwt, 0.0))
-        )
+        rows_list[s] = _Rows(G, E, pos_parts[s], np.maximum(vwt, 0.0))
     if energy.rot_scale == "auto":
-        lens_all = np.concatenate(all_lens) if all_lens else np.zeros(0)
+        own_lens = (
+            np.concatenate(all_lens) if all_lens else np.zeros(0)
+        )
+        # every edge appears exactly twice (once per endpoint owner): the
+        # median of the duplicated multiset equals the serial median; the
+        # allgather replicates it so every rank scales identically
+        lens_all = tr.allgather(own_lens)
         if len(lens_all):
-            # every edge appears exactly twice (once per endpoint owner):
-            # the median of the duplicated multiset equals the serial median
             energy._s = 1.0 / max(float(np.median(lens_all)), 1e-300)
     return rows_list
 
@@ -179,10 +183,13 @@ def _rows_aux_diag(rows_list, vst, energy):
     Serial `aux_diagonal`: D_v = sum of Q(v->mid)^T E Q(v->mid) over
     incident edges (lo-pass then hi-pass) + l2 * I_disp.
     """
+    from .transport import get_transport
+
     dpv, dim = energy.dpv, energy.dim
-    pos_parts = [r.pos for r in rows_list]
-    out = []
-    for s, rows in enumerate(rows_list):
+    pos_parts = _all_pos(rows_list)
+    out = [None] * len(rows_list)
+    for s in get_transport().my_shards(len(rows_list)):
+        rows = rows_list[s]
         own0 = int(vst[s])
         nloc = rows.G.shape[0]
         order, rows_l = _serial_order(rows.G, own0)
@@ -198,7 +205,7 @@ def _rows_aux_diag(rows_list, vst, energy):
         np.add.at(D, rows_l[order], Bvv[order])
         idx = np.arange(dim)
         D[:, idx, idx] += rows.l2[:, None]
-        out.append(D)
+        out[s] = D
     return out
 
 
@@ -209,31 +216,35 @@ def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
     canonical (lo, hi) orientation so both owners agree bitwise.
     scalar: wt * (1/d_i + 1/d_j)/2, d = l2 + incident wt (serial `soc`).
     """
-    pos_parts = [r.pos for r in rows_list]
+    from .transport import get_transport
+
+    pos_parts = _all_pos(rows_list)
     n_shards = len(rows_list)
+    mine = list(get_transport().my_shards(n_shards))
     if not robust:
-        d_parts = []
-        for s, rows in enumerate(rows_list):
+        d_parts = [None] * n_shards
+        for s in mine:
+            rows = rows_list[s]
             own0 = int(vst[s])
             d = rows.l2.copy()
             order, rows_l = _serial_order(rows.G, own0)
             np.add.at(d, rows_l[order], rows.G.data[order])
-            d_parts.append(np.maximum(d, 1e-300))
-        out = []
-        for s, rows in enumerate(rows_list):
+            d_parts[s] = np.maximum(d, 1e-300)
+        out = [None] * n_shards
+        for s in mine:
+            rows = rows_list[s]
             rows_l = _row_locals(rows.G)
             dj = _gather(d_parts, vst, rows.G.indices.astype(np.int64))
             soc = rows.G.data * 0.5 * (1.0 / d_parts[s][rows_l] + 1.0 / dj)
-            out.append(
-                sp.csr_matrix(
-                    (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
-                )
+            out[s] = sp.csr_matrix(
+                (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
             )
         return out
     if D_parts is None:
         D_parts = _rows_aux_diag(rows_list, vst, energy)
-    out = []
-    for s, rows in enumerate(rows_list):
+    out = [None] * n_shards
+    for s in mine:
+        rows = rows_list[s]
         own0 = int(vst[s])
         rows_l = _row_locals(rows.G)
         cols = rows.G.indices.astype(np.int64)
@@ -254,10 +265,8 @@ def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
         C = di @ dsum_inv @ dj
         C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
         soc = _pencil_extreme_eig(rows.E, C, reduction="max")
-        out.append(
-            sp.csr_matrix(
-                (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
-            )
+        out[s] = sp.csr_matrix(
+            (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
         )
     return out
 
@@ -274,47 +283,57 @@ def _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy):
     Q(mid_c -> mid_f)-transported sums over the mapped fine edges, routed
     to the coarse-row owners and accumulated in the serial fine-edge order.
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = len(rows_list)
+    mine = list(tr.my_shards(n_shards))
     dpv = energy.dpv
     nv_c = int(c_vst[-1])
     nv_f = int(vst[-1])
     nloc_c = [int(c_vst[t + 1] - c_vst[t]) for t in range(n_shards)]
-    dim = rows_list[0].pos.shape[1]
+    dim = next(rows_list[s].pos.shape[1] for s in mine)
 
     # coarse pos (count average) + l2 sums: ascending-vertex reductions
+    # (owned contributions only — the transport routes them to owners)
+    own_v2 = np.concatenate([v2agg_parts[s] for s in mine])
+    own_act = own_v2[own_v2 >= 0]
     cnt_parts = _reduce_by_owner(
-        c_vst,
-        np.concatenate([v[v >= 0] for v in v2agg_parts]),
-        np.ones(int(sum((v >= 0).sum() for v in v2agg_parts))),
-        nloc_c,
+        c_vst, own_act, np.ones(len(own_act)), nloc_c
     )
-    cpos_parts = [np.zeros((nl, dim)) for nl in nloc_c]
-    for k in range(dim):
-        col = _reduce_by_owner(
+    cpos_parts = [None] * n_shards
+    cols_k = [
+        _reduce_by_owner(
             c_vst,
-            np.concatenate([v[v >= 0] for v in v2agg_parts]),
+            own_act,
             np.concatenate(
-                [r.pos[v >= 0, k] for r, v in zip(rows_list, v2agg_parts)]
+                [
+                    rows_list[s].pos[v2agg_parts[s] >= 0, k]
+                    for s in mine
+                ]
             ),
             nloc_c,
         )
-        for t in range(n_shards):
-            cpos_parts[t][:, k] = col[t]
-    for t in range(n_shards):
-        cpos_parts[t] /= np.maximum(cnt_parts[t], 1.0)[:, None]
+        for k in range(dim)
+    ]
+    for t in mine:
+        cpos_parts[t] = np.stack(
+            [cols_k[k][t] for k in range(dim)], axis=1
+        ) / np.maximum(cnt_parts[t], 1.0)[:, None]
     cl2_parts = _reduce_by_owner(
         c_vst,
-        np.concatenate([v[v >= 0] for v in v2agg_parts]),
+        own_act,
         np.concatenate(
-            [r.l2[v >= 0] for r, v in zip(rows_list, v2agg_parts)]
+            [rows_list[s].l2[v2agg_parts[s] >= 0] for s in mine]
         ),
         nloc_c,
     )
 
     # transported cross-edge contributions, routed to coarse-row owners
     ri_l, cj_l, key_l, E_l, w_l = [], [], [], [], []
-    pos_parts = [r.pos for r in rows_list]
-    for s, rows in enumerate(rows_list):
+    pos_parts = _all_pos(rows_list)
+    for s in mine:
+        rows = rows_list[s]
         own0 = int(vst[s])
         rows_l = _row_locals(rows.G)
         cols = rows.G.indices.astype(np.int64)
@@ -322,8 +341,8 @@ def _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy):
         ci = v2agg_parts[s][rows_l]
         cj = _gather(v2agg_parts, vst, cols)
         keep = (ci >= 0) & (cj >= 0) & (ci != cj)
-        if not keep.any():
-            continue
+        # no data-dependent skip: an empty shard still participates in
+        # every collective below (SPMD call-count symmetry)
         own_g, cols = own_g[keep], cols[keep]
         ci, cj = ci[keep], cj[keep]
         lo_f = np.minimum(own_g, cols)
@@ -355,22 +374,18 @@ def _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy):
         Em = np.zeros((0, dpv, dpv))
         wm = np.zeros(0)
 
-    own = _owner(c_vst, ri) if len(ri) else np.zeros(0, dtype=np.int64)
-    out = []
-    for t in range(n_shards):
-        m = own == t
+    routed = tr.route_rows(c_vst, ri, (ri, cj, fkey, Em, wm))
+    out = [None] * n_shards
+    for t in mine:
+        r, c, k, Eb, wb = routed[t]
         nl = nloc_c[t]
-        if not m.any():
+        if not len(r):
             G = sp.csr_matrix((nl, nv_c))
-            out.append(
-                _Rows(G, np.zeros((0, dpv, dpv)), cpos_parts[t], cl2_parts[t])
+            out[t] = _Rows(
+                G, np.zeros((0, dpv, dpv)), cpos_parts[t], cl2_parts[t]
             )
             continue
-        r = ri[m] - c_vst[t]
-        c = cj[m]
-        k = fkey[m]
-        Eb = Em[m]
-        wb = wm[m]
+        r = r - c_vst[t]
         # accumulate per (row, col) in the serial fine-edge order
         order = np.lexsort((k, c, r))
         r, c, Eb, wb = r[order], c[order], Eb[order], wb[order]
@@ -386,7 +401,7 @@ def _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy):
         np.add.at(indptr, ur + 1, 1)
         indptr = np.cumsum(indptr)
         G = sp.csr_matrix((ws, uc, indptr), shape=(nl, nv_c))
-        out.append(_Rows(G, Es, cpos_parts[t], cl2_parts[t]))
+        out[t] = _Rows(G, Es, cpos_parts[t], cl2_parts[t])
     return out
 
 
@@ -405,12 +420,14 @@ def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
     use_robust = (
         getattr(energy, "default_robust", False) if r is None else bool(r)
     )
+    from .transport import get_transport
+
     n_shards = len(rows_list)
+    mine = list(get_transport().my_shards(n_shards))
     n0 = int(vst[-1])
-    v2c_parts = [
-        np.arange(vst[s], vst[s + 1], dtype=np.int64)
-        for s in range(n_shards)
-    ]
+    v2c_parts = [None] * n_shards
+    for s in mine:
+        v2c_parts[s] = np.arange(vst[s], vst[s + 1], dtype=np.int64)
     cur_rows, cur_vst = rows_list, vst
     n_cur = n0
     for _round in range(rounds):
@@ -422,7 +439,7 @@ def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
         n_agg = int(c_starts[-1])
         if n_agg >= n_cur or n_agg == 0:
             break
-        for s in range(n_shards):
+        for s in mine:
             v2 = v2c_parts[s]
             m = v2 >= 0
             v2[m] = _gather(c2agg_parts, cur_vst, v2[m])
@@ -445,7 +462,7 @@ def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
 
 
 def _all_pos(rows_list):
-    return [r.pos for r in rows_list]
+    return [None if r is None else r.pos for r in rows_list]
 
 
 def _dist_rho(yfun, n_scal: int, seed: int, iters=10):
@@ -495,8 +512,12 @@ def _dist_prol_elast(
     matrix rows, real-matrix rows where the coarse fan-out is bounded
     (level matrices with row_bs == dpv only), kernel-preserving truncation.
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     dpv, dim = energy.dpv, energy.dim
     n_shards = len(rows_list)
+    mine = list(tr.my_shards(n_shards))
     nv = int(vst[-1])
     nc = int(c_vst[-1])
     omega = float(opts.prol.omega.get(level))
@@ -507,8 +528,9 @@ def _dist_prol_elast(
     pos_parts = _all_pos(rows_list)
 
     # --- piecewise rows ----------------------------------------------------
-    Ppw_parts = []
-    for s, rows in enumerate(rows_list):
+    Ppw_parts = [None] * n_shards
+    for s in mine:
+        rows = rows_list[s]
         nloc = rows.G.shape[0]
         v2 = v2agg_parts[s]
         act = np.flatnonzero(v2 >= 0)
@@ -516,11 +538,9 @@ def _dist_prol_elast(
         Q = energy.transport(cpos_act, rows.pos[act])
         indptr = np.zeros(nloc + 1, dtype=np.int64)
         indptr[1:] = np.cumsum(v2 >= 0)
-        Ppw_parts.append(
-            sp.bsr_matrix(
-                (Q.astype(np.float64), v2[act].astype(np.int32), indptr),
-                shape=(nloc * dpv, nc * dpv),
-            )
+        Ppw_parts[s] = sp.bsr_matrix(
+            (Q.astype(np.float64), v2[act].astype(np.int32), indptr),
+            shape=(nloc * dpv, nc * dpv),
         )
     if ptype == ProlType.PIECEWISE:
         return Ppw_parts
@@ -528,8 +548,10 @@ def _dist_prol_elast(
     D_parts = _rows_aux_diag(rows_list, vst, energy)
 
     # --- aux (replacement-matrix) rows as BSR with global columns ----------
-    Ahat_parts, Dinv_parts = [], []
-    for s, rows in enumerate(rows_list):
+    Ahat_parts = [None] * n_shards
+    Dinv_parts = [None] * n_shards
+    for s in mine:
+        rows = rows_list[s]
         own0 = int(vst[s])
         nloc = rows.G.shape[0]
         rows_l = _row_locals(rows.G)
@@ -550,48 +572,44 @@ def _dist_prol_elast(
         indptr = np.zeros(nloc + 1, dtype=np.int64)
         np.add.at(indptr, r_all + 1, 1)
         indptr = np.cumsum(indptr)
-        Ahat_parts.append(
-            sp.bsr_matrix(
-                (blocks, c_all.astype(np.int32), indptr),
-                shape=(nloc * dpv, nv * dpv),
-            ).tocsr()
-        )
+        Ahat_parts[s] = sp.bsr_matrix(
+            (blocks, c_all.astype(np.int32), indptr),
+            shape=(nloc * dpv, nv * dpv),
+        ).tocsr()
         Dinv_b = np.linalg.pinv(D_parts[s])
-        Dinv_parts.append(
-            sp.bsr_matrix(
-                (
-                    Dinv_b,
-                    np.arange(nloc, dtype=np.int32),
-                    np.arange(nloc + 1),
-                ),
-                shape=(nloc * dpv, nloc * dpv),
-            )
+        Dinv_parts[s] = sp.bsr_matrix(
+            (
+                Dinv_b,
+                np.arange(nloc, dtype=np.int32),
+                np.arange(nloc + 1),
+            ),
+            shape=(nloc * dpv, nloc * dpv),
         )
 
     def rho_mv(x):
-        y = np.empty(nv * dpv)
-        for s in range(n_shards):
-            lo, hi = int(vst[s]) * dpv, int(vst[s + 1]) * dpv
-            y[lo:hi] = Dinv_parts[s] @ (Ahat_parts[s] @ x)
-        return y
+        # owned-row slices + allgather: the replicated iterate every rank
+        # rebuilds identically (rank-order concatenation = serial order)
+        ys = [None] * n_shards
+        for s in mine:
+            ys[s] = Dinv_parts[s] @ (Ahat_parts[s] @ x)
+        return tr.allgather_parts(ys)
 
     rho = _dist_rho(rho_mv, nv * dpv, seed=0)
     scale = omega / max(rho, 1e-12)
 
     scal_starts = vst * dpv
-    Ppw_scal = [P.tocsr() for P in Ppw_parts]
-    P_parts = []
-    for s in range(n_shards):
+    Ppw_scal = [None if P is None else P.tocsr() for P in Ppw_parts]
+    P_parts = [None] * n_shards
+    for s in mine:
         # halo piecewise rows referenced by this shard's aux rows
         need_v = np.unique(Ahat_parts[s].indices // dpv).astype(np.int64)
         need_rows = (need_v[:, None] * dpv + np.arange(dpv)).ravel()
         Phalo = _halo_rows_csr(
             Ppw_scal, scal_starts, need_rows, nv * dpv, nc * dpv
         )
-        P_s = (
+        P_parts[s] = (
             Ppw_scal[s] - scale * (Dinv_parts[s] @ (Ahat_parts[s] @ Phalo))
         ).tocsr()
-        P_parts.append(P_s)
 
     # --- classic (real-matrix) rows where the coarse fan-out is bounded ----
     if (
@@ -600,12 +618,16 @@ def _dist_prol_elast(
         and max_classic
         and max_classic > 1
     ):
-        scale_r = None
-        A_csr = [Ap.tocsr() for Ap in A_parts]
-        for s, rows in enumerate(rows_list):
+        A_csr = [None if Ap is None else Ap.tocsr() for Ap in A_parts]
+        classic_parts = [None] * n_shards
+        any_classic = False
+        for s in mine:
+            rows = rows_list[s]
             nloc = rows.G.shape[0]
             B = sp.bsr_matrix(A_csr[s], blocksize=(dpv, dpv))
-            norms = np.sqrt((B.data.astype(np.float64) ** 2).sum(axis=(1, 2)))
+            norms = np.sqrt(
+                (B.data.astype(np.float64) ** 2).sum(axis=(1, 2))
+            )
             rows_b = _row_locals_b(B)
             colsb = B.indices.astype(np.int64)
             offd = (colsb != (rows_b + int(vst[s]))) & (norms > 0)
@@ -623,70 +645,75 @@ def _dist_prol_elast(
             counts = np.bincount(
                 (uniqk // nc).astype(np.int64), minlength=nloc
             )
-            classic = (counts <= max_classic) & (own_agg >= 0)
-            if not classic.any():
-                continue
-            if scale_r is None:
-                DinvA_parts = []
-                for t in range(n_shards):
-                    nl_t = rows_list[t].G.shape[0]
-                    Db = block_diagonal_fast_rows(
-                        A_csr[t], dpv, int(vst[t])
-                    )
-                    DinvA_parts.append(
-                        sp.bsr_matrix(
-                            (
-                                np.linalg.pinv(Db),
-                                np.arange(nl_t, dtype=np.int32),
-                                np.arange(nl_t + 1),
-                            ),
-                            shape=(nl_t * dpv, nl_t * dpv),
-                        )
-                    )
+            classic_parts[s] = (counts <= max_classic) & (own_agg >= 0)
+            any_classic = any_classic or bool(classic_parts[s].any())
+        # the smoothing scale is a COLLECTIVE decision: every rank must
+        # join the rho power iteration and the halo gathers below even if
+        # none of ITS rows take the classic branch (SPMD call symmetry)
+        if tr.allreduce_any(any_classic):
+            DinvA_parts = [None] * n_shards
+            for t in mine:
+                nl_t = rows_list[t].G.shape[0]
+                Db = block_diagonal_fast_rows(A_csr[t], dpv, int(vst[t]))
+                DinvA_parts[t] = sp.bsr_matrix(
+                    (
+                        np.linalg.pinv(Db),
+                        np.arange(nl_t, dtype=np.int32),
+                        np.arange(nl_t + 1),
+                    ),
+                    shape=(nl_t * dpv, nl_t * dpv),
+                )
 
-                def rho_mv_r(x):
-                    y = np.empty(nv * dpv)
-                    for t in range(n_shards):
-                        lo, hi = int(vst[t]) * dpv, int(vst[t + 1]) * dpv
-                        y[lo:hi] = DinvA_parts[t] @ (A_csr[t] @ x)
-                    return y
+            def rho_mv_r(x):
+                ys = [None] * n_shards
+                for t in mine:
+                    ys[t] = DinvA_parts[t] @ (A_csr[t] @ x)
+                return tr.allgather_parts(ys)
 
-                rho_r = _dist_rho(rho_mv_r, nv * dpv, seed=1)
-                scale_r = omega / max(rho_r, 1e-12)
-            need_v = np.unique(A_csr[s].indices // dpv).astype(np.int64)
-            need_rows = (need_v[:, None] * dpv + np.arange(dpv)).ravel()
-            Phalo = _halo_rows_csr(
-                Ppw_scal, scal_starts, need_rows, nv * dpv, nc * dpv
-            )
-            P_real = (
-                Ppw_scal[s]
-                - scale_r * (DinvA_parts[s] @ (A_csr[s] @ Phalo))
-            ).tocsr()
-            sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
-            inv = sp.diags(np.repeat((~classic).astype(np.float64), dpv))
-            P_s = (sel @ P_real + inv @ P_parts[s]).tocsr()
-            P_s.eliminate_zeros()
-            P_parts[s] = P_s
+            rho_r = _dist_rho(rho_mv_r, nv * dpv, seed=1)
+            scale_r = omega / max(rho_r, 1e-12)
+            for s in mine:
+                need_v = np.unique(A_csr[s].indices // dpv).astype(
+                    np.int64
+                )
+                need_rows = (
+                    need_v[:, None] * dpv + np.arange(dpv)
+                ).ravel()
+                Phalo = _halo_rows_csr(
+                    Ppw_scal, scal_starts, need_rows, nv * dpv, nc * dpv
+                )
+                classic = classic_parts[s]
+                if not classic.any():
+                    continue  # after the collective gather — local-only
+                P_real = (
+                    Ppw_scal[s]
+                    - scale_r * (DinvA_parts[s] @ (A_csr[s] @ Phalo))
+                ).tocsr()
+                sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
+                inv = sp.diags(
+                    np.repeat((~classic).astype(np.float64), dpv)
+                )
+                P_s = (sel @ P_real + inv @ P_parts[s]).tocsr()
+                P_s.eliminate_zeros()
+                P_parts[s] = P_s
 
     # --- kernel-preserving truncation (row-local) ---------------------------
-    out = []
-    for s in range(n_shards):
+    out = [None] * n_shards
+    for s in mine:
         Pb = P_parts[s].tobsr(blocksize=(dpv, dpv))
         Pb.sort_indices()
         need_c = np.unique(Pb.indices).astype(np.int64)
-        pos_c = np.zeros((nc, cpos_parts[0].shape[1]))
-        if len(need_c):
-            pos_c[need_c] = _gather(cpos_parts, c_vst, need_c)
+        pos_c = np.zeros((nc, dim))
+        # unconditional: the gather is a collective every rank must join
+        pos_c[need_c] = _gather(cpos_parts, c_vst, need_c)
         mesh_c = AlgebraicMesh(nv=nc, edges=np.zeros((0, 2), dtype=np.int64))
         mesh_c.vertex_data["pos"] = pos_c
-        out.append(
-            truncate_prol(
-                energy,
-                mesh_c,
-                Pb,
-                max_per_row=max_per_row,
-                min_frac=min_frac,
-            )
+        out[s] = truncate_prol(
+            energy,
+            mesh_c,
+            Pb,
+            max_per_row=max_per_row,
+            min_frac=min_frac,
         )
     return out
 
@@ -707,6 +734,177 @@ def block_diagonal_fast_rows(A_rows: sp.csr_matrix, bs: int, own0: int):
 # ---------------------------------------------------------------------------
 
 
+def _elast_levels_parts(A_parts, pos_parts, vst, opts: AMGOptions, energy):
+    """The elasticity distributed level loop, rank-local.
+
+    Consumes per-shard finest BLOCK rows + vertex positions (``None`` in
+    slots owned by another controller) and returns one record per
+    coarsening step holding the owned slots of P / A_c / v2agg / coarse
+    mesh data plus the replicated coarse starts — rows stay per-shard end
+    to end, like `dist_setup._scalar_levels_parts`. Under a
+    single-controller transport every slot is owned (exact previous
+    behavior); under ``mp_runtime.MPTransport`` each rank owns one slot
+    and all cross-shard movement is real message passing. The reference's
+    distributed layer drives elasticity with the same EQC/ReduceTable
+    machinery as scalar H1 (reducetable.hpp:22-949, elasticity.hpp:58-98)
+    — this is that uniformity for the TPU setup.
+    """
+    from .transport import get_transport, shard_nbytes
+
+    tr = get_transport()
+    n_shards = len(vst) - 1
+    mine = list(tr.my_shards(n_shards))
+    dim, dpv = energy.dim, energy.dpv
+    lc = opts.levels
+    log = FactoryLog()
+    nv = int(vst[-1])
+
+    rows_list = _rows_finest(A_parts, pos_parts, energy, vst)
+
+    log.nvs.append(nv)
+    log.nnzs.append(
+        int(
+            tr.allgather(
+                np.array([A_parts[s].nnz for s in mine], dtype=np.int64)
+            ).sum()
+        )
+    )
+    log.finest_global_bytes = int(
+        tr.allgather(
+            np.array(
+                [shard_nbytes(A_parts[s]) for s in mine], dtype=np.int64
+            )
+        ).sum()
+    )
+
+    def _track_peak(*state_parts):
+        per_shard = [
+            shard_nbytes(
+                *(sp_[s] for sp_ in state_parts if sp_ is not None)
+            )
+            for s in mine
+        ]
+        log.peak_shard_bytes = max(
+            log.peak_shard_bytes, max(per_shard)
+        )
+
+    def _rows_state(rl):
+        return [
+            None if r is None else (r.G, r.E, r.pos, r.l2) for r in rl
+        ]
+
+    _track_peak(A_parts, _rows_state(rows_list))
+
+    row_bs = dim
+    starts = vst * row_bs
+    recs = []
+    finest = {
+        "pos_parts": [
+            None if rows_list[s] is None else rows_list[s].pos
+            for s in range(n_shards)
+        ],
+        "l2_parts": [
+            None if rows_list[s] is None else rows_list[s].l2
+            for s in range(n_shards)
+        ],
+    }
+    active = n_shards
+    log.shards_per_level.append(active)
+    n = nv
+    lvl = 0
+    while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
+        v2agg_parts, c_vst = _dist_spw_energy(
+            rows_list, vst, opts, lvl, energy
+        )
+        n_agg = int(c_vst[-1])
+        if n_agg >= lc.min_coarsen_ratio * n or n_agg == 0:
+            break
+        from .dist_setup import try_contract_starts
+
+        c_vst, active = try_contract_starts(
+            c_vst, n, active, lc, lvl, log
+        )
+        log.shards_per_level.append(active)
+        # coarse mesh data from the LEVEL's fine rows + composed aggregates
+        # (the serial loop rebuilds mesh_c from the composed v2agg too)
+        rows_c = _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy)
+        cpos_parts = _all_pos(rows_c)
+        P_parts = _dist_prol_elast(
+            rows_list,
+            vst,
+            v2agg_parts,
+            c_vst,
+            cpos_parts,
+            opts,
+            lvl,
+            energy,
+            A_parts=A_parts if row_bs == dpv else None,
+            row_bs=row_bs,
+        )
+        P_scal = [None if P is None else P.tocsr() for P in P_parts]
+        P_amg_parts = None
+        if lvl == 0:
+            # pre-embedding prol (MultiDofMapStep secondary map)
+            P_amg_parts = P_scal
+            # fold the disp-only embedding E_v = [I_dim | 0] per shard
+            folded = [None] * n_shards
+            for s in mine:
+                P_s = P_scal[s]
+                nloc = rows_list[s].G.shape[0]
+                Eb = energy.embed_blocks(nloc)
+                E_s = sp.bsr_matrix(
+                    (
+                        Eb,
+                        np.arange(nloc, dtype=np.int32),
+                        np.arange(nloc + 1),
+                    ),
+                    shape=(nloc * dim, nloc * dpv),
+                )
+                folded[s] = (E_s @ P_s).tocsr()
+            P_scal = folded
+        c_starts = c_vst * dpv
+        Ac_parts = _dist_rap(A_parts, starts, P_scal, c_starts)
+        Ac_parts = _dist_symmetrize(Ac_parts, c_starts)
+        _track_peak(
+            A_parts, _rows_state(rows_c), P_scal, Ac_parts
+        )
+        log.nvs.append(n_agg)
+        log.nnzs.append(
+            int(
+                tr.allgather(
+                    np.array(
+                        [Ac_parts[s].nnz for s in mine], dtype=np.int64
+                    )
+                ).sum()
+            )
+        )
+        recs.append(
+            {
+                "P_parts": P_scal,
+                "P_amg_parts": P_amg_parts,
+                "v2agg_parts": v2agg_parts,
+                "Ac_parts": Ac_parts,
+                "coarse_starts": c_starts,
+                "c_vst": c_vst,
+                "row_bs_f": row_bs,
+                "row_bs_c": dpv,
+                "cpos_parts": cpos_parts,
+                "cl2_parts": [
+                    None if rows_c[s] is None else rows_c[s].l2
+                    for s in range(n_shards)
+                ],
+            }
+        )
+        rows_list = rows_c
+        vst = c_vst
+        row_bs = dpv
+        starts = c_starts
+        A_parts = Ac_parts
+        n = n_agg
+        lvl += 1
+    return recs, log, finest
+
+
 def dist_setup_levels_elast(
     A: sp.spmatrix,
     energy,
@@ -720,18 +918,36 @@ def dist_setup_levels_elast(
     every step shard-local: robust SPW matching with per-round transported
     coarse energies, block smoothed prolongation, the finest-level
     embedding fold, and the owner-routed distributed RAP. Aggregates equal
-    the serial path; operators agree to fp roundoff.
+    the serial path; operators agree to fp roundoff. The level loop itself
+    (`_elast_levels_parts`) is rank-local and also runs one-process-per-
+    shard under ``mp_runtime`` (single-controller packaging happens here).
     """
     if coords is None:
         raise ValueError("elasticity needs vertex coordinates")
     dim, dpv = energy.dim, energy.dpv
-    lc = opts.levels
-    log = FactoryLog()
     A = A.tocsr().astype(np.float64)
     nv = A.shape[0] // dim
     vst = np.linspace(0, nv, n_shards + 1).astype(np.int64)
+    starts = vst * dim
+    A_parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
+    coords = np.asarray(coords, float)
+    pos_parts = [
+        np.asarray(coords[vst[s] : vst[s + 1]], dtype=np.float64)
+        for s in range(n_shards)
+    ]
 
-    rows_list = _rows_finest(A, np.asarray(coords, float), energy, vst)
+    recs, log, finest = _elast_levels_parts(
+        A_parts, pos_parts, vst, opts, energy
+    )
+    return (
+        package_elast_levels(A, recs, finest, dim, dpv, nv),
+        log,
+    )
+
+
+def package_elast_levels(A, recs, finest, dim, dpv, nv):
+    """Assemble global SetupLevels from per-shard level-loop records
+    (single-controller staging; the MP driver feeds per-rank slots)."""
 
     def ph_mesh(n, pos=None, l2=None):
         m = AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
@@ -740,9 +956,6 @@ def dist_setup_levels_elast(
             m.vertex_data["l2wt"] = l2
         return m
 
-    row_bs = dim
-    starts = vst * row_bs
-    A_parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
     levels = [
         SetupLevel(
             index=0,
@@ -750,87 +963,31 @@ def dist_setup_levels_elast(
             row_bs=dim,
             mesh=ph_mesh(
                 nv,
-                np.concatenate([r.pos for r in rows_list]),
-                np.concatenate([r.l2 for r in rows_list]),
+                np.concatenate([p for p in finest["pos_parts"]]),
+                np.concatenate([w for w in finest["l2_parts"]]),
             ),
         )
     ]
-    log.nvs.append(nv)
-    log.nnzs.append(int(A.nnz))
-
-    n = nv
-    lvl = 0
-    while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
-        v2agg_parts, c_vst = _dist_spw_energy(
-            rows_list, vst, opts, lvl, energy
+    for rec in recs:
+        if rec["P_amg_parts"] is not None:
+            levels[0].P_amg = sp.vstack(
+                rec["P_amg_parts"], format="csr"
+            ).tobsr(blocksize=(dpv, dpv))
+        levels[-1].P = sp.vstack(rec["P_parts"], format="csr").tobsr(
+            blocksize=(rec["row_bs_f"], dpv)
         )
-        n_agg = int(c_vst[-1])
-        if n_agg >= lc.min_coarsen_ratio * n or n_agg == 0:
-            break
-        # coarse mesh data from the LEVEL's fine rows + composed aggregates
-        # (the serial loop rebuilds mesh_c from the composed v2agg too)
-        rows_c = _rows_map_data(rows_list, vst, v2agg_parts, c_vst, energy)
-        cpos_parts = [r.pos for r in rows_c]
-        P_parts = _dist_prol_elast(
-            rows_list,
-            vst,
-            v2agg_parts,
-            c_vst,
-            cpos_parts,
-            opts,
-            lvl,
-            energy,
-            A_parts=A_parts if row_bs == dpv else None,
-            row_bs=row_bs,
-        )
-        P_scal = [P.tocsr() for P in P_parts]
-        if lvl == 0:
-            # pre-embedding prol (MultiDofMapStep secondary map)
-            levels[0].P_amg = sp.vstack(P_scal, format="csr").tobsr(
-                blocksize=(dpv, dpv)
-            )
-            # fold the disp-only embedding E_v = [I_dim | 0] per shard
-            folded = []
-            for s, P_s in enumerate(P_scal):
-                nloc = rows_list[s].G.shape[0]
-                Eb = energy.embed_blocks(nloc)
-                E_s = sp.bsr_matrix(
-                    (
-                        Eb,
-                        np.arange(nloc, dtype=np.int32),
-                        np.arange(nloc + 1),
-                    ),
-                    shape=(nloc * dim, nloc * dpv),
-                )
-                folded.append((E_s @ P_s).tocsr())
-            P_scal = folded
-        c_starts = c_vst * dpv
-        Ac_parts = _dist_rap(A_parts, starts, P_scal, c_starts)
-        Ac_parts = _dist_symmetrize(Ac_parts, c_starts)
-        Ac = sp.vstack(Ac_parts, format="csr")
-        levels[-1].P = sp.vstack(P_scal, format="csr").tobsr(
-            blocksize=(row_bs, dpv)
-        )
-        levels[-1].v2agg = np.concatenate(v2agg_parts)
+        levels[-1].v2agg = np.concatenate(rec["v2agg_parts"])
+        n_agg = int(rec["c_vst"][-1])
         levels.append(
             SetupLevel(
-                index=lvl + 1,
-                A=Ac,
+                index=len(levels),
+                A=sp.vstack(rec["Ac_parts"], format="csr"),
                 row_bs=dpv,
                 mesh=ph_mesh(
                     n_agg,
-                    np.concatenate(cpos_parts),
-                    np.concatenate([r.l2 for r in rows_c]),
+                    np.concatenate(rec["cpos_parts"]),
+                    np.concatenate(rec["cl2_parts"]),
                 ),
             )
         )
-        log.nvs.append(n_agg)
-        log.nnzs.append(int(Ac.nnz))
-        rows_list = rows_c
-        vst = c_vst
-        row_bs = dpv
-        starts = c_starts
-        A_parts = Ac_parts
-        n = n_agg
-        lvl += 1
-    return levels, log
+    return levels

@@ -610,7 +610,9 @@ def _dist_prol(
     the vector (trace-condensed) path keeps the raw-real smoothing of
     serial transfer/prolongation.smoothed_prol for dpv > 1.
     """
+    tr = get_transport()
     n_shards = len(A_parts)
+    mine = list(tr.my_shards(n_shards))
     nc = int(coarse_starts[-1])
     omega = float(opts.prol.omega.get(level))
     rho = _dist_rho_aux(W_parts, d_parts, starts)
@@ -618,8 +620,12 @@ def _dist_prol(
     max_classic = int(opts.prol.max_classic.get(level))
     rho_r = scale_r = None
 
+    # pass A: aux rows + classic precursors per owned shard. The gathers
+    # here run once per owned shard — a symmetric collective count under
+    # a multi-controller transport.
     P_parts = [None] * n_shards
-    for s in get_transport().my_shards(n_shards):
+    cls_cache = {}
+    for s in mine:
         W = W_parts[s]
         nloc = W.shape[0]
         rows_l = np.repeat(
@@ -641,6 +647,7 @@ def _dist_prol(
             (vals[keep], (rows[keep], cols[keep])), shape=(nloc, nc)
         ).tocsr()
         P_s.sum_duplicates()
+        P_parts[s] = P_s
         if max_classic and max_classic > 1:
             C = A_parts[s].tocsr()
             rows_a = np.repeat(
@@ -664,6 +671,29 @@ def _dist_prol(
                 (uniqk // nc).astype(np.int64), minlength=nloc
             )
             classic = (counts <= max_classic) & (agg_own >= 0)
+            cls_cache[s] = (C, rows_a, offd, agg_aj, classic)
+
+    # the raw-real spectral scale is a COLLECTIVE (per-iteration
+    # allgather): every rank must join it even when none of ITS rows
+    # take the classic branch (SPMD call symmetry)
+    if (
+        max_classic
+        and max_classic > 1
+        and not filter_classic
+        and tr.allreduce_any(
+            any(cls_cache[s][4].any() for s in mine if s in cls_cache)
+        )
+    ):
+        rho_r = _dist_rho_real(A_parts, starts)
+        scale_r = omega / max(rho_r, 1e-12)
+
+    # pass B: apply the classic rows (local work) + truncation
+    for s in mine:
+        P_s = P_parts[s]
+        nloc = P_s.shape[0]
+        agg_own = v2agg_parts[s]
+        if s in cls_cache:
+            C, rows_a, offd, agg_aj, classic = cls_cache[s]
             if classic.any():
                 if filter_classic:
                     # serial parity (native smoothed_prol_scalar kernel):
@@ -687,10 +717,8 @@ def _dist_prol(
                         ]
                     )
                 else:
-                    # raw-real smoothing (serial smoothed_prol, dpv > 1)
-                    if scale_r is None:
-                        rho_r = _dist_rho_real(A_parts, starts)
-                        scale_r = omega / max(rho_r, 1e-12)
+                    # raw-real smoothing (serial smoothed_prol, dpv > 1;
+                    # scale_r precomputed collectively above)
                     diagA = C.diagonal(k=int(starts[s]))[:nloc]
                     dinvA = np.where(
                         diagA > 0, 1.0 / np.maximum(diagA, 1e-300), 0.0
@@ -759,49 +787,101 @@ def _dist_rap(A_parts, starts, P_parts, coarse_starts):
     )
 
 
+def try_contract_starts(coarse_starts, n_prev, active, lc, lvl, log):
+    """The TryContractStep/FindRDFac analog inside the level loop
+    (base_factory.cpp:573-682): decide DURING setup whether the coarse
+    level concentrates onto fewer shards.
+
+    Halves the active group once when the step coarsened slowly
+    (nc/n_prev >= rd_slow_ratio — the reference contracts when the
+    coarsening rate drops), then keeps halving while a shard would own
+    fewer than rd_min_rows coarse rows (rd_min_nv_th). Contraction merges
+    ADJACENT ownership ranges (locality-preserving; shards beyond the new
+    active count own empty ranges, like the reference's idle dropped
+    ranks — `amg_matrix.cpp drops_out`), so coarse IDs and all computed
+    values are unchanged; only ownership, per-rank residency, and the
+    device placement cap change. Logs the decision like FactoryLog logs
+    OC. Returns (new_coarse_starts, new_active).
+    """
+    nc = int(coarse_starts[-1])
+    k = int(active)
+    reasons = []
+    if k > 1 and n_prev and nc >= lc.rd_slow_ratio * n_prev:
+        k //= 2
+        reasons.append("slow_coarsening")
+    while k > 1 and nc // k < int(lc.rd_min_rows):
+        k //= 2
+        if "min_rows" not in reasons:
+            reasons.append("min_rows")
+    if k == active:
+        return coarse_starts, int(active)
+    fac = int(active) // k
+    new = np.empty_like(coarse_starts)
+    for j in range(k + 1):
+        new[j] = coarse_starts[min(j * fac, int(active))]
+    new[k + 1:] = nc
+    log.contract_decisions.append(
+        (lvl + 1, int(active), k, "+".join(reasons))
+    )
+    return new, k
+
+
 # ---------------------------------------------------------------------------
 # the distributed level loop
 # ---------------------------------------------------------------------------
 
 
-def _dist_setup_vector(
-    A: sp.spmatrix, energy, opts: AMGOptions, n_shards: int, bs: int
-) -> tuple[list[SetupLevel], FactoryLog]:
-    """Vector (multidim) H1 distributed setup.
+def _vector_levels_parts(parts, starts, opts: AMGOptions, bs: int):
+    """The vector-H1 distributed level loop, rank-local.
 
     Matching/prolongation run shard-locally on the TRACE-condensed vertex
     graph (the serial vector-H1 semantics: all energy data is the block
     trace, transport is the identity); per-shard prolongations expand by
     kron with I_bs and the Galerkin product runs on the full block rows.
     Aggregates are identical to the serial path; values agree up to the
-    rho-estimate (power iteration runs in the vertex space here).
+    rho-estimate (power iteration runs in the vertex space here). Like
+    `_scalar_levels_parts`, every slot not in ``transport.my_shards`` is
+    ``None`` and all cross-shard movement goes through the transport, so
+    the same loop runs one-process-per-rank under ``mp_runtime``.
     """
     from ..apps.h1 import H1Energy
 
+    tr = get_transport()
+    n_shards = len(starts) - 1
+    mine = list(tr.my_shards(n_shards))
     lc = opts.levels
     log = FactoryLog()
-    A = A.tocsr().astype(np.float64)
-    nv = A.shape[0] // bs
-    v_starts = np.linspace(0, nv, n_shards + 1).astype(np.int64)
-    starts = v_starts * bs
-    parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
-
-    def ph_mesh(n):
-        return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
-
-    levels = [
-        SetupLevel(
-            index=0,
-            A=sp.vstack(parts, format="csr"),
-            row_bs=bs,
-            mesh=ph_mesh(nv),
-        )
-    ]
+    nv = int(starts[-1]) // bs
     log.nvs.append(nv)
-    log.nnzs.append(int(sum(p.nnz for p in parts)))
+    log.nnzs.append(
+        int(
+            tr.allgather(
+                np.array([parts[s].nnz for s in mine], dtype=np.int64)
+            ).sum()
+        )
+    )
+    log.finest_global_bytes = int(
+        tr.allgather(
+            np.array(
+                [shard_nbytes(parts[s]) for s in mine], dtype=np.int64
+            )
+        ).sum()
+    )
+
+    def _track_peak(*state_parts):
+        per_shard = [
+            shard_nbytes(*(sp_[s] for sp_ in state_parts if sp_ is not None))
+            for s in mine
+        ]
+        log.peak_shard_bytes = max(log.peak_shard_bytes, max(per_shard))
+
     T_parts, vst = _condense_block_rows(parts, starts, bs)
     W_parts, l2_parts = _finest_wl2(T_parts, vst)
+    _track_peak(parts, T_parts, W_parts, l2_parts)
     en1 = H1Energy(bs=1)
+    recs = []
+    active = n_shards
+    log.shards_per_level.append(active)
     n = nv
     lvl = 0
     while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
@@ -812,29 +892,43 @@ def _dist_setup_vector(
         ncv = int(c_vst[-1])
         if ncv >= lc.min_coarsen_ratio * n or ncv == 0:
             break
+        c_vst, active = try_contract_starts(
+            c_vst, n, active, lc, lvl, log
+        )
+        log.shards_per_level.append(active)
         Pv_parts = _dist_prol(
             T_parts, W_parts, d_parts, vst, v2agg_parts, c_vst, opts,
             lvl, en1, filter_classic=False,
         )
-        P_parts = [
-            sp.kron(Pv, sp.eye(bs), format="csr") for Pv in Pv_parts
-        ]
+        P_parts = [None] * n_shards
+        for s in mine:
+            P_parts[s] = sp.kron(Pv_parts[s], sp.eye(bs), format="csr")
         c_starts = c_vst * bs
         Ac_parts = _dist_rap(parts, starts, P_parts, c_starts)
         Ac_parts = _dist_symmetrize(Ac_parts, c_starts)
-        Ac = sp.vstack(Ac_parts, format="csr")
-        levels[-1].P = sp.vstack(P_parts, format="csr").tobsr(
-            blocksize=(bs, bs)
-        )
-        levels[-1].v2agg = np.concatenate(v2agg_parts)
-        levels.append(
-            SetupLevel(index=lvl + 1, A=Ac, row_bs=bs, mesh=ph_mesh(ncv))
-        )
+        _track_peak(parts, T_parts, W_parts, l2_parts, P_parts, Ac_parts)
         log.nvs.append(ncv)
-        log.nnzs.append(int(Ac.nnz))
+        log.nnzs.append(
+            int(
+                tr.allgather(
+                    np.array(
+                        [Ac_parts[s].nnz for s in mine], dtype=np.int64
+                    )
+                ).sum()
+            )
+        )
+        recs.append(
+            {
+                "P_parts": P_parts,
+                "v2agg_parts": v2agg_parts,
+                "Ac_parts": Ac_parts,
+                "coarse_starts": c_starts,
+                "c_vst": c_vst,
+            }
+        )
         W_parts = _dist_collapse(W_parts, vst, v2agg_parts, c_vst)
-        all_v2 = np.concatenate(v2agg_parts)
-        all_l2 = np.concatenate(l2_parts)
+        all_v2 = np.concatenate([v2agg_parts[s] for s in mine])
+        all_l2 = np.concatenate([l2_parts[s] for s in mine])
         m = all_v2 >= 0
         l2_parts = _reduce_by_owner(
             c_vst,
@@ -847,6 +941,45 @@ def _dist_setup_vector(
         T_parts, _ = _condense_block_rows(parts, starts, bs)
         n = ncv
         lvl += 1
+    return recs, log
+
+
+def _dist_setup_vector(
+    A: sp.spmatrix, energy, opts: AMGOptions, n_shards: int, bs: int
+) -> tuple[list[SetupLevel], FactoryLog]:
+    """Vector (multidim) H1 distributed setup (single-controller
+    packaging around the rank-local `_vector_levels_parts`)."""
+    A = A.tocsr().astype(np.float64)
+    nv = A.shape[0] // bs
+    v_starts = np.linspace(0, nv, n_shards + 1).astype(np.int64)
+    starts = v_starts * bs
+    parts = [A[starts[s] : starts[s + 1]] for s in range(n_shards)]
+    recs, log = _vector_levels_parts(parts, starts, opts, bs)
+
+    def ph_mesh(n):
+        return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))
+
+    levels = [
+        SetupLevel(
+            index=0,
+            A=sp.vstack(parts, format="csr"),
+            row_bs=bs,
+            mesh=ph_mesh(nv),
+        )
+    ]
+    for rec in recs:
+        levels[-1].P = sp.vstack(rec["P_parts"], format="csr").tobsr(
+            blocksize=(bs, bs)
+        )
+        levels[-1].v2agg = np.concatenate(rec["v2agg_parts"])
+        levels.append(
+            SetupLevel(
+                index=len(levels),
+                A=sp.vstack(rec["Ac_parts"], format="csr"),
+                row_bs=bs,
+                mesh=ph_mesh(int(rec["c_vst"][-1])),
+            )
+        )
     return levels, log
 
 
@@ -860,8 +993,8 @@ def _condense_block_rows(parts, starts, bs: int):
     """
     n_shards = len(parts)
     v_starts = starts // bs
-    out = []
-    for s in range(n_shards):
+    out = [None] * n_shards
+    for s in get_transport().my_shards(n_shards):
         C = parts[s].tocsr()
         nloc = C.shape[0]
         rows_l = np.repeat(
@@ -877,7 +1010,7 @@ def _condense_block_rows(parts, starts, bs: int):
             (C.data[m], (vr, vc)), shape=(nloc // bs, nv)
         ).tocsr()
         T.sum_duplicates()
-        out.append(T)
+        out[s] = T
     return out, v_starts
 
 
@@ -1005,6 +1138,8 @@ def _scalar_levels_parts(parts, starts, opts, energy):
 
     _track_peak(parts, W_parts, l2_parts)
     recs = []
+    active = n_shards
+    log.shards_per_level.append(active)
     lvl = 0
     while lvl + 1 < lc.max_levels and n > lc.max_coarse_size:
         d_parts = _aux_diag(W_parts, l2_parts)
@@ -1014,6 +1149,13 @@ def _scalar_levels_parts(parts, starts, opts, energy):
         nc = int(coarse_starts[-1])
         if nc >= lc.min_coarsen_ratio * n or nc == 0:
             break
+        # TryContractStep: decide IN the loop whether the coarse level
+        # concentrates onto fewer shards (all later routing targets the
+        # contracted owners)
+        coarse_starts, active = try_contract_starts(
+            coarse_starts, n, active, lc, lvl, log
+        )
+        log.shards_per_level.append(active)
         P_parts = _dist_prol(
             parts, W_parts, d_parts, starts, v2agg_parts, coarse_starts,
             opts, lvl, energy,

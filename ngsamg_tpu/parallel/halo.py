@@ -161,6 +161,120 @@ def plan_tile_halo(cols: np.ndarray, nrows_pad: int, n_shards: int):
     return new_cols, send_idx, int(Smax)
 
 
+from dataclasses import dataclass
+from functools import partial
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "cols", "send"],
+    meta_fields=[
+        "mesh", "axes", "nrows", "nrows_pad", "ncols_pad", "tile_m",
+        "smax", "nsh",
+    ],
+)
+@dataclass(frozen=True)
+class HaloTileELL:
+    """Row-sharded TileELL whose matvec is a shard_map with
+    INTERFACE-ONLY exchange — the production-cycle form of
+    :func:`tile_halo_matvec`.
+
+    Each shard holds its contiguous tile rows; ``cols`` are REMAPPED to
+    [0, local) for owned columns and [local, local + nsh*smax) for ghost
+    slots; ``send`` lists the interface rows every shard contributes to
+    one padded all-gather buffer. Communication per apply is
+    ``nsh * smax`` gathered scalars — O(interface), not O(n) like the
+    GSPMD all-gather of x. This is the reference's hybrid-matrix +
+    DCC-exchange structure (hybrid_matrix.hpp:28-144, dcc_map.hpp:20-134)
+    compiled into the cycle: `parallel/shard.py::shard_operator` builds it
+    for fully-row-sharded TileELL levels, so sharded unstructured solves
+    run interface exchanges in production, not just in a standalone
+    primitive.
+    """
+
+    data: jax.Array  # (T, K, M) sharded P(axes, None, None)
+    cols: jax.Array  # (T, K) int32 remapped, sharded P(axes, None)
+    send: jax.Array  # (nsh, smax) int32 local rows, sharded P(axes, None)
+    mesh: Mesh
+    axes: tuple  # mesh axis names the rows are sharded over
+    nrows: int
+    nrows_pad: int
+    ncols_pad: int
+    tile_m: int
+    smax: int
+    nsh: int
+
+    @property
+    def shape(self):
+        return self.nrows, self.ncols_pad
+
+    @property
+    def comm_per_apply(self) -> int:
+        """Gathered scalars per matvec (the O(interface) volume)."""
+        return self.nsh * self.smax
+
+    def halo_matvec(self, x: jax.Array) -> jax.Array:
+        local = self.nrows_pad // self.nsh
+
+        def body(data, cols_l, send_l, xl):
+            xf = xl[:, 0]
+            xs = xf[send_l[0]]  # (smax,) this shard's interface values
+            buf = jax.lax.all_gather(xs, self.axes)
+            xp = jnp.concatenate([xf, buf.reshape(-1)])
+            g = xp[cols_l]  # (Tl, K)
+            y = jnp.einsum(
+                "tkm,tk->tm", data, g,
+                preferred_element_type=data.dtype,
+            )
+            return y.reshape(-1, 1)
+
+        ax = self.axes
+        fn = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(ax, None, None), P(ax, None), P(ax, None), P(ax, None),
+            ),
+            out_specs=P(ax, None),
+            check_vma=False,
+        )
+        return fn(self.data, self.cols, self.send, x)[: self.nrows_pad]
+
+    def __matmul__(self, x):
+        return self.halo_matvec(x)
+
+
+def halo_tile_ell(A, mesh: Mesh, axes: tuple) -> HaloTileELL:
+    """Build a :class:`HaloTileELL` from a (host-readable) TileELL.
+
+    ``axes`` are the mesh axis names whose product is the row-shard
+    count. Pulls ``A.cols`` to host for the one-time plan — multi-chip
+    placement happens from the controller, where the arrays are staged.
+    """
+    nsh = int(
+        np.prod(
+            [dict(zip(mesh.axis_names, mesh.devices.shape))[a] for a in axes]
+        )
+    )
+    cols = np.asarray(A.cols)
+    new_cols, send_idx, smax = plan_tile_halo(cols, A.nrows_pad, nsh)
+    sh3 = NamedSharding(mesh, P(axes, None, None))
+    sh2 = NamedSharding(mesh, P(axes, None))
+    return HaloTileELL(
+        data=jax.device_put(A.data, sh3),
+        cols=jax.device_put(new_cols, sh2),
+        send=jax.device_put(send_idx, sh2),
+        mesh=mesh,
+        axes=tuple(axes),
+        nrows=A.nrows,
+        nrows_pad=A.nrows_pad,
+        ncols_pad=A.ncols_pad,
+        tile_m=A.tile_m,
+        smax=smax,
+        nsh=nsh,
+    )
+
+
 def tile_halo_matvec(A, mesh: Mesh, axis: str = "rows"):
     """shard_map'd TileELL matvec with interface-only exchange.
 

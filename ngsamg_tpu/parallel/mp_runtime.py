@@ -175,6 +175,21 @@ class MPTransport(Transport):
         out[self.rank] = M
         return out
 
+    def route_rows(self, starts, idx, arrays):
+        idx = np.asarray(idx, dtype=np.int64)
+        own = _owner(starts, idx)
+        routed, _ = self._route(
+            own, tuple(np.ascontiguousarray(a) for a in arrays)
+        )
+        # sources ascending, each in source-position order (the
+        # single-controller order) — routed is already rank-indexed
+        out = [None] * self.n
+        out[self.rank] = tuple(
+            np.concatenate([r[k] for r in routed])
+            for k in range(len(arrays))
+        )
+        return out
+
     def gather_csr_rows(self, parts, starts, rows_g, ncols):
         local = parts[self.rank]
         rows_g = np.asarray(rows_g, dtype=np.int64)
@@ -230,30 +245,73 @@ class MPTransport(Transport):
 # ---------------------------------------------------------------------------
 
 
-def _mp_worker(rank, n, conns, parent, part, starts, energy, opts):
+def _mp_worker(rank, n, conns, parent, payload, starts, energy, opts):
     """One rank: run the rank-local level loop on OWN rows only."""
     try:
-        from .dist_setup import _scalar_levels_parts
         from .transport import use_transport
 
         tr = MPTransport(rank, n, conns)
         with use_transport(tr):
-            recs, log = _scalar_levels_parts(
-                [part if s == rank else None for s in range(n)],
-                starts,
-                opts,
-                energy,
-            )
-        out = []
-        for rec in recs:
-            out.append(
-                {
-                    "P": rec["P_parts"][rank],
-                    "v2agg": rec["v2agg_parts"][rank],
-                    "Ac": rec["Ac_parts"][rank],
-                    "coarse_starts": rec["coarse_starts"],
+            if isinstance(payload, tuple):  # (A rows, vertex positions)
+                from .dist_elast import _elast_levels_parts
+
+                part, pos = payload
+                recs, log, finest = _elast_levels_parts(
+                    [part if s == rank else None for s in range(n)],
+                    [pos if s == rank else None for s in range(n)],
+                    starts,
+                    opts,
+                    energy,
+                )
+                out = [
+                    {
+                        "P": rec["P_parts"][rank],
+                        "P_amg": (
+                            None
+                            if rec["P_amg_parts"] is None
+                            else rec["P_amg_parts"][rank]
+                        ),
+                        "v2agg": rec["v2agg_parts"][rank],
+                        "Ac": rec["Ac_parts"][rank],
+                        "coarse_starts": rec["coarse_starts"],
+                        "c_vst": rec["c_vst"],
+                        "row_bs_f": rec["row_bs_f"],
+                        "cpos": rec["cpos_parts"][rank],
+                        "cl2": rec["cl2_parts"][rank],
+                    }
+                    for rec in recs
+                ]
+                extra = {
+                    "pos": finest["pos_parts"][rank],
+                    "l2": finest["l2_parts"][rank],
                 }
-            )
+            else:
+                bs = int(getattr(energy, "dpv", 1) or 1)
+                parts_in = [
+                    payload if s == rank else None for s in range(n)
+                ]
+                if bs > 1:
+                    from .dist_setup import _vector_levels_parts
+
+                    recs, log = _vector_levels_parts(
+                        parts_in, starts, opts, bs
+                    )
+                else:
+                    from .dist_setup import _scalar_levels_parts
+
+                    recs, log = _scalar_levels_parts(
+                        parts_in, starts, opts, energy
+                    )
+                out = [
+                    {
+                        "P": rec["P_parts"][rank],
+                        "v2agg": rec["v2agg_parts"][rank],
+                        "Ac": rec["Ac_parts"][rank],
+                        "coarse_starts": rec["coarse_starts"],
+                    }
+                    for rec in recs
+                ]
+                extra = None
         parent.send(
             (
                 "ok",
@@ -263,9 +321,12 @@ def _mp_worker(rank, n, conns, parent, part, starts, energy, opts):
                     "nnzs": log.nnzs,
                     "peak_shard_bytes": log.peak_shard_bytes,
                     "finest_global_bytes": log.finest_global_bytes,
+                    "contract_decisions": log.contract_decisions,
+                    "shards_per_level": log.shards_per_level,
                     "transport_calls": tr.calls,
                     "moved_bytes": tr.moved_bytes,
                 },
+                extra,
             )
         )
     except Exception as e:  # surface the rank's failure to the driver
@@ -282,24 +343,58 @@ def mp_dist_setup_levels(
     opts,
     n_ranks: int,
     timeout: float = 600.0,
+    coords: np.ndarray | None = None,
 ):
-    """Scalar-H1 distributed setup across ``n_ranks`` OS processes.
+    """Distributed setup across ``n_ranks`` OS processes (scalar H1 and
+    elasticity — the same uniformity as the reference's EQC/ReduceTable
+    machinery driving every energy, reducetable.hpp:22-949).
 
-    Each worker receives ONLY its contiguous row slice (spawn start
-    method: separate interpreters, no inherited address space) and runs
-    `dist_setup._scalar_levels_parts` under an :class:`MPTransport`. The
-    parent assembles the per-rank results into the same
-    ``(levels, log)`` as `dist_setup.dist_setup_levels` and attaches
-    per-rank transport statistics at ``log.mp_rank_stats``.
+    Each worker receives ONLY its contiguous row slice (+ its vertex
+    positions for block energies; spawn start method: separate
+    interpreters, no inherited address space) and runs the energy's
+    rank-local level loop (`dist_setup._scalar_levels_parts` /
+    `dist_elast._elast_levels_parts`) under an :class:`MPTransport`. The
+    parent assembles the per-rank results into the same ``(levels, log)``
+    as `dist_setup.dist_setup_levels` and attaches per-rank transport
+    statistics at ``log.mp_rank_stats``.
     """
     import multiprocessing as mp
 
+    from ..apps.elasticity import ElasticityEnergy
     from ..factory.levels import FactoryLog, SetupLevel
     from ..mesh.topo import AlgebraicMesh
     from .dist_setup import split_rows
 
     ctx = mp.get_context("spawn")
-    parts, starts = split_rows(A.tocsr().astype(np.float64), n_ranks)
+    is_elast = isinstance(energy, ElasticityEnergy)
+    A = A.tocsr().astype(np.float64)
+    if is_elast:
+        if coords is None:
+            raise ValueError("elasticity needs vertex coordinates")
+        dim, dpv = energy.dim, energy.dpv
+        nv = A.shape[0] // dim
+        starts = np.linspace(0, nv, n_ranks + 1).astype(np.int64)
+        coords = np.asarray(coords, float)
+        parts = [
+            (
+                A[starts[s] * dim : starts[s + 1] * dim],
+                np.asarray(
+                    coords[starts[s] : starts[s + 1]], dtype=np.float64
+                ),
+            )
+            for s in range(n_ranks)
+        ]
+    else:
+        bs = int(getattr(energy, "dpv", 1) or 1)
+        if bs > 1:  # vector H1: vertex-aligned block-row split
+            nv = A.shape[0] // bs
+            vst = np.linspace(0, nv, n_ranks + 1).astype(np.int64)
+            starts = vst * bs
+            parts = [
+                A[starts[s] : starts[s + 1]] for s in range(n_ranks)
+            ]
+        else:
+            parts, starts = split_rows(A, n_ranks)
 
     # pipe mesh: one duplex pipe per unordered rank pair + parent links
     pair = {}
@@ -360,33 +455,67 @@ def mp_dist_setup_levels(
     log.nvs = list(stats0["nvs"])
     log.nnzs = list(stats0["nnzs"])
     log.finest_global_bytes = stats0["finest_global_bytes"]
+    log.contract_decisions = list(stats0.get("contract_decisions", []))
+    log.shards_per_level = list(stats0.get("shards_per_level", []))
     log.peak_shard_bytes = max(
         res[1]["peak_shard_bytes"] for res in results
     )
     log.mp_rank_stats = [res[1] for res in results]
 
+    n_levels = len(results[0][0])
+    if is_elast:
+        from .dist_elast import package_elast_levels
+
+        recs = []
+        for li in range(n_levels):
+            rr = [results[r][0][li] for r in range(n_ranks)]
+            recs.append(
+                {
+                    "P_parts": [rec["P"] for rec in rr],
+                    "P_amg_parts": (
+                        None
+                        if rr[0]["P_amg"] is None
+                        else [rec["P_amg"] for rec in rr]
+                    ),
+                    "v2agg_parts": [rec["v2agg"] for rec in rr],
+                    "Ac_parts": [rec["Ac"] for rec in rr],
+                    "coarse_starts": rr[0]["coarse_starts"],
+                    "c_vst": rr[0]["c_vst"],
+                    "row_bs_f": rr[0]["row_bs_f"],
+                    "cpos_parts": [rec["cpos"] for rec in rr],
+                    "cl2_parts": [rec["cl2"] for rec in rr],
+                }
+            )
+        finest = {
+            "pos_parts": [res[2]["pos"] for res in results],
+            "l2_parts": [res[2]["l2"] for res in results],
+        }
+        return (
+            package_elast_levels(A, recs, finest, dim, dpv, nv),
+            log,
+        )
+
     levels = [
         SetupLevel(
             index=0,
             A=sp.vstack(parts, format="csr"),
-            row_bs=1,
-            mesh=ph_mesh(int(starts[-1])),
+            row_bs=bs,
+            mesh=ph_mesh(int(starts[-1]) // bs),
         )
     ]
-    n_levels = len(results[0][0])
     for li in range(n_levels):
         recs = [results[r][0][li] for r in range(n_ranks)]
         cs = recs[0]["coarse_starts"]
         levels[-1].P = sp.vstack(
             [rec["P"] for rec in recs], format="csr"
-        ).tobsr(blocksize=(1, 1))
+        ).tobsr(blocksize=(bs, bs))
         levels[-1].v2agg = np.concatenate([rec["v2agg"] for rec in recs])
         levels.append(
             SetupLevel(
                 index=li + 1,
                 A=sp.vstack([rec["Ac"] for rec in recs], format="csr"),
-                row_bs=1,
-                mesh=ph_mesh(int(cs[-1])),
+                row_bs=bs,
+                mesh=ph_mesh(int(cs[-1]) // bs),
             )
         )
     return levels, log

@@ -223,6 +223,7 @@ def shard_operator(
     axis: str = "rows",
     replicate_below: int = 4096,
     min_local_rows: int = 512,
+    shards_hint: tuple | list | None = None,
 ) -> tuple[AMGOperator, BlockELL]:
     """Place the hierarchy on a device mesh: fine levels row-sharded,
     mid-size levels sharded over 2^k-device SUB-GROUPS (replicated across
@@ -292,10 +293,27 @@ def shard_operator(
         return max(j, 1)
 
     new_levels = []
-    for lev in op.levels:
+    for li, lev in enumerate(op.levels):
         j = n_shards_for(lev.A)
+        # the level loop's OWN contraction decision (TryContractStep
+        # analog, FactoryLog.shards_per_level) caps the placement: a
+        # level the setup concentrated onto k shards is not spread back
+        # over more devices than the setup's k
+        if shards_hint is not None and li < len(shards_hint):
+            k = 1
+            while (k << 1) <= int(shards_hint[li]):
+                k <<= 1
+            j = min(j, k) if int(shards_hint[li]) > 0 else j
         rows = rows_for(j)
-        A_s = _shard_mat(lev.A, fmesh, rows)
+        if isinstance(lev.A, TileELL) and j == n and j > 1:
+            # fully-row-sharded unstructured levels exchange INTERFACE
+            # values only (hybrid_matrix.hpp:28-144 / dcc_map.hpp:20-134
+            # in compiled form) instead of the O(n) GSPMD all-gather of x
+            from .halo import halo_tile_ell
+
+            A_s = halo_tile_ell(lev.A, fmesh, rows)
+        else:
+            A_s = _shard_mat(lev.A, fmesh, rows)
         sm_s = _shard_smoother(lev.smoother, fmesh, rows)
         P_s = R_s = None
         if lev.P is not None:

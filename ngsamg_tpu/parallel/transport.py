@@ -111,6 +111,21 @@ class Transport:
     def route_coo(self, starts_row, ri, cj, vv, ncols) -> list:
         raise NotImplementedError
 
+    def route_rows(self, starts, idx, arrays: tuple) -> list:
+        """Route aligned item rows to the owner shard of ``idx[i]``.
+
+        ``arrays`` are item-aligned: row ``i`` of every array describes one
+        item that must land on ``owner(idx[i])``. Returns a per-shard list
+        (``None`` in slots owned elsewhere) of tuples of arrays holding the
+        received items in DETERMINISTIC (source rank ascending, source
+        position ascending) order — the order a single controller sees, so
+        accumulations stay bitwise-reproducible across transports. The
+        typed-table analog of the reference's ReduceTable routing
+        (reducetable.hpp:22) for payloads that are not plain scalars
+        (edge matrices, sort keys, weights).
+        """
+        raise NotImplementedError
+
     def gather_csr_rows(self, parts, starts, rows_g, ncols):
         raise NotImplementedError
 
@@ -172,6 +187,17 @@ class LocalTransport(Transport):
             else:
                 M = sp.csr_matrix((nloc, ncols))
             out.append(M)
+        return out
+
+    def route_rows(self, starts, idx, arrays):
+        # caller supplies its owned shards' items concatenated in shard
+        # order, so selecting by owner preserves (source, position) order
+        n_shards = len(starts) - 1
+        own = _owner(starts, np.asarray(idx, dtype=np.int64))
+        out = []
+        for t in range(n_shards):
+            m = own == t
+            out.append(tuple(a[m] for a in arrays))
         return out
 
     def gather_csr_rows(self, parts, starts, rows_g, ncols):
@@ -415,6 +441,16 @@ class CollectiveTransport(Transport):
                 M = sp.csr_matrix((nloc, ncols))
             out.append(M)
         return out
+
+    def route_rows(self, starts, idx, arrays):
+        idx = np.asarray(idx, dtype=np.int64)
+        own = _owner(starts, idx)
+        src = self._even_src(len(idx))
+        # _exchange orders each destination's deliveries by original
+        # position; with contiguous per-source position ranges that IS
+        # (source rank, source position) order
+        routed, _ = self._exchange(src, own, tuple(arrays))
+        return [tuple(r) for r in routed]
 
     def gather_csr_rows(self, parts, starts, rows_g, ncols):
         if len(rows_g) == 0:

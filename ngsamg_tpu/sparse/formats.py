@@ -298,6 +298,11 @@ def matvec(A, x: jax.Array) -> jax.Array:
         return lattice_prol_apply(A, x)
     if isinstance(A, LatticeRestriction):
         return lattice_restrict_apply(A, x)
+    # interface-halo formats (parallel/halo.py) carry their own shard_map
+    # apply; duck-typed to keep sparse/ free of parallel/ imports
+    hm = getattr(A, "halo_matvec", None)
+    if hm is not None:
+        return hm(x)
     raise TypeError(type(A))
 
 

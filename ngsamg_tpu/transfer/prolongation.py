@@ -385,7 +385,7 @@ def _bsr_to_padded(P: sp.bsr_matrix, dpv: int):
     """BSR -> padded (data, cols) with col = -1 padding."""
     n = P.shape[0] // dpv
     deg = np.diff(P.indptr)
-    K = max(int(deg.max()), 1)
+    K = max(int(deg.max()), 1) if len(deg) else 1
     data = np.zeros((n, K, dpv, dpv))
     cols = np.full((n, K), -1, dtype=np.int64)
     rows = np.repeat(np.arange(n), deg)

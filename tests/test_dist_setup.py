@@ -194,6 +194,12 @@ def test_dist_setup_shard_residency():
     """Per-shard peak memory stays ~1/n of the global matrix."""
     prob = fem.unstructured_poisson(24, dim=2)
     opts = _opts()
+    # at toy scale EVERY coarse level is below the contraction floor and
+    # would concentrate on shard 0; pin the TryContractStep knobs off so
+    # the test measures the uncontracted residency scaling (production
+    # problems only contract levels far smaller than the finest)
+    opts.levels.rd_min_rows = 1
+    opts.levels.rd_slow_ratio = 2.0
     n_shards = 8
     _levels, log = dist_setup_levels(prob.A, H1Energy(bs=1), opts, n_shards)
     assert log.finest_global_bytes > 0 and log.peak_shard_bytes > 0
@@ -201,3 +207,88 @@ def test_dist_setup_shard_residency():
     # across the active level pair) must be far below the global matrix;
     # 4/n covers the ~3.5x per-rank working-set factor, and scales 1/n
     assert log.peak_shard_bytes < log.finest_global_bytes * 4.0 / n_shards
+
+
+def test_try_contract_step_in_loop():
+    """TryContractStep analog (base_factory.cpp:573-682): the level loop
+    itself decides to concentrate coarse levels onto fewer shards —
+    earlier under slow coarsening — logging each decision; ownership
+    changes, values don't."""
+    from ngsamg_tpu.parallel.dist_setup import (
+        _scalar_levels_parts,
+        split_rows,
+    )
+
+    prob = fem.unstructured_poisson(40, dim=2)
+    A = prob.A.tocsr().astype(np.float64)
+
+    def run(rd_min_rows, rd_slow_ratio):
+        o = _opts()
+        o.levels.max_coarse_size = 20
+        o.levels.rd_min_rows = rd_min_rows
+        o.levels.rd_slow_ratio = rd_slow_ratio
+        parts, starts = split_rows(A, 4)
+        recs, log = _scalar_levels_parts(parts, starts, o, H1Energy(bs=1))
+        return recs, log
+
+    # no contraction: huge slow threshold, tiny min-rows floor
+    r_none, log_none = run(rd_min_rows=1, rd_slow_ratio=2.0)
+    assert log_none.contract_decisions == []
+    assert all(k == 4 for k in log_none.shards_per_level)
+
+    # min-rows floor triggers: coarse levels concentrate
+    r_min, log_min = run(rd_min_rows=200, rd_slow_ratio=2.0)
+    assert log_min.contract_decisions, "min_rows must trigger contraction"
+    assert log_min.shards_per_level[-1] < 4
+    assert any("min_rows" in d[3] for d in log_min.contract_decisions)
+
+    # slow coarsening contracts where the floor alone would not: with the
+    # floor disabled (rd_min_rows=1), lowering the slow threshold from
+    # 2.0 (never) to 0.2 makes the loop contract
+    r_slow, log_slow = run(rd_min_rows=1, rd_slow_ratio=0.2)
+    assert log_slow.contract_decisions, (
+        "slow-coarsening trigger must contract where the floor did not"
+    )
+    assert any(
+        "slow_coarsening" in d[3] for d in log_slow.contract_decisions
+    )
+
+    # contraction is ownership-only: the assembled hierarchy equals the
+    # no-contraction one (same sparsity; values to fp roundoff — scipy's
+    # COO->CSR duplicate summation order shifts with the per-owner row
+    # counts)
+    assert len(r_none) == len(r_min)
+    for ra, rb in zip(r_none, r_min):
+        Aa = sp.vstack(ra["Ac_parts"], format="csr")
+        Ab = sp.vstack(rb["Ac_parts"], format="csr")
+        assert Aa.nnz == Ab.nnz
+        assert abs(Aa - Ab).max() < 1e-12 * abs(Aa).max()
+        Pa = sp.vstack(ra["P_parts"], format="csr")
+        Pb = sp.vstack(rb["P_parts"], format="csr")
+        assert abs(Pa - Pb).max() < 1e-12 * max(abs(Pa).max(), 1.0)
+    # ...with trailing shards owning EMPTY ranges after contraction
+    last = r_min[-1]
+    k = log_min.shards_per_level[-1]
+    for t in range(k, 4):
+        assert last["Ac_parts"][t].shape[0] == 0
+
+
+def test_try_contract_under_mp_transport():
+    """Contracted levels run one-process-per-rank: ranks beyond the
+    active group keep participating with empty ranges (the reference's
+    idle dropped ranks) and the hierarchy equals the single-controller
+    one bitwise."""
+    from ngsamg_tpu.parallel.mp_runtime import mp_dist_setup_levels
+
+    prob = fem.unstructured_poisson(24, dim=2)
+    A = prob.A.tocsr()
+    o = _opts()
+    o.levels.max_coarse_size = 20
+    o.levels.rd_min_rows = 60  # forces contraction on coarse levels
+    s_levels, s_log = dist_setup_levels(A, H1Energy(bs=1), o, 4)
+    m_levels, m_log = mp_dist_setup_levels(A, H1Energy(bs=1), o, 4)
+    assert s_log.contract_decisions and (
+        s_log.contract_decisions == m_log.contract_decisions
+    )
+    for sl, ml in zip(s_levels, m_levels):
+        assert abs(sl.A - ml.A).max() == 0.0

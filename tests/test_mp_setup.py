@@ -23,6 +23,13 @@ def _opts():
     o = AMGOptions(dtype="float64")
     o.coarsen.algo = SpecOpt(CoarsenType.SPW)
     o.levels.max_coarse_size = 40
+    # pin the in-loop TryContractStep off: at toy scale every coarse
+    # level is below the default floor and would concentrate onto rank 0,
+    # which is exactly what the residency assertions here must NOT see
+    # (production contracts only levels far smaller than the finest);
+    # contraction under MPTransport has its own test in test_dist_setup
+    o.levels.rd_min_rows = 1
+    o.levels.rd_slow_ratio = 2.0
     return o
 
 
@@ -88,6 +95,109 @@ def test_mp_setup_shard_residency_and_traffic():
     s_levels, _ = dist_setup_levels(A, H1Energy(bs=1), _opts(), 4)
     for sl, ml in zip(s_levels, m_levels):
         assert abs(sl.A - ml.A).max() == 0.0
+
+
+def test_mp_vector_h1_bitwise_equals_single_controller():
+    """Vector (multidim) H1 runs one-process-per-rank through the same
+    rank-local loop (`dist_setup._vector_levels_parts`)."""
+    prob = fem.unstructured_poisson(16, dim=2)
+    bs = 2
+    A = sp_kron_eye(prob.A, bs)
+    opts = _opts()
+    opts.levels.max_coarse_size = 15
+    en = H1Energy(bs=bs)
+    s_levels, s_log = dist_setup_levels(A, en, opts, 2)
+    m_levels, m_log = mp_dist_setup_levels(A, en, opts, 2)
+    assert len(s_levels) == len(m_levels) >= 3, (s_log.nvs, m_log.nvs)
+    assert s_log.nvs == m_log.nvs
+    for i, (sl, ml) in enumerate(zip(s_levels, m_levels)):
+        assert sl.row_bs == ml.row_bs == bs
+        SA, MA = sl.A.tocsr(), ml.A.tocsr()
+        np.testing.assert_array_equal(SA.indptr, MA.indptr, err_msg=f"L{i}")
+        np.testing.assert_array_equal(SA.indices, MA.indices, err_msg=f"L{i}")
+        np.testing.assert_array_equal(SA.data, MA.data, err_msg=f"L{i}")
+        if sl.P is not None:
+            np.testing.assert_array_equal(
+                sl.P.tocsr().data, ml.P.tocsr().data
+            )
+
+
+def sp_kron_eye(A, bs):
+    import scipy.sparse as sp
+
+    return sp.kron(A.tocsr(), sp.eye(bs), format="csr")
+
+
+@pytest.mark.parametrize("n_ranks", [2, 4])
+def test_mp_elasticity_bitwise_equals_single_controller(n_ranks):
+    """Block-energy (elasticity) setup runs one-process-per-rank through
+    the SAME rank-local loop (`dist_elast._elast_levels_parts`) and is
+    bitwise-equal to the single-controller run — the reference drives
+    elasticity with the same distributed machinery as scalar H1
+    (reducetable.hpp:22-949, elasticity.hpp:58-98)."""
+    from ngsamg_tpu.apps.elasticity import ElasticityEnergy
+    from ngsamg_tpu.parallel.dist_elast import dist_setup_levels_elast
+
+    prob = fem.unstructured_elasticity(12, dim=2)
+    A = prob.A.tocsr()
+    opts = _opts()
+    opts.levels.max_coarse_size = 15
+    s_levels, s_log = dist_setup_levels_elast(
+        A, ElasticityEnergy(dim=2), opts, n_ranks, prob.coords
+    )
+    m_levels, m_log = mp_dist_setup_levels(
+        A, ElasticityEnergy(dim=2), opts, n_ranks, coords=prob.coords
+    )
+    assert len(s_levels) == len(m_levels) >= 3, (s_log.nvs, m_log.nvs)
+    assert s_log.nvs == m_log.nvs
+    assert s_log.nnzs == m_log.nnzs
+    for i, (sl, ml) in enumerate(zip(s_levels, m_levels)):
+        assert sl.row_bs == ml.row_bs
+        SA, MA = sl.A.tocsr(), ml.A.tocsr()
+        np.testing.assert_array_equal(SA.indptr, MA.indptr, err_msg=f"L{i}")
+        np.testing.assert_array_equal(SA.indices, MA.indices, err_msg=f"L{i}")
+        np.testing.assert_array_equal(SA.data, MA.data, err_msg=f"L{i}")
+        if sl.P is not None:
+            SP, MP = sl.P.tocsr(), ml.P.tocsr()
+            np.testing.assert_array_equal(SP.indptr, MP.indptr)
+            np.testing.assert_array_equal(SP.indices, MP.indices)
+            np.testing.assert_array_equal(SP.data, MP.data)
+            np.testing.assert_array_equal(sl.v2agg, ml.v2agg)
+        if sl.P_amg is not None or ml.P_amg is not None:
+            np.testing.assert_array_equal(
+                sl.P_amg.tocsr().data, ml.P_amg.tocsr().data
+            )
+
+
+def test_mp_elasticity_shard_residency():
+    """Each elasticity rank's resident level-loop state is a shard of the
+    problem, and doubling ranks shrinks it — block-energy setup is now
+    genuinely shard-resident like the scalar loop."""
+    from ngsamg_tpu.apps.elasticity import ElasticityEnergy
+
+    prob = fem.unstructured_elasticity(16, dim=2)
+    A = prob.A.tocsr()
+    peaks = {}
+    for n_ranks in (2, 4):
+        m_levels, m_log = mp_dist_setup_levels(
+            A, ElasticityEnergy(dim=2), _opts(), n_ranks,
+            coords=prob.coords,
+        )
+        stats = m_log.mp_rank_stats
+        assert len(stats) == n_ranks
+        glob = m_log.finest_global_bytes
+        for st in stats:
+            # a rank holds its rows of A + mesh rows (G/E/pos/l2) + P +
+            # Ac; the edge-matrix payload E is ~dpv^2/dim^2 times the
+            # scalar graph, so the bound is looser than scalar H1's but
+            # still a SHARD bound, not the global problem
+            assert 0 < st["peak_shard_bytes"] < 5.0 * glob / n_ranks, (
+                st["peak_shard_bytes"],
+                glob,
+            )
+            assert st["transport_calls"] > 0
+        peaks[n_ranks] = max(st["peak_shard_bytes"] for st in stats)
+    assert peaks[4] < 0.7 * peaks[2], peaks
 
 
 def test_mp_setup_solves():
