@@ -77,6 +77,11 @@ class FactoryLog:
     # the ACTIVE shard count per level (caps device placement)
     contract_decisions: list = field(default_factory=list)
     shards_per_level: list = field(default_factory=list)
+    # distributed setup only: max over tracking points of
+    # (largest shard's state x n_shards / total state) — 1.0 = perfectly
+    # balanced; the shard-residency proof for levels whose dominant state
+    # (e.g. the Stokes loop basis) is much larger than the finest matrix
+    state_balance: float = 0.0
 
     @property
     def operator_complexity(self) -> float:

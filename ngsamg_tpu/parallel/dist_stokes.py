@@ -67,23 +67,45 @@ def _split(n: int, k: int) -> np.ndarray:
 
 
 def _reduce_nd(starts, idx, vals, shape_tail=()):
-    """Owner-routed sum of (idx, vals) rows; per-shard dense arrays."""
+    """Owner-routed sum of (idx, vals) rows; per-shard dense arrays
+    (``None`` in slots owned by another controller). The caller passes
+    only ITS owned shards' contributions; the transport routes them in
+    (source rank, source position) order, so the accumulation is
+    bitwise-stable across transports."""
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = len(starts) - 1
-    out = [
-        np.zeros((int(starts[s + 1] - starts[s]),) + shape_tail)
-        for s in range(n_shards)
-    ]
-    if len(idx):
-        own = _owner(starts, idx)
-        for s in range(n_shards):
-            m = own == s
-            if m.any():
-                np.add.at(out[s], idx[m] - starts[s], vals[m])
+    idx = np.asarray(idx, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    routed = tr.route_rows(starts, idx, (idx, vals))
+    out = [None] * n_shards
+    for t in tr.my_shards(n_shards):
+        acc = np.zeros(
+            (int(starts[t + 1] - starts[t]),) + shape_tail
+        )
+        gi, v = routed[t]
+        if len(gi):
+            np.add.at(acc, gi - starts[t], v)
+        out[t] = acc
     return out
 
 
+def _route_by(starts, key_idx, *arrays):
+    """Route parallel row arrays to the owner shard of ``key_idx[i]``
+    (per-shard tuples, ``None`` in unowned slots)."""
+    from .transport import get_transport
+
+    return get_transport().route_rows(
+        starts, np.asarray(key_idx, dtype=np.int64), tuple(arrays)
+    )
+
+
 def _route(dest, n_shards, *arrays):
-    """Group parallel row arrays by destination shard."""
+    """Group parallel row arrays by destination shard — SINGLE-CONTROLLER
+    only (used by the HDiv variant, which still runs its per-shard loops
+    on one controller over the transport primitives; the scalar/vector
+    Stokes loop uses the transport's ``route_rows`` via ``_route_by``)."""
     out = []
     for t in range(n_shards):
         m = dest == t
@@ -161,11 +183,18 @@ def _shard_level0(mesh: AlgebraicMesh, A: sp.csr_matrix, bs: int,
 # ---------------------------------------------------------------------------
 
 
+def _my(sd_or_n):
+    from .transport import get_transport
+
+    n = sd_or_n.n_shards if hasattr(sd_or_n, "n_shards") else int(sd_or_n)
+    return list(get_transport().my_shards(n))
+
+
 def _dist_coarsen_cells(sd: _ShardedDual, theta: float = 0.08):
     """SPW matching on the flow-magnitude cell graph, shard-local rows."""
     n_shards = sd.n_shards
     ri, cj, vv = [], [], []
-    for s in range(n_shards):
+    for s in _my(sd):
         e = sd.edges_parts[s]
         w = st._flow_mag(sd.flow_parts[s])
         ri.extend([e[:, 0], e[:, 1]])
@@ -181,6 +210,12 @@ def _dist_coarsen_cells(sd: _ShardedDual, theta: float = 0.08):
     v2agg_parts, c_starts = _dist_spw_core(
         S_parts, sd.v_starts, theta=theta, rounds=2
     )
+    # OWNERSHIP rebalance (numbering unchanged): the matcher's shard-major
+    # compaction concentrates aggregates on low shards and the skew
+    # COMPOUNDS level over level (measured 17x on level-1 state). Coarse
+    # ids are global, so an even re-split changes only who holds which
+    # rows — all downstream routing targets the balanced owners.
+    c_starts = _split(int(c_starts[-1]), sd.n_shards)
     return v2agg_parts, c_starts
 
 
@@ -196,54 +231,104 @@ def _dist_map_edges(sd: _ShardedDual, v2agg_parts, c_starts):
 
     Returns (ce_starts, cedges_parts, ci_parts, cj_parts, e2ce_parts).
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = sd.n_shards
+    mine = _my(sd)
     n_agg = int(c_starts[-1])
-    ci_parts, cj_parts, key_parts = [], [], []
-    for s in range(n_shards):
+    ci_parts = [None] * n_shards
+    cj_parts = [None] * n_shards
+    key_parts = [None] * n_shards
+    for s in mine:
         e = sd.edges_parts[s]
         ci = _gather(v2agg_parts, sd.v_starts, e[:, 0])
         cj = _gather(v2agg_parts, sd.v_starts, e[:, 1])
-        ci_parts.append(ci)
-        cj_parts.append(cj)
+        ci_parts[s] = ci
+        cj_parts[s] = cj
         lo = np.minimum(ci, cj)
         hi = np.maximum(ci, cj)
         cross = (lo != hi) & (lo >= 0)
-        key = np.where(cross, lo * np.int64(n_agg) + hi, np.int64(-1))
-        key_parts.append(key)
-    # route cross keys to the owner of lo (coarse-cell owner)
-    uniq_parts = []
-    all_keys = np.concatenate(key_parts) if key_parts else np.zeros(0,
-                                                                    np.int64)
-    ak = all_keys[all_keys >= 0]
-    own = _owner(c_starts, ak // n_agg)
-    for t in range(n_shards):
-        uniq_parts.append(np.unique(ak[own == t]))
-    counts = np.array([len(u) for u in uniq_parts], dtype=np.int64)
-    ce_starts = np.zeros(n_shards + 1, dtype=np.int64)
-    ce_starts[1:] = np.cumsum(counts)
-    cedges_parts = [
-        np.stack([u // n_agg, u % n_agg], axis=1)
-        if len(u)
-        else np.zeros((0, 2), dtype=np.int64)
-        for u in uniq_parts
-    ]
+        key_parts[s] = np.where(
+            cross, lo * np.int64(n_agg) + hi, np.int64(-1)
+        )
+    # route cross keys to the owner of lo (coarse-cell owner): unique
+    # per owner == unique of the owner's mask in the single-controller
+    # code (sorted either way)
+    own_keys = np.concatenate([key_parts[s] for s in mine])
+    ak = own_keys[own_keys >= 0]
+    routed = tr.route_rows(c_starts, ak // n_agg, (ak,))
+    uniq_parts = [None] * n_shards
+    for t in mine:
+        uniq_parts[t] = np.unique(routed[t][0])
+    counts = tr.allgather(
+        np.array([len(uniq_parts[t]) for t in mine], dtype=np.int64)
+    )
+    # the lo-owner blocks give the globally-SORTED numbering (lo ranges
+    # ascending across owners => keys ascending across blocks — serial
+    # map_edges parity); OWNERSHIP is then re-split evenly, because
+    # owner-of-lo is min-biased toward low shards and the skew compounds
+    # per level. The lo-owner keeps its sorted key list as the id
+    # DICTIONARY; the coarse-edge DATA moves to the balanced owners.
+    old_starts = np.zeros(n_shards + 1, dtype=np.int64)
+    old_starts[1:] = np.cumsum(counts)
+    nce = int(old_starts[-1])
+    ce_starts = _split(nce, n_shards)
+    ce_l, lo_l, hi_l = [], [], []
+    for t in mine:
+        u = uniq_parts[t]
+        ce_l.append(old_starts[t] + np.arange(len(u), dtype=np.int64))
+        lo_l.append(u // n_agg)
+        hi_l.append(u % n_agg)
+    moved = tr.route_rows(
+        ce_starts,
+        np.concatenate(ce_l),
+        (np.concatenate(ce_l), np.concatenate(lo_l),
+         np.concatenate(hi_l)),
+    )
+    cedges_parts = [None] * n_shards
+    for t in mine:
+        ids_t, lo_t, hi_t = moved[t]
+        # sources are ordered (old owners ascending, ids ascending within
+        # each) => ids arrive globally ascending == this range's order
+        cedges_parts[t] = (
+            np.stack([lo_t, hi_t], axis=1)
+            if len(ids_t)
+            else np.zeros((0, 2), dtype=np.int64)
+        )
     # query-back: fine-facet owner asks owner(lo) for the coarse edge id
-    e2ce_parts = []
-    for s in range(n_shards):
+    # (two routed phases — request to the key owner, reply to the facet
+    # owner — the DCC request/reply shape)
+    req_key, req_eg = [], []
+    for s in mine:
+        key = key_parts[s]
+        m = key >= 0
+        req_key.append(key[m])
+        req_eg.append(
+            np.flatnonzero(m).astype(np.int64) + sd.e_starts[s]
+        )
+    rk = np.concatenate(req_key)
+    re = np.concatenate(req_eg)
+    got = tr.route_rows(c_starts, rk // n_agg, (rk, re))
+    rep_ids, rep_eg = [], []
+    for t in mine:
+        keys_t, eg_t = got[t]
+        rep_ids.append(
+            old_starts[t] + np.searchsorted(uniq_parts[t], keys_t)
+        )
+        rep_eg.append(eg_t)
+    back = tr.route_rows(
+        sd.e_starts,
+        np.concatenate(rep_eg),
+        (np.concatenate(rep_eg), np.concatenate(rep_ids)),
+    )
+    e2ce_parts = [None] * n_shards
+    for s in mine:
         key = key_parts[s]
         e2 = np.full(len(key), -1, dtype=np.int64)
-        m = key >= 0
-        if m.any():
-            ko = _owner(c_starts, key[m] // n_agg)
-            ids = np.empty(int(m.sum()), dtype=np.int64)
-            for t in range(n_shards):
-                mt = ko == t
-                if mt.any():
-                    ids[mt] = ce_starts[t] + np.searchsorted(
-                        uniq_parts[t], key[m][mt]
-                    )
-            e2[m] = ids
-        e2ce_parts.append(e2)
+        eg_b, ids_b = back[s]
+        e2[eg_b - sd.e_starts[s]] = ids_b
+        e2ce_parts[s] = e2
     return ce_starts, cedges_parts, ci_parts, cj_parts, e2ce_parts
 
 
@@ -251,50 +336,50 @@ def _dist_map_mesh(sd: _ShardedDual, v2agg_parts, c_starts, ce_starts,
                    cedges_parts, ci_parts, e2ce_parts):
     """Coarse sharded dual mesh: summed vols/flows, vol-weighted positions."""
     n_shards = sd.n_shards
-    dim_pos = sd.pos_parts[0].shape[1]
+    mine = _my(sd)
+    dim_pos = next(sd.pos_parts[s].shape[1] for s in mine)
     # vertex data: volume sums + vol-weighted positions to coarse owners
-    all_v2 = np.concatenate(v2agg_parts)
-    all_vol = np.concatenate(sd.vol_parts)
-    all_pos = np.concatenate(sd.pos_parts)
+    # (owned contributions only — the transport routes them)
+    all_v2 = np.concatenate([v2agg_parts[s] for s in mine])
+    all_vol = np.concatenate([sd.vol_parts[s] for s in mine])
+    all_pos = np.concatenate([sd.pos_parts[s] for s in mine])
     act = all_v2 >= 0
     cvol_parts = _reduce_nd(c_starts, all_v2[act], all_vol[act])
     cpos_parts = _reduce_nd(
         c_starts, all_v2[act], all_pos[act] * all_vol[act, None],
         shape_tail=(dim_pos,),
     )
-    cpos_parts = [
-        p / np.maximum(v, 1e-300)[:, None]
-        for p, v in zip(cpos_parts, cvol_parts)
-    ]
+    for t in mine:
+        cpos_parts[t] = cpos_parts[t] / np.maximum(
+            cvol_parts[t], 1e-300
+        )[:, None]
     # oriented flow sums to coarse-edge owners: sign = +1 where the fine
     # edge's first cell maps to the coarse edge's lo end (== serial
     # map_stokes_mesh since cedges[ce,0] = lo by construction)
-    fl0 = sd.flow_parts[0]
-    tail = fl0.shape[1:]
+    tail = next(sd.flow_parts[s].shape[1:] for s in mine)
+    lo_parts = [
+        None if c is None else c[:, 0] for c in cedges_parts
+    ]
     idx_l, val_l = [], []
-    for s in range(n_shards):
+    for s in mine:
         e2 = e2ce_parts[s]
         m = e2 >= 0
-        if not m.any():
-            continue
+        # no data-dependent skip: the gather below is a collective every
+        # rank joins each iteration (empty requests are fine)
         ci = ci_parts[s][m]
-        lo_of = _gather(
-            [c[:, 0] for c in cedges_parts], ce_starts, e2[m]
-        )
+        lo_of = _gather(lo_parts, ce_starts, e2[m])
         sign = np.where(ci == lo_of, 1.0, -1.0)
         fl = sd.flow_parts[s][m]
         idx_l.append(e2[m])
         val_l.append(fl * (sign[:, None] if fl.ndim == 2 else sign))
-    if idx_l:
-        cflow_parts = _reduce_nd(
-            ce_starts, np.concatenate(idx_l), np.concatenate(val_l),
-            shape_tail=tail,
-        )
-    else:
-        cflow_parts = [
-            np.zeros((int(ce_starts[t + 1] - ce_starts[t]),) + tail)
-            for t in range(n_shards)
-        ]
+    cflow_parts = _reduce_nd(
+        ce_starts,
+        np.concatenate(idx_l) if idx_l else np.zeros(0, np.int64),
+        np.concatenate(val_l)
+        if val_l
+        else np.zeros((0,) + tail),
+        shape_tail=tail,
+    )
     return _ShardedDual(
         c_starts, ce_starts, cpos_parts, cvol_parts, cedges_parts,
         cflow_parts, A_parts=None,
@@ -312,39 +397,36 @@ def _agg_payload(sd, v2agg_parts, c_starts, ci_parts, cj_parts,
     """Owner-computed aggregate data: per coarse-cell-owner shard, the
     member cells (with volumes) and interior facets of each owned
     aggregate, sorted for the serial replay."""
-    n_shards = sd.n_shards
-    # member cells -> aggregate owners
-    all_v2 = np.concatenate(v2agg_parts)
-    cells_g = np.arange(sd.nv, dtype=np.int64)
+    mine = _my(sd)
+    # member cells -> aggregate owners (owned cells only; the transport
+    # routes them in the single-controller order)
+    all_v2 = np.concatenate([v2agg_parts[s] for s in mine])
+    cells_g = np.concatenate(
+        [
+            np.arange(sd.v_starts[s], sd.v_starts[s + 1], dtype=np.int64)
+            for s in mine
+        ]
+    )
+    all_vol = np.concatenate([sd.vol_parts[s] for s in mine])
     act = all_v2 >= 0
-    dest = np.full(sd.nv, -1, dtype=np.int64)
-    dest[act] = _owner(c_starts, all_v2[act])
-    mem_parts = _route(
-        dest[act], n_shards, all_v2[act], cells_g[act],
-        np.concatenate(sd.vol_parts)[act],
+    mem_parts = _route_by(
+        c_starts, all_v2[act], all_v2[act], cells_g[act], all_vol[act]
     )
     # interior facets (ci == cj >= 0) -> aggregate owners
     ie_agg, ie_e, ie_i, ie_j = [], [], [], []
-    for s in range(n_shards):
+    for s in mine:
         ci, cj = ci_parts[s], cj_parts[s]
         m = (ci == cj) & (ci >= 0)
-        if m.any():
-            e = sd.edges_parts[s][m]
-            ie_agg.append(ci[m])
-            ie_e.append(
-                np.flatnonzero(m).astype(np.int64) + sd.e_starts[s]
-            )
-            ie_i.append(e[:, 0])
-            ie_j.append(e[:, 1])
-    if ie_agg:
-        ia = np.concatenate(ie_agg)
-        fac_parts = _route(
-            _owner(c_starts, ia), n_shards, ia, np.concatenate(ie_e),
-            np.concatenate(ie_i), np.concatenate(ie_j),
-        )
-    else:
-        z = np.zeros(0, dtype=np.int64)
-        fac_parts = [(z, z, z, z)] * n_shards
+        e = sd.edges_parts[s][m]
+        ie_agg.append(ci[m])
+        ie_e.append(np.flatnonzero(m).astype(np.int64) + sd.e_starts[s])
+        ie_i.append(e[:, 0])
+        ie_j.append(e[:, 1])
+    ia = np.concatenate(ie_agg)
+    fac_parts = _route_by(
+        c_starts, ia, ia, np.concatenate(ie_e),
+        np.concatenate(ie_i), np.concatenate(ie_j),
+    )
     return mem_parts, fac_parts
 
 
@@ -429,12 +511,13 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
                     e2ce_parts):
     """Scalar facet prolongation, distributed (serial flow_prolongation)."""
     n_shards = sd.n_shards
+    mine = _my(sd)
     ne_c = csd.ne
     c_starts, ce_starts = csd.v_starts, csd.e_starts
 
     # cross-facet coefficients: wsum per coarse edge, gathered back
     idx_l, val_l = [], []
-    for s in range(n_shards):
+    for s in mine:
         e2 = e2ce_parts[s]
         m = e2 >= 0
         idx_l.append(e2[m])
@@ -442,9 +525,9 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
     wsum_parts = _reduce_nd(
         ce_starts, np.concatenate(idx_l), np.concatenate(val_l)
     )
-    lo_parts = [c[:, 0] for c in csd.edges_parts]
-    cross_rows = []  # per shard: (local rows, ce, coef signed)
-    for s in range(n_shards):
+    lo_parts = [None if c is None else c[:, 0] for c in csd.edges_parts]
+    cross_rows = [None] * n_shards  # (local rows, ce, coef signed)
+    for s in mine:
         e2 = e2ce_parts[s]
         m = np.flatnonzero(e2 >= 0)
         ce = e2[m]
@@ -452,12 +535,12 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
         lo_of = _gather(lo_parts, ce_starts, ce)
         sgn = np.where(ci_parts[s][m] == lo_of, 1.0, -1.0)
         wcoef = np.abs(sd.flow_parts[s][m]) / np.maximum(ws, 1e-300)
-        cross_rows.append((m, ce, sgn * wcoef))
+        cross_rows[s] = (m, ce, sgn * wcoef)
 
     # per-cell boundary influx Bin rows (routed to CELL owners): fine
     # cross facet e=(i,j): +v at (i, ce), -v at (j, ce)
     ri, cj, vv = [], [], []
-    for s in range(n_shards):
+    for s in mine:
         m, ce, v = cross_rows[s]
         e = sd.edges_parts[s][m]
         ri.extend([e[:, 0], e[:, 1]])
@@ -472,7 +555,7 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
     )
     # coarse incidence rows Cout (coarse-cell-owner shards): +-1 columns
     ri2, cj2, vv2 = [], [], []
-    for t in range(n_shards):
+    for t in mine:
         ce_g = np.arange(
             ce_starts[t], ce_starts[t + 1], dtype=np.int64
         )
@@ -488,8 +571,8 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
         ne_c,
     )
     # per-cell target rows: frac_i * Cout[v2agg[i]]; Excess = Tgt - Bin
-    exc_parts = []
-    for s in range(n_shards):
+    exc_parts = [None] * n_shards
+    for s in mine:
         v2 = v2agg_parts[s]
         aggvol = _gather(csd.vol_parts, c_starts, np.maximum(v2, 0))
         frac = sd.vol_parts[s] / np.maximum(aggvol, 1e-300)
@@ -497,7 +580,7 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
             Cout_parts, c_starts, np.maximum(v2, 0), ne_c
         )
         Tgt = sp.diags(np.where(v2 >= 0, frac, 0.0)) @ Crows
-        exc_parts.append((Tgt - Bin_parts[s]).tocsr())
+        exc_parts[s] = (Tgt - Bin_parts[s]).tocsr()
 
     # owner-computed interior routing
     mem_parts, fac_parts = _agg_payload(
@@ -505,7 +588,7 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
     )
     # excess rows shipped to aggregate owners alongside members
     tri_e, tri_c, tri_v = [], [], []
-    for t in range(n_shards):
+    for t in mine:
         mem_a, mem_c, _mem_vol = mem_parts[t]
         ie_a, ie_e, ie_i, ie_j = fac_parts[t]
         # gather member excess rows from cell owners
@@ -526,7 +609,7 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
         )
     # P assembly per facet owner: cross rows + routed interior triples
     ri3, cj3, vv3 = [], [], []
-    for s in range(n_shards):
+    for s in mine:
         m, ce, v = cross_rows[s]
         ri3.append(m + sd.e_starts[s])
         cj3.append(ce)
@@ -543,9 +626,10 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
         ne_c,
     )
     # incidence -> velocity units (serial conjugation): row scale 1/flow_f
-    # (local), column scale flow_c (gathered from coarse-facet owners)
-    out = []
-    for s in range(n_shards):
+    # (local), column scale flow_c (gathered from coarse-facet owners —
+    # a collective every rank joins, so no empty-cols skip)
+    out = [None] * n_shards
+    for s in mine:
         fl = sd.flow_parts[s]
         gf = np.where(
             np.abs(fl) > 1e-300, 1.0 / np.where(fl == 0, 1.0, fl), 1.0
@@ -556,12 +640,12 @@ def _dist_flow_prol(sd, csd, v2agg_parts, ci_parts, cj_parts,
             if P.nnz
             else np.zeros(0, np.int64)
         )
+        cf = _gather(csd.flow_parts, ce_starts, cols)
+        gc_all = np.ones(ne_c)
         if len(cols):
-            cf = _gather(csd.flow_parts, ce_starts, cols)
-            gc_all = np.ones(ne_c)
             gc_all[cols] = np.where(np.abs(cf) > 1e-300, cf, 1.0)
             P = (P @ sp.diags(gc_all)).tocsr()
-        out.append(P.tocsr())
+        out[s] = P.tocsr()
     return out
 
 
@@ -569,14 +653,15 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
                         e2ce_parts):
     """VECTOR facet prolongation, distributed (flow_prolongation_vec)."""
     n_shards = sd.n_shards
+    mine = _my(sd)
     ne_c = csd.ne
-    dim = sd.flow_parts[0].shape[1]
+    dim = next(sd.flow_parts[s].shape[1] for s in mine)
     c_starts, ce_starts = csd.v_starts, csd.e_starts
     k = np.arange(dim)
 
     # cross facets copy the coarse vector (identity blocks)
     ri, cj, vv = [], [], []
-    for s in range(n_shards):
+    for s in mine:
         e2 = e2ce_parts[s]
         m = np.flatnonzero(e2 >= 0)
         ce = e2[m]
@@ -588,7 +673,7 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
     # interior base: |cflow|-weighted average of the aggregate's incident
     # coarse vectors. Wavg rows live on coarse-CELL owners.
     ri2, cj2, vv2 = [], [], []
-    for t in range(n_shards):
+    for t in mine:
         E = csd.edges_parts[t]
         wE = np.linalg.norm(csd.flow_parts[t], axis=1)
         ce_g = np.arange(ce_starts[t], ce_starts[t + 1], dtype=np.int64)
@@ -602,19 +687,18 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
         np.concatenate(vv2),
         ne_c,
     )
-    Wavg_parts = []
-    for t in range(n_shards):
+    Wavg_parts = [None] * n_shards
+    for t in mine:
         M = AggInc_parts[t]
         wsum = np.asarray(M.sum(axis=1)).ravel()
-        Wavg_parts.append(
-            (sp.diags(1.0 / np.maximum(wsum, 1e-300)) @ M).tocsr()
-        )
-    for s in range(n_shards):
+        Wavg_parts[t] = (
+            sp.diags(1.0 / np.maximum(wsum, 1e-300)) @ M
+        ).tocsr()
+    for s in mine:
         e2 = e2ce_parts[s]
         ci = ci_parts[s]
         m = np.flatnonzero((e2 < 0) & (ci >= 0) & (ci == cj_parts[s]))
-        if not len(m):
-            continue
+        # unconditional: the row gather is a collective every rank joins
         rows_g = m + sd.e_starts[s]
         B = _gather_csr_rows(Wavg_parts, c_starts, ci[m], ne_c).tocoo()
         ri.append((rows_g[B.row][:, None] * dim + k).ravel())
@@ -631,7 +715,7 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
     # per-cell flux imbalance Excess = diag(frac) Cout[v2agg] - Df P0
     # Df rows (cells x fine vector dofs): +-flow components
     ri3, cj3, vv3 = [], [], []
-    for s in range(n_shards):
+    for s in mine:
         e = sd.edges_parts[s]
         fl = sd.flow_parts[s]
         dof_g = (
@@ -650,7 +734,7 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
     )
     # Cout rows (coarse cells x coarse vector dofs): +-cflow components
     ri4, cj4, vv4 = [], [], []
-    for t in range(n_shards):
+    for t in mine:
         E = csd.edges_parts[t]
         cf = csd.flow_parts[t]
         ce_g = (
@@ -667,8 +751,8 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
         np.concatenate(vv4),
         ne_c * dim,
     )
-    exc_parts = []
-    for s in range(n_shards):
+    exc_parts = [None] * n_shards
+    for s in mine:
         v2 = v2agg_parts[s]
         aggvol = _gather(csd.vol_parts, c_starts, np.maximum(v2, 0))
         frac = sd.vol_parts[s] / np.maximum(aggvol, 1e-300)
@@ -690,14 +774,14 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
         Dfc = sp.csr_matrix(
             (Df.data, colmap, Df.indptr), shape=(Df.shape[0], len(cols))
         )
-        exc_parts.append((Tgt - Dfc @ P0_halo).tocsr())
+        exc_parts[s] = (Tgt - Dfc @ P0_halo).tocsr()
 
     # owner-computed interior routing with normal-direction corrections
     mem_parts, fac_parts = _agg_payload(
         sd, v2agg_parts, c_starts, ci_parts, cj_parts, e2ce_parts
     )
     tri_e, tri_c, tri_v = [], [], []
-    for t in range(n_shards):
+    for t in mine:
         mem_a, mem_c, _mv = mem_parts[t]
         ie_a, ie_e, ie_i, ie_j = fac_parts[t]
         Exc = _gather_csr_rows(
@@ -731,18 +815,20 @@ def _dist_flow_prol_vec(sd, csd, v2agg_parts, ci_parts, cj_parts,
         _serial_forest_routing(
             agg_ids, mem_a, mem_c, ie_e, ie_i, ie_j, exc_rows, cb
         )
-    if tri_e:
-        dP_parts = _route_coo(
-            sd.e_starts * dim,
-            np.concatenate(tri_e),
-            np.concatenate(tri_c),
-            np.concatenate(tri_v),
-            ne_c * dim,
-        )
-        P0_parts = [
-            (P0_parts[s] + dP_parts[s]).tocsr() for s in range(n_shards)
-        ]
-    return P0_parts
+    # the route is a collective: every rank calls it, with or without
+    # interior triples of its own
+    z = np.zeros(0, dtype=np.int64)
+    dP_parts = _route_coo(
+        sd.e_starts * dim,
+        np.concatenate(tri_e) if tri_e else z,
+        np.concatenate(tri_c) if tri_c else z,
+        np.concatenate(tri_v) if tri_v else np.zeros(0),
+        ne_c * dim,
+    )
+    out = [None] * n_shards
+    for s in mine:
+        out[s] = (P0_parts[s] + dP_parts[s]).tocsr()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -799,22 +885,23 @@ def _dist_forest(sd: _ShardedDual, act_parts=None):
     ``act_parts`` masks the facets allowed in the forest (flux-free
     facets stay out of the cycle graph entirely).
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = sd.n_shards
+    mine = _my(sd)
     # route intra edges to cell shards; keep cross edges
-    intra_dest, intra_i, intra_j, intra_e = [], [], [], []
+    intra_i, intra_j, intra_e = [], [], []
     cross_i, cross_j, cross_e = [], [], []
-    for s in range(n_shards):
+    for s in mine:
         e = sd.edges_parts[s]
         e_g = np.arange(len(e), dtype=np.int64) + sd.e_starts[s]
         if act_parts is not None:
             e = e[act_parts[s]]
             e_g = e_g[act_parts[s]]
-        if not len(e):
-            continue
         oi = _owner(sd.v_starts, e[:, 0])
         oj = _owner(sd.v_starts, e[:, 1])
         m = oi == oj
-        intra_dest.append(oi[m])
         intra_i.append(e[m, 0])
         intra_j.append(e[m, 1])
         intra_e.append(e_g[m])
@@ -822,17 +909,19 @@ def _dist_forest(sd: _ShardedDual, act_parts=None):
         cross_j.append(e[~m, 1])
         cross_e.append(e_g[~m])
     z = np.zeros(0, dtype=np.int64)
-    intra_parts = _route(
-        np.concatenate(intra_dest) if intra_dest else z,
-        n_shards,
+    intra_parts = _route_by(
+        sd.v_starts,
+        np.concatenate(intra_i) if intra_i else z,
         np.concatenate(intra_i) if intra_i else z,
         np.concatenate(intra_j) if intra_j else z,
         np.concatenate(intra_e) if intra_e else z,
     )
-    parent_parts, pedge_parts, depth_parts, comp_parts = [], [], [], []
-    roots_parts, ncomp = [], []
-    tree_edges = []  # global facet ids used by local forests
-    for s in range(n_shards):
+    parent_parts = [None] * n_shards
+    pedge_parts = [None] * n_shards
+    depth_parts = [None] * n_shards
+    comp_parts = [None] * n_shards
+    ncomp_mine, tree_edges = [], []
+    for s in mine:
         i_l, j_l, e_g = intra_parts[s]
         o = np.argsort(e_g, kind="stable")
         v0 = int(sd.v_starts[s])
@@ -840,24 +929,27 @@ def _dist_forest(sd: _ShardedDual, act_parts=None):
         p, pe, d, c, r, nc = _local_bfs_forest(
             nvl, v0, (i_l[o] - v0, j_l[o] - v0, e_g[o])
         )
-        parent_parts.append(p)
-        pedge_parts.append(pe)
-        depth_parts.append(d)
-        comp_parts.append(c)
-        roots_parts.append(r)
-        ncomp.append(nc)
+        parent_parts[s] = p
+        pedge_parts[s] = pe
+        depth_parts[s] = d
+        comp_parts[s] = c
+        ncomp_mine.append(nc)
         tree_edges.append(pe[pe >= 0])
+    ncomp = tr.allgather(np.asarray(ncomp_mine, dtype=np.int64))
     comp_starts = np.zeros(n_shards + 1, dtype=np.int64)
     comp_starts[1:] = np.cumsum(ncomp)
     compg_parts = [
-        np.where(c >= 0, c + comp_starts[s], -1)
+        None if c is None else np.where(c >= 0, c + comp_starts[s], -1)
         for s, c in enumerate(comp_parts)
     ]
 
-    # leader solves the quotient spanning tree over cross edges
-    ci = np.concatenate(cross_i) if cross_i else z
-    cj = np.concatenate(cross_j) if cross_j else z
-    ce = np.concatenate(cross_e) if cross_e else z
+    # quotient spanning tree over the cross edges: the cross lists are
+    # interface-sized, so they replicate to every rank (the reference
+    # gathers the processor graph to rank 0 the same way) and every rank
+    # solves the same deterministic quotient BFS
+    ci = tr.allgather(np.concatenate(cross_i) if cross_i else z)
+    cj = tr.allgather(np.concatenate(cross_j) if cross_j else z)
+    ce = tr.allgather(np.concatenate(cross_e) if cross_e else z)
     qi = _gather(compg_parts, sd.v_starts, ci) if len(ci) else z
     qj = _gather(compg_parts, sd.v_starts, cj) if len(cj) else z
     o = np.argsort(ce, kind="stable")
@@ -906,7 +998,7 @@ def _dist_forest(sd: _ShardedDual, act_parts=None):
         else:
             attach_cell[c], attach_parent[c] = int(cj[t]), int(ci[t])
         attach_edge[c] = int(ce[t])
-    for s in range(n_shards):
+    for s in mine:
         p, pe = parent_parts[s], pedge_parts[s]
         v0 = int(sd.v_starts[s])
         for c in range(int(comp_starts[s]), int(comp_starts[s + 1])):
@@ -965,24 +1057,22 @@ def _dist_forest(sd: _ShardedDual, act_parts=None):
     for c in q_order:  # parents precede children
         if q_parent[c] >= 0:
             offs[c] = offs[int(ap_comp[c])] + int(ap_depth[c]) + 1
-    for s in range(n_shards):
+    for s in mine:
         cg = compg_parts[s]
         depth_parts[s] = depth_parts[s] + np.where(cg >= 0, offs[cg], 0)
 
-    # intree marks per edge owner
+    # intree marks routed to the edge owners (the link edges are
+    # replicated, so every rank submits them — marking is idempotent)
     used = np.concatenate(
         [np.concatenate(tree_edges) if tree_edges else z,
          np.asarray(sorted(link_set), dtype=np.int64)]
     )
-    intree_parts = []
-    for s in range(n_shards):
+    routed_used = _route_by(sd.e_starts, used, used)
+    intree_parts = [None] * n_shards
+    for s in mine:
         m = np.zeros(int(sd.e_starts[s + 1] - sd.e_starts[s]), dtype=bool)
-        intree_parts.append(m)
-    own = _owner(sd.e_starts, used)
-    for s in range(n_shards):
-        mm = own == s
-        if mm.any():
-            intree_parts[s][used[mm] - sd.e_starts[s]] = True
+        m[routed_used[s][0] - sd.e_starts[s]] = True
+        intree_parts[s] = m
     return parent_parts, pedge_parts, depth_parts, intree_parts
 
 
@@ -993,7 +1083,11 @@ def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
     Returns (C_parts incidence CSR per facet shard, n_loops). Loop
     columns are shard-major over the owning (active, non-tree) facets.
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = sd.n_shards
+    mine = _my(sd)
 
     def nontree(s):
         m = ~intree_parts[s]
@@ -1002,16 +1096,18 @@ def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
         return m
 
     # loop numbering: shard-major over active non-tree owned edges
-    nt_counts = np.array(
-        [int(nontree(s).sum()) for s in range(n_shards)], dtype=np.int64
+    nt_counts = tr.allgather(
+        np.array([int(nontree(s).sum()) for s in mine], dtype=np.int64)
     )
     loop_starts = np.zeros(n_shards + 1, dtype=np.int64)
     loop_starts[1:] = np.cumsum(nt_counts)
     n_loops = int(loop_starts[-1])
     if n_loops == 0:
         return None, 0
+    # each rank climbs ITS loops; rounds are transport-synchronized (the
+    # per-round gathers are collectives every rank joins, empty or not)
     loops_e, loops_a, loops_b, loops_id = [], [], [], []
-    for s in range(n_shards):
+    for s in mine:
         nt = np.flatnonzero(nontree(s))
         e = sd.edges_parts[s][nt]
         loops_e.append(nt + sd.e_starts[s])
@@ -1028,7 +1124,7 @@ def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
     V = A_.copy()
     active = np.ones(len(E), dtype=bool)
     guard = 0
-    while active.any():
+    while tr.allreduce_any(bool(active.any())):
         guard += 1
         if guard > 4 * sd.nv + 8:
             raise RuntimeError("forest climb did not terminate")
@@ -1038,15 +1134,11 @@ def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
         done = U[idx] == V[idx]
         active[idx[done]] = False
         idx = idx[~done]
-        if not len(idx):
-            break
         dU, dV = dU[~done], dV[~done]
         climb_u = dU >= dV
         # climb U where climb_u, else V (one side per round, serial rule)
         for side, mask in (("u", climb_u), ("v", ~climb_u)):
             ii = idx[mask]
-            if not len(ii):
-                continue
             X = U if side == "u" else V
             ed = _gather(pedge_parts, sd.v_starts, X[ii])
             assert (ed >= 0).all(), "climbed past a root"
@@ -1065,10 +1157,12 @@ def _dist_cycles(sd: _ShardedDual, parent_parts, pedge_parts,
         n_loops,
     )
     # drop cancelled entries like the serial coefficient dict
-    C_parts = [M.copy() for M in C_parts]
-    for M in C_parts:
+    out = [None] * n_shards
+    for s in mine:
+        M = C_parts[s].copy()
         M.eliminate_zeros()
-    return C_parts, n_loops
+        out[s] = M
+    return out, n_loops
 
 
 def _dist_loops(sd: _ShardedDual, bs: int):
@@ -1082,34 +1176,40 @@ def _dist_loops(sd: _ShardedDual, bs: int):
     scalar flow lift / vector normal-lift + tangential columns are purely
     local per owned facet (serial build_loops_tree / build_loops_vec).
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = sd.n_shards
+    mine = _my(sd)
     # facets whose (coarse oriented-sum) flow cancelled to zero carry no
     # flux for any dof value: excluded from the cycle graph, each spans
     # its own flux-free kernel direction(s) — serial build_loops_tree /
     # build_loops_vec semantics
     if bs == 1:
         act_parts = [
-            np.abs(fl) > 1e-300 for fl in sd.flow_parts
+            None if fl is None else np.abs(fl) > 1e-300
+            for fl in sd.flow_parts
         ]
     else:
         act_parts = [
-            (fl * fl).sum(axis=1) > 1e-300 for fl in sd.flow_parts
+            None if fl is None else (fl * fl).sum(axis=1) > 1e-300
+            for fl in sd.flow_parts
         ]
     parent_p, pedge_p, depth_p, intree_p = _dist_forest(sd, act_parts)
     Ci_parts, n_cyc = _dist_cycles(
         sd, parent_p, pedge_p, depth_p, intree_p, act_parts
     )
-    nt_counts = np.array(
-        [
-            int(((~intree_p[s]) & act_parts[s]).sum())
-            for s in range(n_shards)
-        ],
-        dtype=np.int64,
+    nt_counts = tr.allgather(
+        np.array(
+            [int(((~intree_p[s]) & act_parts[s]).sum()) for s in mine],
+            dtype=np.int64,
+        )
     )
     old_starts = np.zeros(n_shards + 1, dtype=np.int64)
     old_starts[1:] = np.cumsum(nt_counts)
-    dead_counts = np.array(
-        [int((~m).sum()) for m in act_parts], dtype=np.int64
+    dead_counts = tr.allgather(
+        np.array([int((~act_parts[s]).sum()) for s in mine],
+                 dtype=np.int64)
     )
     act_counts = np.diff(sd.e_starts) - dead_counts
     if bs == 1:
@@ -1129,9 +1229,9 @@ def _dist_loops(sd: _ShardedDual, bs: int):
             nt_counts[s]
         )
     nl_total = int(l_starts[-1])
-    out = []
+    out = [None] * n_shards
     if bs == 1:
-        for s in range(n_shards):
+        for s in mine:
             fl = sd.flow_parts[s]
             ne_l = len(fl)
             rows_l, cols_l, vals_l = [], [], []
@@ -1153,24 +1253,22 @@ def _dist_loops(sd: _ShardedDual, bs: int):
                 )
                 vals_l.append(np.ones(len(dead)))
             if not rows_l:
-                out.append(sp.csr_matrix((ne_l, nl_total)))
+                out[s] = sp.csr_matrix((ne_l, nl_total))
                 continue
-            out.append(
-                sp.coo_matrix(
-                    (
-                        np.concatenate(vals_l),
-                        (np.concatenate(rows_l), np.concatenate(cols_l)),
-                    ),
-                    shape=(ne_l, nl_total),
-                ).tocsr()
-            )
+            out[s] = sp.coo_matrix(
+                (
+                    np.concatenate(vals_l),
+                    (np.concatenate(rows_l), np.concatenate(cols_l)),
+                ),
+                shape=(ne_l, nl_total),
+            ).tocsr()
         return out, l_starts
     # vector dofs: normal lifts of the incidence cycles + per-ACTIVE-facet
     # tangential columns + per-dead-facet standard basis columns, numbered
     # CONTIGUOUSLY per owner shard
     dim = bs
     k = np.arange(dim)
-    for s in range(n_shards):
+    for s in mine:
         rows_l, cols_l, vals_l = [], [], []
         fl = sd.flow_parts[s]
         ne_l = len(fl)
@@ -1218,17 +1316,15 @@ def _dist_loops(sd: _ShardedDual, bs: int):
             cols_l.append(base + np.arange(len(dead) * dim))
             vals_l.append(np.ones(len(dead) * dim))
         if not rows_l:
-            out.append(sp.csr_matrix((ne_l * dim, nl_total)))
+            out[s] = sp.csr_matrix((ne_l * dim, nl_total))
             continue
-        out.append(
-            sp.coo_matrix(
-                (
-                    np.concatenate(vals_l),
-                    (np.concatenate(rows_l), np.concatenate(cols_l)),
-                ),
-                shape=(ne_l * dim, nl_total),
-            ).tocsr()
-        )
+        out[s] = sp.coo_matrix(
+            (
+                np.concatenate(vals_l),
+                (np.concatenate(rows_l), np.concatenate(cols_l)),
+            ),
+            shape=(ne_l * dim, nl_total),
+        ).tocsr()
     return out, l_starts
 
 
@@ -1253,12 +1349,13 @@ def _csr_cols_compress(M: sp.csr_matrix):
 
 def _dist_spmm_rows(A_parts, row_starts, B_parts, b_starts, ncols_b):
     """Per-shard (A @ B) rows: gather halo B rows at A's columns."""
-    out = []
-    for s in range(len(A_parts)):
+    n_shards = len(A_parts)
+    out = [None] * n_shards
+    for s in _my(n_shards):
         A_s = A_parts[s].tocsr()
         cols, Ac = _csr_cols_compress(A_s)
         B_halo = _gather_csr_rows(B_parts, b_starts, cols, ncols_b)
-        out.append((Ac @ B_halo).tocsr())
+        out[s] = (Ac @ B_halo).tocsr()
     return out
 
 
@@ -1269,7 +1366,7 @@ def _dist_ATB_rows(A_parts, row_starts, B_parts, a_cols_starts, ncols_b):
     result rows follow ``a_cols_starts`` (the ownership of A's columns).
     """
     ri, cj, vv = [], [], []
-    for s in range(len(A_parts)):
+    for s in _my(len(A_parts)):
         M = (A_parts[s].T.tocsr() @ B_parts[s]).tocoo()
         if M.nnz:
             ri.append(M.row.astype(np.int64))
@@ -1292,10 +1389,16 @@ def _dist_curl_smooth(sd, C_parts, l_starts, P_parts, nc_dofs, omega):
     power iteration on D^-1 C^T A C, Y = -(omega/rho) D^-1 (C^T A P).
     The correction stays exactly divergence-free per construction.
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = sd.n_shards
+    mine = _my(sd)
     # facet-DOF row partition: infer block size from A rows
-    bs = sd.A_parts[0].shape[0] // max(
-        int(sd.e_starts[1] - sd.e_starts[0]), 1
+    bs = next(
+        sd.A_parts[s].shape[0]
+        // max(int(sd.e_starts[s + 1] - sd.e_starts[s]), 1)
+        for s in mine
     )
     dof_starts = sd.e_starts * bs
     n_loops = int(l_starts[-1])
@@ -1304,7 +1407,7 @@ def _dist_curl_smooth(sd, C_parts, l_starts, P_parts, nc_dofs, omega):
         sd.A_parts, dof_starts, C_parts, dof_starts, n_loops
     )
     ri, vv = [], []
-    for s in range(n_shards):
+    for s in mine:
         M = C_parts[s].multiply(AC_parts[s]).tocoo()
         if M.nnz:
             ri.append(M.col.astype(np.int64))
@@ -1315,34 +1418,37 @@ def _dist_curl_smooth(sd, C_parts, l_starts, P_parts, nc_dofs, omega):
         np.concatenate(ri) if ri else z,
         np.concatenate(vv) if vv else np.zeros(0),
     )
-    dinv_parts = [
-        np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
-        for d in d_parts
-    ]
-    # rho(D^-1 C^T A C) via power iteration (serial seeds/iters)
+    dinv_parts = [None] * n_shards
+    for s in mine:
+        d = d_parts[s]
+        dinv_parts[s] = np.where(
+            d > 0, 1.0 / np.maximum(d, 1e-300), 0.0
+        )
+    # rho(D^-1 C^T A C) via power iteration (serial seeds/iters); the
+    # iterate is REPLICATED (allgathered per round) so every rank sees
+    # the same norm
     rng = np.random.default_rng(0)
     x = rng.standard_normal(n_loops)
     lam = 2.0
     for _ in range(8):
         # y = dinv * C^T A C x: Cx rows live on facet owners; the A
         # product gathers halo Cx values
-        y = np.zeros(n_loops)
-        Cx_parts = [C_parts[s] @ x for s in range(n_shards)]
-        ACx_parts = []
-        for s in range(n_shards):
+        Cx_parts = [None] * n_shards
+        for s in mine:
+            Cx_parts[s] = C_parts[s] @ x
+        ACx_parts = [None] * n_shards
+        for s in mine:
             A_s = sd.A_parts[s].tocsr()
             xj = _gather(Cx_parts, dof_starts, A_s.indices.astype(np.int64))
             rows_l = np.repeat(
                 np.arange(A_s.shape[0], dtype=np.int64),
                 np.diff(A_s.indptr),
             )
-            ACx_parts.append(
-                np.bincount(
-                    rows_l, weights=A_s.data * xj, minlength=A_s.shape[0]
-                )
+            ACx_parts[s] = np.bincount(
+                rows_l, weights=A_s.data * xj, minlength=A_s.shape[0]
             )
         ri2, vv2 = [], []
-        for s in range(n_shards):
+        for s in mine:
             M = C_parts[s].tocsr()
             rows_l = np.repeat(
                 np.arange(M.shape[0], dtype=np.int64), np.diff(M.indptr)
@@ -1355,8 +1461,10 @@ def _dist_curl_smooth(sd, C_parts, l_starts, P_parts, nc_dofs, omega):
             np.concatenate(ri2) if ri2 else z,
             np.concatenate(vv2) if vv2 else np.zeros(0),
         )
-        for s in range(n_shards):
-            y[l_starts[s]: l_starts[s + 1]] = dinv_parts[s] * cty[s]
+        y_parts = [None] * n_shards
+        for s in mine:
+            y_parts[s] = dinv_parts[s] * cty[s]
+        y = tr.allgather_parts(y_parts)
         nrm = np.linalg.norm(y)
         if nrm == 0:
             break
@@ -1370,59 +1478,115 @@ def _dist_curl_smooth(sd, C_parts, l_starts, P_parts, nc_dofs, omega):
     Y_parts = _dist_ATB_rows(
         C_parts, dof_starts, AP_parts, l_starts, nc_dofs
     )
-    Y_parts = [
-        (sp.diags(-scale * dinv_parts[s]) @ Y_parts[s]).tocsr()
-        for s in range(n_shards)
-    ]
+    for s in mine:
+        Y_parts[s] = (
+            sp.diags(-scale * dinv_parts[s]) @ Y_parts[s]
+        ).tocsr()
     # P += C Y (gather halo Y rows at C's loop columns)
     CY_parts = _dist_spmm_rows(
         C_parts, dof_starts, Y_parts, l_starts, nc_dofs
     )
-    return [
-        (P_parts[s] + CY_parts[s]).tocsr() for s in range(n_shards)
-    ]
+    out = [None] * n_shards
+    for s in mine:
+        out[s] = (P_parts[s] + CY_parts[s]).tocsr()
+    return out
 
 
-def dist_stokes_levels(
-    A: sp.csr_matrix,
-    mesh0: AlgebraicMesh,
-    bs: int,
-    opts: AMGOptions,
-    n_shards: int,
-):
-    """Build the Stokes level list from sharded inputs (serial-equal).
+def _stokes_levels_parts(sd: _ShardedDual, bs: int, opts: AMGOptions):
+    """The Stokes distributed level loop, rank-local.
 
-    Mirrors precond/stokes.StokesAMG.setup's level loop; returns the same
-    assembled `StokesLevel` list (the staging step before device
-    placement, like dist_setup.dist_setup_levels).
+    Consumes a per-shard dual-mesh level 0 (``None`` slots for rows owned
+    by another controller) and returns one record per LEVEL holding the
+    owned slots of the dual-mesh data, the loop basis C, the flow
+    prolongation P and the aggregation — plus a rank-local FactoryLog
+    with shard-residency accounting. Under a single-controller transport
+    every slot is owned (exact previous behavior); under
+    ``mp_runtime.MPTransport`` each rank owns one slot.
     """
+    from ..factory.levels import FactoryLog
     from .dist_setup import _dist_rap
+    from .transport import get_transport, shard_nbytes
 
+    tr = get_transport()
+    n_shards = sd.n_shards
+    mine = _my(sd)
     lc = opts.levels
-    sd = _shard_level0(mesh0, A, bs, n_shards)
-    levels: list[st.StokesLevel] = []
+    log = FactoryLog()
+    log.finest_global_bytes = int(
+        tr.allgather(
+            np.array(
+                [shard_nbytes(sd.A_parts[s]) for s in mine],
+                dtype=np.int64,
+            )
+        ).sum()
+    )
+
+    tot0 = [0]
+
+    def _track_peak(*objs_per_shard):
+        per = [
+            shard_nbytes(*(o[s] for o in objs_per_shard if o is not None))
+            for s in mine
+        ]
+        loc_max = max(per)
+        log.peak_shard_bytes = max(log.peak_shard_bytes, loc_max)
+        # balance: the largest shard's state vs an even split of the
+        # total — the residency proof when the dominant state (the loop
+        # basis) is much larger than the finest matrix. Levels far
+        # smaller than the finest are excluded: tiny coarse levels
+        # concentrate by construction (few coarse cells; the owner of
+        # `lo` takes the edges — the reference's idle-rank regime) and
+        # carry negligible absolute state.
+        allp = tr.allgather(np.asarray(per, dtype=np.int64))
+        tot = int(allp.sum())
+        if tot0[0] == 0:
+            tot0[0] = tot
+        if tot >= 0.25 * tot0[0] and tot > 0:
+            log.state_balance = max(
+                log.state_balance,
+                float(int(allp.max()) * n_shards / tot),
+            )
+
+    recs = []
     lvl = 0
     while True:
-        mesh = sd.assemble_mesh()
-        cap = st.StokesLevel(
-            A=sp.vstack(sd.A_parts, format="csr"), mesh=mesh
-        )
         C_parts, l_starts = _dist_loops(sd, bs)
-        cap.C = (
-            None
-            if C_parts is None
-            else sp.vstack(C_parts, format="csr")
+        rec = {
+            "v_starts": sd.v_starts,
+            "e_starts": sd.e_starts,
+            "A_parts": sd.A_parts,
+            "pos_parts": sd.pos_parts,
+            "vol_parts": sd.vol_parts,
+            "edges_parts": sd.edges_parts,
+            "flow_parts": sd.flow_parts,
+            "C_parts": C_parts,
+            "P_parts": None,
+            "v2agg_parts": None,
+        }
+        recs.append(rec)
+        log.nvs.append(sd.nv)
+        log.nnzs.append(
+            int(
+                tr.allgather(
+                    np.array(
+                        [sd.A_parts[s].nnz for s in mine], dtype=np.int64
+                    )
+                ).sum()
+            )
         )
-        levels.append(cap)
+        _track_peak(
+            sd.A_parts, sd.pos_parts, sd.vol_parts, sd.edges_parts,
+            sd.flow_parts,
+        )
         if (
             lvl + 1 >= lc.max_levels
-            or mesh.ne * bs <= lc.max_coarse_size
-            or mesh.nv <= 8
+            or sd.ne * bs <= lc.max_coarse_size
+            or sd.nv <= 8
         ):
             break
         v2agg_parts, c_starts = _dist_coarsen_cells(sd)
         n_agg = int(c_starts[-1])
-        if n_agg >= lc.min_coarsen_ratio * mesh.nv:
+        if n_agg >= lc.min_coarsen_ratio * sd.nv:
             break
         (ce_starts, cedges_parts, ci_parts, cj_parts,
          e2ce_parts) = _dist_map_edges(sd, v2agg_parts, c_starts)
@@ -1446,19 +1610,76 @@ def dist_stokes_levels(
                 sd, C_parts, l_starts, P_parts, csd.ne * bs,
                 float(opts.prol.omega.get(lvl)),
             )
-        cap.P = sp.vstack(P_parts, format="csr")
-        cap.v2agg = np.concatenate(v2agg_parts)
+        rec["P_parts"] = P_parts
+        rec["v2agg_parts"] = v2agg_parts
         Ac_parts = _dist_rap(
             sd.A_parts, sd.e_starts * bs, P_parts, ce_starts * bs
         )
         Ac_parts = _dist_symmetrize(Ac_parts, ce_starts * bs)
-        csd.A_parts = [
-            M.astype(np.float32).astype(np.float64)  # serial f32 parity
-            for M in Ac_parts
-        ]
+        csd.A_parts = [None] * n_shards
+        for s in mine:
+            # serial f32 parity
+            csd.A_parts[s] = (
+                Ac_parts[s].astype(np.float32).astype(np.float64)
+            )
+        state = [sd.A_parts, csd.A_parts, P_parts]
+        if C_parts is not None:
+            state.append(C_parts)
+        _track_peak(*state)
         sd = csd
         lvl += 1
+    return recs, log
+
+
+def package_stokes_levels(recs):
+    """Assemble global `StokesLevel`s from per-shard level records
+    (single-controller staging; the MP driver feeds per-rank slots)."""
+    levels: list[st.StokesLevel] = []
+    for rec in recs:
+        mesh = AlgebraicMesh(
+            nv=int(rec["v_starts"][-1]),
+            edges=np.concatenate(rec["edges_parts"])
+            if int(rec["e_starts"][-1])
+            else np.zeros((0, 2), dtype=np.int64),
+        )
+        mesh.vertex_data["pos"] = np.concatenate(rec["pos_parts"])
+        mesh.vertex_data["vol"] = np.concatenate(rec["vol_parts"])
+        mesh.edge_data["flow"] = np.concatenate(rec["flow_parts"])
+        cap = st.StokesLevel(
+            A=sp.vstack(rec["A_parts"], format="csr"), mesh=mesh
+        )
+        cap.C = (
+            None
+            if rec["C_parts"] is None
+            else sp.vstack(rec["C_parts"], format="csr")
+        )
+        if rec["P_parts"] is not None:
+            cap.P = sp.vstack(rec["P_parts"], format="csr")
+            cap.v2agg = np.concatenate(rec["v2agg_parts"])
+        levels.append(cap)
     return levels
+
+
+def dist_stokes_levels(
+    A: sp.csr_matrix,
+    mesh0: AlgebraicMesh,
+    bs: int,
+    opts: AMGOptions,
+    n_shards: int,
+    return_log: bool = False,
+):
+    """Build the Stokes level list from sharded inputs (serial-equal).
+
+    Mirrors precond/stokes.StokesAMG.setup's level loop; returns the same
+    assembled `StokesLevel` list (the staging step before device
+    placement, like dist_setup.dist_setup_levels). The loop itself
+    (`_stokes_levels_parts`) is rank-local and also runs one-process-
+    per-shard under ``mp_runtime`` (packaging happens here).
+    """
+    sd = _shard_level0(mesh0, A, bs, n_shards)
+    recs, log = _stokes_levels_parts(sd, bs, opts)
+    levels = package_stokes_levels(recs)
+    return (levels, log) if return_log else levels
 
 
 # ---------------------------------------------------------------------------

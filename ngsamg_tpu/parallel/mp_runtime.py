@@ -40,7 +40,11 @@ import scipy.sparse as sp
 
 from .transport import Transport
 
-__all__ = ["MPTransport", "mp_dist_setup_levels"]
+__all__ = [
+    "MPTransport",
+    "mp_dist_setup_levels",
+    "mp_dist_stokes_levels",
+]
 
 
 def _owner(starts: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -252,7 +256,52 @@ def _mp_worker(rank, n, conns, parent, payload, starts, energy, opts):
 
         tr = MPTransport(rank, n, conns)
         with use_transport(tr):
-            if isinstance(payload, tuple):  # (A rows, vertex positions)
+            if isinstance(payload, dict) and "stokes" in payload:
+                from .dist_stokes import (
+                    _ShardedDual,
+                    _stokes_levels_parts,
+                )
+
+                pos, vol, edges, flow, A_rows, bs = payload["stokes"]
+                v_starts, e_starts = starts
+
+                def _wrap(x):
+                    return [x if s == rank else None for s in range(n)]
+
+                sd = _ShardedDual(
+                    v_starts, e_starts, _wrap(pos), _wrap(vol),
+                    _wrap(edges), _wrap(flow), _wrap(A_rows),
+                )
+                recs, log = _stokes_levels_parts(sd, bs, opts)
+                out = [
+                    {
+                        "v_starts": rec["v_starts"],
+                        "e_starts": rec["e_starts"],
+                        "A": rec["A_parts"][rank],
+                        "pos": rec["pos_parts"][rank],
+                        "vol": rec["vol_parts"][rank],
+                        "edges": rec["edges_parts"][rank],
+                        "flow": rec["flow_parts"][rank],
+                        "C": (
+                            None
+                            if rec["C_parts"] is None
+                            else rec["C_parts"][rank]
+                        ),
+                        "P": (
+                            None
+                            if rec["P_parts"] is None
+                            else rec["P_parts"][rank]
+                        ),
+                        "v2agg": (
+                            None
+                            if rec["v2agg_parts"] is None
+                            else rec["v2agg_parts"][rank]
+                        ),
+                    }
+                    for rec in recs
+                ]
+                extra = None
+            elif isinstance(payload, tuple):  # (A rows, vertex positions)
                 from .dist_elast import _elast_levels_parts
 
                 part, pos = payload
@@ -337,6 +386,148 @@ def _mp_worker(rank, n, conns, parent, payload, starts, energy, opts):
         parent.close()
 
 
+def _mp_spawn_collect(parts, starts, energy, opts, n_ranks, timeout):
+    """Spawn one worker per rank (pipe mesh), collect per-rank results."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    # pipe mesh: one duplex pipe per unordered rank pair + parent links
+    pair = {}
+    for i in range(n_ranks):
+        for j in range(i + 1, n_ranks):
+            a, b = ctx.Pipe(duplex=True)
+            pair[(i, j)] = a
+            pair[(j, i)] = b
+    parent_conns, procs = [], []
+    # children must not register the tunneled TPU backend (axon
+    # sitecustomize loads from PYTHONPATH) nor need x64 jax — they are
+    # pure-numpy ranks; module search comes from the forwarded sys.path
+    env_save = {
+        k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")
+    }
+    os.environ["PYTHONPATH"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        for r in range(n_ranks):
+            conns = {o: pair[(r, o)] for o in range(n_ranks) if o != r}
+            pc, cc = ctx.Pipe(duplex=False)
+            p = ctx.Process(
+                target=_mp_worker,
+                args=(r, n_ranks, conns, cc, parts[r], starts, energy,
+                      opts),
+                daemon=True,
+            )
+            p.start()
+            cc.close()
+            parent_conns.append(pc)
+            procs.append(p)
+    finally:
+        for k, v in env_save.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    results = [None] * n_ranks
+    try:
+        for r, pc in enumerate(parent_conns):
+            if not pc.poll(timeout):
+                raise TimeoutError(f"rank {r} produced no result")
+            msg = pc.recv()
+            if msg[0] != "ok":
+                raise RuntimeError(msg[1])
+            results[r] = msg[1:]
+    finally:
+        for p in procs:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+    return results
+
+
+def mp_dist_stokes_levels(
+    A: sp.spmatrix,
+    mesh0,
+    bs: int,
+    opts,
+    n_ranks: int,
+    timeout: float = 600.0,
+):
+    """Stokes dual-mesh distributed setup across ``n_ranks`` OS
+    processes: each rank receives ONLY its cell/facet slices of the dual
+    mesh + its facet-DOF matrix rows and runs the rank-local
+    `dist_stokes._stokes_levels_parts` under an :class:`MPTransport`.
+    Returns the same `StokesLevel` list as `dist_stokes_levels`, plus
+    the per-rank log.
+    """
+    from .dist_stokes import _split, package_stokes_levels
+
+    A = A.tocsr().astype(np.float64)
+    v_starts = _split(mesh0.nv, n_ranks)
+    e_starts = _split(mesh0.ne, n_ranks)
+    pos = mesh0.vertex_data["pos"]
+    vol = mesh0.vertex_data["vol"]
+    flow = mesh0.edge_data["flow"]
+    parts = [
+        {
+            "stokes": (
+                pos[v_starts[s]: v_starts[s + 1]],
+                vol[v_starts[s]: v_starts[s + 1]],
+                mesh0.edges[e_starts[s]: e_starts[s + 1]],
+                flow[e_starts[s]: e_starts[s + 1]],
+                A[e_starts[s] * bs: e_starts[s + 1] * bs],
+                bs,
+            )
+        }
+        for s in range(n_ranks)
+    ]
+    results = _mp_spawn_collect(
+        parts, (v_starts, e_starts), None, opts, n_ranks, timeout
+    )
+    from ..factory.levels import FactoryLog
+
+    log = FactoryLog()
+    stats0 = results[0][1]
+    log.nvs = list(stats0["nvs"])
+    log.nnzs = list(stats0["nnzs"])
+    log.finest_global_bytes = stats0["finest_global_bytes"]
+    log.peak_shard_bytes = max(
+        res[1]["peak_shard_bytes"] for res in results
+    )
+    log.mp_rank_stats = [res[1] for res in results]
+    n_levels = len(results[0][0])
+    recs = []
+    for li in range(n_levels):
+        rr = [results[r][0][li] for r in range(n_ranks)]
+        recs.append(
+            {
+                "v_starts": rr[0]["v_starts"],
+                "e_starts": rr[0]["e_starts"],
+                "A_parts": [rec["A"] for rec in rr],
+                "pos_parts": [rec["pos"] for rec in rr],
+                "vol_parts": [rec["vol"] for rec in rr],
+                "edges_parts": [rec["edges"] for rec in rr],
+                "flow_parts": [rec["flow"] for rec in rr],
+                "C_parts": (
+                    None
+                    if rr[0]["C"] is None
+                    else [rec["C"] for rec in rr]
+                ),
+                "P_parts": (
+                    None
+                    if rr[0]["P"] is None
+                    else [rec["P"] for rec in rr]
+                ),
+                "v2agg_parts": (
+                    None
+                    if rr[0]["v2agg"] is None
+                    else [rec["v2agg"] for rec in rr]
+                ),
+            }
+        )
+    return package_stokes_levels(recs), log
+
+
 def mp_dist_setup_levels(
     A: sp.spmatrix,
     energy,
@@ -396,56 +587,8 @@ def mp_dist_setup_levels(
         else:
             parts, starts = split_rows(A, n_ranks)
 
-    # pipe mesh: one duplex pipe per unordered rank pair + parent links
-    pair = {}
-    for i in range(n_ranks):
-        for j in range(i + 1, n_ranks):
-            a, b = ctx.Pipe(duplex=True)
-            pair[(i, j)] = a
-            pair[(j, i)] = b
-    parent_conns, procs = [], []
-    # children must not register the tunneled TPU backend (axon
-    # sitecustomize loads from PYTHONPATH) nor need x64 jax — they are
-    # pure-numpy ranks; module search comes from the forwarded sys.path
-    env_save = {
-        k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")
-    }
-    os.environ["PYTHONPATH"] = ""
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    try:
-        for r in range(n_ranks):
-            conns = {o: pair[(r, o)] for o in range(n_ranks) if o != r}
-            pc, cc = ctx.Pipe(duplex=False)
-            p = ctx.Process(
-                target=_mp_worker,
-                args=(r, n_ranks, conns, cc, parts[r], starts, energy, opts),
-                daemon=True,
-            )
-            p.start()
-            cc.close()
-            parent_conns.append(pc)
-            procs.append(p)
-    finally:
-        for k, v in env_save.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-
-    results = [None] * n_ranks
-    try:
-        for r, pc in enumerate(parent_conns):
-            if not pc.poll(timeout):
-                raise TimeoutError(f"rank {r} produced no result")
-            msg = pc.recv()
-            if msg[0] != "ok":
-                raise RuntimeError(msg[1])
-            results[r] = msg[1:]
-    finally:
-        for p in procs:
-            p.join(timeout=10)
-            if p.is_alive():
-                p.terminate()
+    results = _mp_spawn_collect(parts, starts, energy, opts, n_ranks,
+                                timeout)
 
     def ph_mesh(n):
         return AlgebraicMesh(nv=n, edges=np.zeros((0, 2), dtype=np.int64))

@@ -189,8 +189,9 @@ class StokesAMG:
             if lattice_aggregate(self.mesh0.vertex_data["pos"]) is None:
                 from ..parallel.dist_stokes import dist_stokes_levels
 
-                self.setup_levels_ = dist_stokes_levels(
-                    self.A_host, self.mesh0, bs, opts, opts.dist_setup
+                self.setup_levels_, self.log_ = dist_stokes_levels(
+                    self.A_host, self.mesh0, bs, opts, opts.dist_setup,
+                    return_log=True,
                 )
                 self._compile_device()
                 self.setup_time = time.perf_counter() - t0

@@ -200,6 +200,54 @@ def test_mp_elasticity_shard_residency():
     assert peaks[4] < 0.7 * peaks[2], peaks
 
 
+@pytest.mark.parametrize("bs", [1, 2])
+def test_mp_stokes_equals_single_controller(bs):
+    """The Stokes dual-mesh level loop runs one-process-per-rank
+    (`dist_stokes._stokes_levels_parts` under MPTransport): per-rank
+    cell/facet slices only, hierarchy equal to the single-controller run
+    (operators/prolongations/loop basis)."""
+    from ngsamg_tpu.config import ProlType
+    from ngsamg_tpu.parallel.dist_stokes import dist_stokes_levels
+    from ngsamg_tpu.parallel.mp_runtime import mp_dist_stokes_levels
+    from ngsamg_tpu.precond.stokes import StokesAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_cr, stokes_tri
+
+    if bs == 1:
+        p, _ = stokes_tri(10, dim=2, alpha=10.0)
+    else:
+        p, _ = stokes_cr(8, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 60
+    opts.prol.type = SpecOpt(ProlType.PIECEWISE)
+    pc = StokesAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        options=opts,
+    ).setup()
+    s_levels = dist_stokes_levels(pc.A_host, pc.mesh0, bs, opts, 3)
+    m_levels, m_log = mp_dist_stokes_levels(
+        pc.A_host, pc.mesh0, bs, opts, 3
+    )
+    assert len(s_levels) == len(m_levels) >= 2
+    assert m_log.peak_shard_bytes > 0
+    assert len(m_log.mp_rank_stats) == 3
+    for i, (sl, ml) in enumerate(zip(s_levels, m_levels)):
+        assert abs(sl.A - ml.A).max() == 0.0, f"L{i}"
+        assert sl.mesh.nv == ml.mesh.nv and sl.mesh.ne == ml.mesh.ne
+        np.testing.assert_array_equal(sl.mesh.edges, ml.mesh.edges)
+        np.testing.assert_array_equal(
+            sl.mesh.edge_data["flow"], ml.mesh.edge_data["flow"]
+        )
+        if sl.P is not None or ml.P is not None:
+            assert abs(sl.P - ml.P).max() == 0.0, f"P L{i}"
+            np.testing.assert_array_equal(sl.v2agg, ml.v2agg)
+        if sl.C is not None or ml.C is not None:
+            assert abs(sl.C - ml.C).max() == 0.0, f"C L{i}"
+
+
 def test_mp_setup_solves():
     """The MP-built hierarchy plugs into the serial consumers: a plain
     two-level check that P/Ac are consistent (Galerkin identity)."""
