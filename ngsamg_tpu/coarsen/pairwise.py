@@ -195,6 +195,146 @@ def spw_aggregate(
     return v2c, n_cur
 
 
+def big_soc_vet(
+    energy,
+    mesh,
+    v2c: np.ndarray,
+    partner: np.ndarray,
+    rho: float,
+    max_members: int = 16,
+) -> np.ndarray:
+    """Agglomerate-wide stability acceptance check (`bigSOC`).
+
+    The reference's `AggregateWideStabilityCheck`
+    (agglomerator_utils.hpp:394-539, enabled by `checkBigSOC`,
+    spw_agg.hpp:31): before two agglomerates merge, require the
+    diagonal smoother M (full aux diagonals, including outside
+    connections) to be rho-dominated by the SUB-assembled replacement
+    energy A of the union ORTHOGONAL to the rigid-body space:
+
+        A - rho (M - M P (P^T M P)^+ P^T M)  >=  0   (SSPD)
+
+    with P the Q-transported kernel basis (AssembleAhatBlock /
+    agglomerator_utils.hpp:296-360 conventions). Matched pairs failing
+    the check are un-matched for the round (the handshake analog of the
+    reference rejecting a non-viable neighbor and falling through).
+
+    ``mesh``/``v2c`` are the FINE mesh and the composed fine->current
+    aggregation — the check is member-resolved like the reference's
+    (fAggData + getFullAgg). Unions of fewer than 3 members auto-pass
+    (reference n < 3 early-out); unions above ``max_members`` auto-pass
+    (the reference's agg sizes are bounded by 2^rounds).
+
+    Returns the vetted ``partner`` array.
+    """
+    n_cur = int(v2c.max()) + 1 if len(v2c) else 0
+    a = np.flatnonzero(
+        (partner >= 0) & (np.arange(len(partner)) < partner)
+    )
+    if not len(a):
+        return partner
+    b = partner[a]
+    npair = len(a)
+    # pair id per CURRENT coarse vertex (-1 = not in a vetted pair)
+    pair_of = np.full(max(n_cur, 1), -1, dtype=np.int64)
+    pair_of[a] = np.arange(npair)
+    pair_of[b] = np.arange(npair)
+    # fine members per pair (sorted fine ids — QuickSort(allMems))
+    act = v2c >= 0
+    fine_ids = np.flatnonzero(act)
+    fine_pair = pair_of[v2c[fine_ids]]
+    sel = fine_pair >= 0
+    fine_ids, fine_pair = fine_ids[sel], fine_pair[sel]
+    order = np.lexsort((fine_ids, fine_pair))
+    fine_ids, fine_pair = fine_ids[order], fine_pair[order]
+    counts = np.bincount(fine_pair, minlength=npair)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    # local member slot of each fine id within its pair
+    slot = np.arange(len(fine_ids)) - offs[fine_pair]
+    # fine id -> (pair, slot) lookup
+    v_pair = np.full(mesh.nv, -1, dtype=np.int64)
+    v_slot = np.zeros(mesh.nv, dtype=np.int64)
+    v_pair[fine_ids] = fine_pair
+    v_slot[fine_ids] = slot
+
+    d = energy.dpv
+    pos = mesh.vertex_data["pos"]
+    E = mesh.edge_data["mat"]
+    edges = mesh.edges
+    Dfull = energy.aux_diagonal(mesh)
+
+    # edges interior to a pair's union
+    ei, ej = edges[:, 0], edges[:, 1]
+    pe = v_pair[ei]
+    in_pair = (pe >= 0) & (pe == v_pair[ej])
+    reject = np.zeros(npair, dtype=bool)
+    sizes = counts
+    for m in np.unique(sizes):
+        if m < 3:
+            continue  # reference early-out: unions of < 3 auto-pass
+        if m > max_members:
+            continue  # bounded agg sizes; larger unions auto-pass
+        pids = np.flatnonzero(sizes == m)
+        if not len(pids):
+            continue
+        B = len(pids)
+        bidx = np.full(npair, -1, dtype=np.int64)
+        bidx[pids] = np.arange(B)
+        mem = fine_ids[
+            (offs[pids][:, None] + np.arange(m)).ravel()
+        ].reshape(B, m)
+        # sub-assembled replacement energy over the union's edges
+        A_blk = np.zeros((B, m, m, d, d))
+        esel = np.flatnonzero(in_pair & (bidx[pe] >= 0))
+        if len(esel):
+            i_f, j_f = ei[esel], ej[esel]
+            pb = bidx[pe[esel]]
+            si, sj = v_slot[i_f], v_slot[j_f]
+            mid = 0.5 * (pos[i_f] + pos[j_f])
+            Qim = energy.transport(pos[i_f], mid)
+            Qjm = energy.transport(pos[j_f], mid)
+            Ee = E[esel]
+            QiE = np.swapaxes(Qim, -1, -2) @ Ee
+            QjE = np.swapaxes(Qjm, -1, -2) @ Ee
+            np.add.at(A_blk, (pb, si, si), QiE @ Qim)
+            np.add.at(A_blk, (pb, sj, sj), QjE @ Qjm)
+            np.add.at(A_blk, (pb, si, sj), -(QiE @ Qjm))
+            np.add.at(A_blk, (pb, sj, si), -(QjE @ Qim))
+        A_mat = A_blk.transpose(0, 1, 3, 2, 4).reshape(
+            B, m * d, m * d
+        )
+        # block-diagonal smoother of FULL aux diagonals
+        M_mat = np.zeros((B, m * d, m * d))
+        for k in range(m):
+            M_mat[:, k * d:(k + 1) * d, k * d:(k + 1) * d] = Dfull[
+                mem[:, k]
+            ]
+        # rigid-body space transported from member 0
+        P = np.zeros((B, m * d, d))
+        for k in range(m):
+            P[:, k * d:(k + 1) * d, :] = energy.transport(
+                pos[mem[:, k]], pos[mem[:, 0]]
+            )
+        PtM = np.swapaxes(P, -1, -2) @ M_mat  # (B, d, md)
+        PtMP = PtM @ P
+        PtMP_inv = np.linalg.pinv(PtMP, rcond=1e-12, hermitian=True)
+        M_ortho = M_mat - np.swapaxes(PtM, -1, -2) @ (PtMP_inv @ PtM)
+        G = A_mat - rho * M_ortho
+        G = 0.5 * (G + np.swapaxes(G, -1, -2))
+        lam = np.linalg.eigvalsh(G)
+        scale = np.maximum(
+            np.abs(lam).max(axis=1), 1e-300
+        )
+        # SSPD: semi-definiteness up to relative roundoff (CheckForSSPD)
+        reject[pids] = lam[:, 0] < -1e-10 * scale
+    bad = np.flatnonzero(reject)
+    if len(bad):
+        partner = partner.copy()
+        partner[a[bad]] = -1
+        partner[b[bad]] = -1
+    return partner
+
+
 def spw_aggregate_energy(
     energy,
     mesh,
@@ -209,6 +349,8 @@ def spw_aggregate_energy(
     neib_boost: bool = False,
     soc_reduction: str | None = None,
     diag_stab_boost: float = 0.0,
+    big_soc: bool = False,
+    big_soc_rho: float | None = None,
 ) -> tuple[np.ndarray, int]:
     """SPW with per-round energy re-evaluation (robust pick/check).
 
@@ -276,6 +418,17 @@ def spw_aggregate_energy(
             )
             S = cur_mesh.edge_graph(weights=soc)
             partner = handshake_match(S, theta, can_match=cm)
+        if big_soc and _round >= 1 and hasattr(energy, "transport"):
+            # agglomerate-wide acceptance (checkBigSOC, spw_agg.hpp:31,
+            # !FIRST_ROUND like the reference): vet merged unions on the
+            # FINE members before accepting the round's matches
+            partner = big_soc_vet(
+                energy,
+                mesh,
+                v2c,
+                partner,
+                theta if big_soc_rho is None else float(big_soc_rho),
+            )
         c2agg, n_agg = aggregates_from_partner(partner, cur_active)
         if n_agg >= n_cur or n_agg == 0:
             break

@@ -154,6 +154,15 @@ class CoarsenOptions:
     # measured-best default), reference default 0.5 keeps half (more
     # conservative later rounds)
     diag_stab_boost: SpecLike = 0.0
+    # agglomerate-wide SOC acceptance check before merging agglomerates
+    # in later SPW rounds (`checkBigSOC`/`AggregateWideStabilityCheck`,
+    # spw_agg.hpp:31, agglomerator_utils.hpp:394-539): require the
+    # diagonal smoother to be rho-dominated by the union's sub-assembled
+    # energy orthogonal to the rigid-body space. Reference default: OFF.
+    big_soc: SpecLike = False
+    # acceptance level rho for the big-SOC check (None = the matching
+    # theta, the analog of the reference's min(robThresh, absBigThresh))
+    big_soc_rho: SpecLike = None
     # orphan adoption: unmatched vertices join their strongest matched
     # neighbor's aggregate (SPW final round, spw_agg_impl.hpp:1790+)
     adopt_orphans: SpecLike = True
@@ -170,6 +179,8 @@ class CoarsenOptions:
         self.neib_boost = as_spec(self.neib_boost)
         self.soc_reduction = as_spec(self.soc_reduction)
         self.diag_stab_boost = as_spec(self.diag_stab_boost)
+        self.big_soc = as_spec(self.big_soc)
+        self.big_soc_rho = as_spec(self.big_soc_rho)
         self.adopt_orphans = as_spec(self.adopt_orphans)
 
 

@@ -159,6 +159,8 @@ def build_coarse_map(
             neib_boost=bool(c.neib_boost.get(level)),
             soc_reduction=None if sred is None else str(sred),
             diag_stab_boost=float(c.diag_stab_boost.get(level)),
+            big_soc=bool(c.big_soc.get(level)),
+            big_soc_rho=c.big_soc_rho.get(level),
         )
     soc = energy.soc_robust(mesh) if robust else energy.soc(mesh)
     S = mesh.edge_graph(weights=soc)

@@ -809,3 +809,76 @@ def test_matvec_slabbed_matches_plain():
         # heuristic: f32 operators never slab; big f64 ones do
         assert formats.f64_matvec_slabs(A) == 1
         assert formats.f64_matvec_slabs(A, target_bytes=1024) > 1
+
+
+def test_big_soc_acceptance_check():
+    """`checkBigSOC` analog (agglomerator_utils.hpp:394-539): the
+    agglomerate-wide stability check vets later-round merges. At the
+    matching theta a healthy compact mesh keeps (almost) all matches; at
+    an absurd rho every >=3-member union is rejected — the check is live
+    and monotone in rho."""
+    from ngsamg_tpu.apps.elasticity import ElasticityEnergy
+    from ngsamg_tpu.coarsen.pairwise import (
+        big_soc_vet,
+        spw_aggregate_energy,
+    )
+
+    p = fem.unstructured_elasticity(8, dim=2)
+    en = ElasticityEnergy(dim=2)
+    mesh = en.build_finest_mesh(p.A, coords=p.coords)
+
+    # one coarsening round, then vet the SECOND round's matches directly
+    v2c, n1 = spw_aggregate_energy(en, mesh, rounds=1, theta=0.08,
+                                   adopt_orphans=False)
+    from ngsamg_tpu.mesh.topo import map_edges
+
+    ce, e2ce = map_edges(mesh, v2c, n1)
+    cmesh = en.map_data(mesh, v2c, n1, ce, e2ce)
+    soc = en.soc_robust(cmesh)
+    S = cmesh.edge_graph(weights=soc)
+    from ngsamg_tpu.coarsen.pairwise import handshake_match
+
+    partner = handshake_match(S, 0.08, can_match=np.ones(n1, bool))
+    n_matched = int((partner >= 0).sum())
+    assert n_matched > 0
+    # tiny rho: everything passes
+    vet_lo = big_soc_vet(en, mesh, v2c, partner, rho=1e-12)
+    assert (vet_lo == partner).all()
+    # absurd rho: every union with >= 3 members must fail the
+    # stability bound (pairs of singletons auto-pass, n < 3)
+    vet_hi = big_soc_vet(en, mesh, v2c, partner, rho=1e9)
+    sizes = np.bincount(v2c[v2c >= 0], minlength=n1)
+    a = np.flatnonzero((partner >= 0) & (np.arange(n1) < partner))
+    big = (sizes[a] + sizes[partner[a]]) >= 3
+    assert big.any()
+    assert (vet_hi[a[big]] == -1).all(), "rho=1e9 must reject big unions"
+    # acceptance is monotone in rho (stricter rho rejects more). The
+    # check is DELIBERATELY strict for rank-1 tangential edge energies:
+    # a union whose sub-assembled energy has hinge modes outside the
+    # rigid space fails for any positive rho — the reference's own
+    # comment on the eps-hack (agglomerator_utils.hpp:512-524)
+    # acknowledges exactly this regime, and checkBigSOC is OFF by
+    # default there as here.
+    vet_sm = big_soc_vet(en, mesh, v2c, partner, rho=1e-3)
+    vet_mid = big_soc_vet(en, mesh, v2c, partner, rho=0.08)
+    kept_sm = int((vet_sm[a] >= 0).sum())
+    kept_mid = int((vet_mid[a] >= 0).sum())
+    assert kept_sm >= kept_mid
+    assert kept_mid > 0  # 2-member unions always pass (n < 3 early-out)
+
+    # end-to-end: the knob is wired through options, the factory builds
+    # a real hierarchy with the vet active, and the solve converges
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+
+    pe = fem.unstructured_elasticity(14, dim=2)
+    opts = AMGOptions()
+    opts.coarsen.big_soc = SpecOpt(True)
+    opts.levels.max_coarse_size = 40
+    pc = AMGPreconditioner(
+        pe.A, energy="elasticity", block_size=2, coords=pe.coords,
+        options=opts,
+    ).setup()
+    assert pc.num_levels >= 2
+    x, info = pc.solve(pe.b, tol=1e-8, maxiter=120)
+    r = np.linalg.norm(pe.A @ x - pe.b) / np.linalg.norm(pe.b)
+    assert info.converged and r < 1e-7
