@@ -19,6 +19,7 @@ f32 device — the TPU-native answer to the reference's all-f64 CPU solve.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -463,8 +464,14 @@ class AMGPreconditioner:
         nlev = len(self.setup_levels_)
         # bucketed/chunked tile-ELL only on single-device placements:
         # row-sharding assumes uniform per-level arrays (parallel/shard.py,
-        # parallel/halo.py stay on the plain TileELL layout)
-        self._use_tile_stack = int(opts.shards) <= 1
+        # parallel/halo.py stay on the plain TileELL layout).
+        # NGSAMG_NO_TILE_STACK=1 forces plain tile-ELL (an op-count vs
+        # memory trade measured in scripts/profile_unstruct.py: the axon
+        # backend pays ~0.55 ms per executed op, so bucket count is a
+        # solve-latency knob).
+        self._use_tile_stack = int(opts.shards) <= 1 and os.environ.get(
+            "NGSAMG_NO_TILE_STACK", "0"
+        ) != "1"
         stages = self._device_stage_times = {}
         _t0 = time.perf_counter()
 

@@ -780,10 +780,14 @@ def tile_ell_from_scipy(
     )
 
 
-# chunk=2 measured best overall on the 1.19M-DoF tet mesh: bytes 629 MB
-# (vs 917 at chunk=4, 713 plain — device_put through the tunnel is a
-# setup cost) at 9.2M gathered slots per SpMV (vs 6.9M / 19.8M)
-TILE_CHUNK = int(__import__("os").environ.get("NGSAMG_TILE_CHUNK", "2"))
+# chunk=4 measured best for SOLVE on the 1.41M-DoF refined tet mesh:
+# the V-cycle is GATHER-VOLUME bound (~8 ns per gathered slot on-chip),
+# and chunk=4 stores 6.9M slots vs 9.2M at chunk=2 — one cycle 617 ms
+# vs 753 ms (scripts/profile_unstruct.py, 2026-08-20). The price is
+# bytes (917 MB vs 629 MB -> ~1.7 s more one-time device_put through
+# the tunnel), repaid within ~13 solve iterations; production serving
+# amortizes the setup across many solves.
+TILE_CHUNK = int(__import__("os").environ.get("NGSAMG_TILE_CHUNK", "4"))
 _STACK_MIN_TILES = 512  # merge smaller bucket runs (bounds op count)
 
 
