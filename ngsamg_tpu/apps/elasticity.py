@@ -475,14 +475,24 @@ class ElasticityEnergy(Energy):
 
         dpv = self.dpv
         if m.any():
-            fi, fj = mesh.edges[m, 0], mesh.edges[m, 1]
-            mid_f = 0.5 * (pos[fi] + pos[fj])
-            ce = e2ce[m]
-            mid_c = 0.5 * (cpos[coarse_edges[ce, 0]] + cpos[coarse_edges[ce, 1]])
-            Q = self.transport(mid_c, mid_f)  # coeff at m_c -> coeff at m_f
-            Ef = mesh.edge_data["mat"][m]
-            Et = np.swapaxes(Q, -1, -2) @ (Ef @ Q)
-            Ec = scatter_add(ce, Et, len(coarse_edges))
+            from ..native import elast_map_edge_mats as _nat_map
+
+            Ec = _nat_map(
+                pos, cpos, mesh.edges[m], e2ce[m], coarse_edges,
+                mesh.edge_data["mat"][m], self._s,
+            )
+            if Ec is None:  # numpy fallback (no native extension)
+                fi, fj = mesh.edges[m, 0], mesh.edges[m, 1]
+                mid_f = 0.5 * (pos[fi] + pos[fj])
+                ce = e2ce[m]
+                mid_c = 0.5 * (
+                    cpos[coarse_edges[ce, 0]] + cpos[coarse_edges[ce, 1]]
+                )
+                # coeff at m_c -> coeff at m_f
+                Q = self.transport(mid_c, mid_f)
+                Ef = mesh.edge_data["mat"][m]
+                Et = np.swapaxes(Q, -1, -2) @ (Ef @ Q)
+                Ec = scatter_add(ce, Et, len(coarse_edges))
         else:
             Ec = np.zeros((len(coarse_edges), dpv, dpv))
         cmesh.edge_data["mat"] = Ec

@@ -459,6 +459,24 @@ def elast_rm_diag(pos, edges, E, s):
     )
 
 
+def elast_map_edge_mats(pos, cpos, edges, ce, cedges, E, s):
+    """Fused coarse-edge-matrix accumulation (map_data hot loop):
+    Ec[ce] += Q(m_c -> m_f)^T E Q(m_c -> m_f) over mapped fine edges, in
+    edge order (bitwise equal to the numpy scatter_add path); None when
+    the extension is absent."""
+    if not HAVE_NATIVE:
+        return None
+    return _nat.elast_map_edge_mats(
+        np.ascontiguousarray(pos, dtype=np.float64),
+        np.ascontiguousarray(cpos, dtype=np.float64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        np.ascontiguousarray(ce, dtype=np.int64),
+        np.ascontiguousarray(cedges, dtype=np.int64),
+        np.ascontiguousarray(E, dtype=np.float64),
+        float(s),
+    )
+
+
 def elast_soc_robust(pos, edges, E, D, s, tol=1e-10, reduction="min"):
     """Fully fused robust SOC per edge (midpoint transports + series
     energy + extreme pencil eigenvalue); None when the extension is

@@ -2204,6 +2204,58 @@ PyObject *elast_rm_diag(PyObject *, PyObject *args) {
   return (PyObject *)o_d;
 }
 
+// elast_map_edge_mats(pos (nv,dim), cpos (nagg,dim), edges (me,2) i64,
+// ce (me,) i64, cedges (nce,2) i64, E (me,dpv,dpv), s) ->
+// Ec (nce,dpv,dpv): coarse edge matrices as Q-transported sums
+// Ec[ce] += Q(m_c -> m_f)^T E_f Q(m_c -> m_f) over the mapped fine
+// edges (apps/elasticity.map_data hot loop, the AttachedEED Q-transport
+// accumulation) — fused, no (me,dpv,dpv) temporaries, accumulation in
+// edge order (bitwise equal to the numpy scatter_add path).
+PyObject *elast_map_edge_mats(PyObject *, PyObject *args) {
+  PyArrayObject *pos_o, *cpos_o, *e_o, *ce_o, *cedg_o, *em_o;
+  double s;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!d", &PyArray_Type, &pos_o,
+                        &PyArray_Type, &cpos_o, &PyArray_Type, &e_o,
+                        &PyArray_Type, &ce_o, &PyArray_Type, &cedg_o,
+                        &PyArray_Type, &em_o, &s))
+    return nullptr;
+  const int dim = (int)PyArray_DIM(pos_o, 1);
+  const int64_t me = PyArray_DIM(e_o, 0);
+  const int64_t nce = PyArray_DIM(cedg_o, 0);
+  const int dpv = (int)PyArray_DIM(em_o, 1);
+  if (dpv > kMaxD) {
+    PyErr_SetString(PyExc_ValueError, "block size > 8");
+    return nullptr;
+  }
+  auto *pos = static_cast<const double *>(PyArray_DATA(pos_o));
+  auto *cpos = static_cast<const double *>(PyArray_DATA(cpos_o));
+  auto *edg = static_cast<const int64_t *>(PyArray_DATA(e_o));
+  auto *cei = static_cast<const int64_t *>(PyArray_DATA(ce_o));
+  auto *cedg = static_cast<const int64_t *>(PyArray_DATA(cedg_o));
+  auto *E = static_cast<const double *>(PyArray_DATA(em_o));
+  npy_intp dims[3] = {nce, dpv, dpv};
+  PyArrayObject *o_ec =
+      (PyArrayObject *)PyArray_ZEROS(3, dims, NPY_FLOAT64, 0);
+  auto *Ec = static_cast<double *>(PyArray_DATA(o_ec));
+  const int dd = dpv * dpv;
+  double dvec[3], B[kMaxD * kMaxD];
+  for (int64_t t = 0; t < me; ++t) {
+    const int64_t i = edg[2 * t], j = edg[2 * t + 1];
+    const int64_t c = cei[t];
+    const int64_t lo = cedg[2 * c], hi = cedg[2 * c + 1];
+    for (int k = 0; k < dim; ++k) {
+      const double midf = 0.5 * (pos[i * dim + k] + pos[j * dim + k]);
+      const double midc =
+          0.5 * (cpos[lo * dim + k] + cpos[hi * dim + k]);
+      dvec[k] = midf - midc;  // Q(m_c -> m_f): d = to - from
+    }
+    rigid_congruence(E + t * dd, dvec, dim, dpv, s, B);
+    double *out = Ec + c * dd;
+    for (int k = 0; k < dd; ++k) out[k] += B[k];
+  }
+  return (PyObject *)o_ec;
+}
+
 // elast_soc_robust(pos, edges, E (ne,dpv,dpv), D (nv,dpv,dpv), s, tol,
 // reduction) -> (ne,) f64: the full robust-SOC pipeline fused per edge —
 // transport D[i], D[j] to the midpoint frame, series (harmonic) energy,
@@ -2338,6 +2390,8 @@ PyMethodDef methods[] = {
      "sequential greedy graph coloring"},
     {"pencil_extreme_eig", pencil_extreme_eig_native, METH_VARARGS,
      "batched extreme eigenvalue of small symmetric pencils"},
+    {"elast_map_edge_mats", elast_map_edge_mats, METH_VARARGS,
+     "coarse edge matrices: Q-transported fine-edge energy sums"},
     {"elast_rm_diag", elast_rm_diag, METH_VARARGS,
      "fused replacement-matrix diagonal accumulation"},
     {"rigid_edge_blocks", rigid_edge_blocks, METH_VARARGS,
