@@ -1706,33 +1706,33 @@ def _dist_preserved_prol(
 
     Returns (P_parts over fine-dof rows, cnt_c_parts, Vc_parts).
     """
+    from .transport import get_transport
+
+    tr = get_transport()
     n_shards = sd.n_shards
+    mine = _my(sd)
     ne_c = csd.ne
     ce_starts = csd.e_starts
-    m = V_parts[0].shape[1]
+    m = next(V_parts[s].shape[1] for s in mine)
     z = np.zeros(0, dtype=np.int64)
 
-    # global dof offsets per shard (fine)
-    loc_nd = np.array(
-        [int(c.sum()) for c in cnt_parts], dtype=np.int64
+    # global dof offsets per shard (fine) — per-rank counts allgathered
+    loc_nd = tr.allgather(
+        np.array([int(cnt_parts[s].sum()) for s in mine], dtype=np.int64)
     )
     dof_starts = np.zeros(n_shards + 1, dtype=np.int64)
     dof_starts[1:] = np.cumsum(loc_nd)
-    off_parts = []  # per shard: local facet -> GLOBAL first dof
-    for s in range(n_shards):
+    off_parts = [None] * n_shards  # local facet -> GLOBAL first dof
+    for s in mine:
         o = np.zeros(len(cnt_parts[s]) + 1, dtype=np.int64)
         o[1:] = np.cumsum(cnt_parts[s])
-        off_parts.append(o[:-1] + dof_starts[s])
+        off_parts[s] = o[:-1] + dof_starts[s]
 
     # --- route member higher-dof restrictions to coarse-facet owners ----
-    mem_ce, mem_e, mem_cnt = [], [], []
     hi_ce, hi_dof, hi_V = [], [], []
-    for s in range(n_shards):
+    for s in mine:
         e2 = e2ce_parts[s]
         sel = np.flatnonzero(e2 >= 0)
-        mem_ce.append(e2[sel])
-        mem_e.append(sel + sd.e_starts[s])
-        mem_cnt.append(cnt_parts[s][sel])
         for t in sel:  # higher dofs of each member facet
             c = int(cnt_parts[s][t])
             if c <= 1:
@@ -1747,14 +1747,13 @@ def _dist_preserved_prol(
     hi_V = (
         np.concatenate(hi_V) if len(hi_ce) else np.zeros((0, m))
     )
-    own_hi = _owner(ce_starts, hi_ce)
-    hi_parts = _route(own_hi, n_shards, hi_ce, hi_dof, hi_V)
+    hi_parts = _route_by(ce_starts, hi_ce, hi_ce, hi_dof, hi_V)
 
     # --- per-coarse-facet SVD bases at the owners -----------------------
-    cnt_c_parts, basis_info = [], []
-    tri_r, tri_c_local, tri_v = [], [], []  # (fine dof, LOCAL c-dof slot, val)
-    coords_parts = []  # per shard: per local ce: (k, m) coords
-    for t in range(n_shards):
+    cnt_c_parts = [None] * n_shards
+    basis_info = [None] * n_shards
+    coords_parts = [None] * n_shards  # per local ce: (k, m) coords
+    for t in mine:
         ces, dofs_g, Vh = hi_parts[t]
         nloc = int(ce_starts[t + 1] - ce_starts[t])
         cnt_c = np.ones(nloc, dtype=np.int64)
@@ -1779,36 +1778,37 @@ def _dist_preserved_prol(
             cnt_c[ce_l] += k
             blocks[ce_l] = (dofs_g[mset], B)
             coords[ce_l] = B.T @ W
-        cnt_c_parts.append(cnt_c)
-        coords_parts.append(coords)
-        basis_info.append(blocks)
+        cnt_c_parts[t] = cnt_c
+        coords_parts[t] = coords
+        basis_info[t] = blocks
 
     # coarse dof offsets (global)
-    loc_ndc = np.array(
-        [int(c.sum()) for c in cnt_c_parts], dtype=np.int64
+    loc_ndc = tr.allgather(
+        np.array(
+            [int(cnt_c_parts[t].sum()) for t in mine], dtype=np.int64
+        )
     )
     cdof_starts = np.zeros(n_shards + 1, dtype=np.int64)
     cdof_starts[1:] = np.cumsum(loc_ndc)
-    c0_parts = []
-    for t in range(n_shards):
+    c0_parts = [None] * n_shards
+    for t in mine:
         o = np.zeros(len(cnt_c_parts[t]) + 1, dtype=np.int64)
         o[1:] = np.cumsum(cnt_c_parts[t])
-        c0_parts.append(o[:-1] + cdof_starts[t])
+        c0_parts[t] = o[:-1] + cdof_starts[t]
     ndc = int(cdof_starts[-1])
 
     # --- P entries -------------------------------------------------------
     ri, cj, vv = [], [], []
-    # flux rows: Pflux (facet x coarse facet) -> (dof0 x coarse dof0)
-    for s in range(n_shards):
+    # flux rows: Pflux (facet x coarse facet) -> (dof0 x coarse dof0);
+    # the c0 gather is a collective every rank joins (empty rows included)
+    for s in mine:
         Pf = Pflux_parts[s].tocoo()
-        if not Pf.nnz:
-            continue
         c0_of = _gather(c0_parts, ce_starts, Pf.col.astype(np.int64))
         ri.append(off_parts[s][Pf.row])
         cj.append(c0_of)
         vv.append(Pf.data)
     # coarse higher-dof basis blocks (emitted by ce owners)
-    for t in range(n_shards):
+    for t in mine:
         for ce_l, blk in enumerate(basis_info[t]):
             if blk is None:
                 continue
@@ -1823,16 +1823,16 @@ def _dist_preserved_prol(
             vv.append(B.ravel())
 
     # --- coarse preserved coordinates Vc (rows at coarse-facet owners) --
+    lo_view = [
+        None if c is None else c[:, 0] for c in csd.edges_parts
+    ]
     idx_l, val_l = [], []
-    for s in range(n_shards):
+    for s in mine:
         e2 = e2ce_parts[s]
         sel = np.flatnonzero(e2 >= 0)
-        if not len(sel):
-            continue
+        # unconditional: both gathers are collectives every rank joins
         ce = e2[sel]
-        lo_of = _gather(
-            [c[:, 0] for c in csd.edges_parts], ce_starts, ce
-        )
+        lo_of = _gather(lo_view, ce_starts, ce)
         sgn = np.where(ci_parts[s][sel] == lo_of, 1.0, -1.0)
         fl = sd.flow_parts[s][sel]
         l0 = off_parts[s][sel] - dof_starts[s]
@@ -1844,10 +1844,10 @@ def _dist_preserved_prol(
     Vc_parts = _reduce_nd(
         cdof_starts,
         np.concatenate(idx_l) if idx_l else z,
-        np.concatenate(val_l) if idx_l else np.zeros((0, m)),
+        np.concatenate(val_l) if val_l else np.zeros((0, m)),
         shape_tail=(m,),
     )
-    for t in range(n_shards):
+    for t in mine:
         cfl = csd.flow_parts[t]
         gc = np.where(np.abs(cfl) > 1e-300, cfl, 1.0)
         l0 = c0_parts[t] - cdof_starts[t]
@@ -1868,9 +1868,15 @@ def _dist_hdiv_interior(
     V_parts, off_parts, c0_parts, dof_starts, cdof_starts, ndc,
     Vc_parts, tri, P_shape_rows,
 ):
-    """Aggregate-owner interior fits + cycle-space flux corrections."""
+    """Aggregate-owner interior fits + cycle-space flux corrections.
+
+    Rank-local: the per-aggregate gathers are BATCHED per owner (one
+    gather of the incident-ce metadata and one of the referenced Vc
+    rows), so every rank makes the same number of collective calls
+    regardless of how many aggregates it owns.
+    """
     n_shards = sd.n_shards
-    m = V_parts[0].shape[1]
+    mine = _my(sd)
     ce_starts = csd.e_starts
     c_starts = csd.v_starts
     z = np.zeros(0, dtype=np.int64)
@@ -1878,7 +1884,7 @@ def _dist_hdiv_interior(
 
     # incident coarse-edge sets per coarse cell (at coarse-cell owners)
     inc_a, inc_ce = [], []
-    for t in range(n_shards):
+    for t in mine:
         E = csd.edges_parts[t]
         ce_g = np.arange(
             ce_starts[t], ce_starts[t + 1], dtype=np.int64
@@ -1887,19 +1893,18 @@ def _dist_hdiv_interior(
         inc_ce.extend([ce_g, ce_g])
     ia = np.concatenate(inc_a) if inc_a else z
     ic = np.concatenate(inc_ce) if inc_ce else z
-    inc_parts = _route(_owner(c_starts, ia), n_shards, ia, ic)
+    inc_parts = _route_by(c_starts, ia, ia, ic)
 
     # interior facets routed to aggregate owners with their data
     ie_agg, ie_e, ie_i, ie_j, ie_cnt, ie_off, ie_flow = (
         [], [], [], [], [], [], []
     )
     iv_agg, iv_dof, iv_V = [], [], []
-    for s in range(n_shards):
+    m = next(V_parts[s].shape[1] for s in mine)
+    for s in mine:
         e2 = e2ce_parts[s]
         ci = ci_parts[s]
         sel = np.flatnonzero((e2 < 0) & (ci >= 0) & (ci == cj_parts[s]))
-        if not len(sel):
-            continue
         e = sd.edges_parts[s][sel]
         ie_agg.append(ci[sel])
         ie_e.append(sel + sd.e_starts[s])
@@ -1915,54 +1920,78 @@ def _dist_hdiv_interior(
             iv_agg.append(np.full(c, ci[t], dtype=np.int64))
             iv_dof.append(np.arange(g0, g0 + c))
             iv_V.append(V_parts[s][l0: l0 + c])
-    if not ie_agg:
-        return ri, cj, vv
-    ia2 = np.concatenate(ie_agg)
-    fac_parts = _route(
-        _owner(c_starts, ia2), n_shards, ia2,
-        np.concatenate(ie_e), np.concatenate(ie_i),
-        np.concatenate(ie_j), np.concatenate(ie_cnt),
-        np.concatenate(ie_off), np.concatenate(ie_flow),
+    ia2 = np.concatenate(ie_agg) if ie_agg else z
+    fac_parts = _route_by(
+        c_starts, ia2, ia2,
+        np.concatenate(ie_e) if ie_e else z,
+        np.concatenate(ie_i) if ie_i else z,
+        np.concatenate(ie_j) if ie_j else z,
+        np.concatenate(ie_cnt) if ie_cnt else z,
+        np.concatenate(ie_off) if ie_off else z,
+        np.concatenate(ie_flow) if ie_flow else np.zeros(0),
     )
-    iva = np.concatenate(iv_agg)
-    ivd_parts = _route(
-        _owner(c_starts, iva), n_shards, iva,
-        np.concatenate(iv_dof), np.concatenate(iv_V),
+    iva = np.concatenate(iv_agg) if iv_agg else z
+    ivd_parts = _route_by(
+        c_starts, iva, iva,
+        np.concatenate(iv_dof) if iv_dof else z,
+        np.concatenate(iv_V) if iv_V else np.zeros((0, m)),
     )
 
-    for t in range(n_shards):
+    cnt_view = _cnt_c_view(c0_parts, cdof_starts)
+    for t in mine:
         a_arr, e_arr, i_arr, j_arr, cnt_arr, off_arr, fl_arr = (
             fac_parts[t]
         )
         va_arr, vd_arr, vV_arr = ivd_parts[t]
         inc_a_arr, inc_c_arr = inc_parts[t]
-        if not len(a_arr):
-            continue
         o = np.argsort(e_arr, kind="stable")
         a_arr, e_arr, i_arr, j_arr = (
             a_arr[o], e_arr[o], i_arr[o], j_arr[o]
         )
         cnt_arr, off_arr, fl_arr = cnt_arr[o], off_arr[o], fl_arr[o]
         vmap = {int(d): v for d, v in zip(vd_arr, vV_arr)}
-        # per-aggregate processing
+        # batched (agg, ce) incidence pairs for ALL owned aggregates:
+        # sorted (a, ce) unique pairs == per-agg np.unique(ces)
+        po = np.lexsort((inc_c_arr, inc_a_arr))
+        pa, pc = inc_a_arr[po], inc_c_arr[po]
+        if len(pa):
+            newp = np.ones(len(pa), dtype=bool)
+            newp[1:] = (pa[1:] != pa[:-1]) | (pc[1:] != pc[:-1])
+            pa, pc = pa[newp], pc[newp]
+        # ONE metadata gather + ONE Vc-row gather per owner (symmetric
+        # collective count across ranks, empty or not)
+        c0_of_all = _gather(c0_parts, ce_starts, pc)
+        kcnt_all = _gather(cnt_view, ce_starts, pc)
+        stencil_all = (
+            np.concatenate(
+                [
+                    np.arange(c0_of_all[q], c0_of_all[q] + kcnt_all[q])
+                    for q in range(len(pc))
+                ]
+            )
+            if len(pc)
+            else z
+        )
+        pair_starts = np.zeros(len(pc) + 1, dtype=np.int64)
+        if len(pc):
+            pair_starts[1:] = np.cumsum(kcnt_all)
+        Vs_all = _gather(Vc_parts, cdof_starts, stencil_all)
+        # per-aggregate slices out of the batched arrays
+        if not len(a_arr):
+            continue
         for a in np.unique(a_arr):
             sel = np.flatnonzero(a_arr == a)
-            ces = np.unique(inc_c_arr[inc_a_arr == a])
-            if not len(ces):
+            pr = np.flatnonzero(pa == a)
+            if not len(pr):
                 continue
-            c0_of = _gather(c0_parts, ce_starts, ces)
-            # counts per ce gathered from the coarse-facet owners
-            kcnt = _gather(
-                _cnt_c_view(c0_parts, cdof_starts), ce_starts, ces
+            st_idx = np.concatenate(
+                [
+                    np.arange(pair_starts[q], pair_starts[q + 1])
+                    for q in pr
+                ]
             )
-            stencil = np.concatenate(
-                [np.arange(c0_of[q], c0_of[q] + kcnt[q])
-                 for q in range(len(ces))]
-            )
-            Vs = _gather(
-                [np.asarray(V) for V in Vc_parts],
-                cdof_starts, stencil,
-            )
+            stencil = stencil_all[st_idx]
+            Vs = Vs_all[st_idx]
             pinvVs = np.linalg.pinv(Vs, rcond=1e-10)
             # higher-dof fits per interior facet
             for q in sel:
@@ -1983,13 +2012,15 @@ def _dist_hdiv_interior(
 
 
 def _cnt_c_view(c0_parts, cdof_starts):
-    """Per-shard coarse-facet dof counts from offsets."""
-    out = []
+    """Per-shard coarse-facet dof counts from offsets (None-slot safe)."""
+    out = [None] * len(c0_parts)
     for t in range(len(c0_parts)):
+        if c0_parts[t] is None:
+            continue
         ends = np.append(
             c0_parts[t][1:], cdof_starts[t + 1]
         )
-        out.append(ends - c0_parts[t])
+        out[t] = ends - c0_parts[t]
     return out
 
 
@@ -2010,32 +2041,31 @@ def _dist_hdiv_cycle_fix(
     from ..mesh.topo import AlgebraicMesh as _AM
 
     n_shards = sd.n_shards
+    mine = _my(sd)
     ce_starts = csd.e_starts
     c_starts = csd.v_starts
     z = np.zeros(0, dtype=np.int64)
 
     inc_a, inc_ce = [], []
-    for t in range(n_shards):
+    for t in mine:
         E = csd.edges_parts[t]
         ce_g = np.arange(ce_starts[t], ce_starts[t + 1], dtype=np.int64)
         inc_a.extend([E[:, 0], E[:, 1]])
         inc_ce.extend([ce_g, ce_g])
-    inc_parts = _route(
-        _owner(c_starts, np.concatenate(inc_a) if inc_a else z),
-        n_shards,
-        np.concatenate(inc_a) if inc_a else z,
+    ia0 = np.concatenate(inc_a) if inc_a else z
+    inc_parts = _route_by(
+        c_starts, ia0, ia0,
         np.concatenate(inc_ce) if inc_ce else z,
     )
 
     ie_agg, ie_e, ie_i, ie_j, ie_off, ie_flow, ie_V0 = (
         [], [], [], [], [], [], []
     )
-    for s in range(n_shards):
+    mV = next(V_parts[s].shape[1] for s in mine)
+    for s in mine:
         e2 = e2ce_parts[s]
         ci = ci_parts[s]
         sel = np.flatnonzero((e2 < 0) & (ci >= 0) & (ci == cj_parts[s]))
-        if not len(sel):
-            continue
         e = sd.edges_parts[s][sel]
         l0 = off_parts[s][sel] - dof_starts[s]
         ie_agg.append(ci[sel])
@@ -2045,47 +2075,93 @@ def _dist_hdiv_cycle_fix(
         ie_off.append(off_parts[s][sel])
         ie_flow.append(sd.flow_parts[s][sel])
         ie_V0.append(V_parts[s][l0])
-    if not ie_agg:
-        return P_parts
-    ia = np.concatenate(ie_agg)
-    fac_parts = _route(
-        _owner(c_starts, ia), n_shards, ia,
-        np.concatenate(ie_e), np.concatenate(ie_i),
-        np.concatenate(ie_j), np.concatenate(ie_off),
-        np.concatenate(ie_flow), np.concatenate(ie_V0),
+    ia = np.concatenate(ie_agg) if ie_agg else z
+    fac_parts = _route_by(
+        c_starts, ia, ia,
+        np.concatenate(ie_e) if ie_e else z,
+        np.concatenate(ie_i) if ie_i else z,
+        np.concatenate(ie_j) if ie_j else z,
+        np.concatenate(ie_off) if ie_off else z,
+        np.concatenate(ie_flow) if ie_flow else np.zeros(0),
+        np.concatenate(ie_V0) if ie_V0 else np.zeros((0, mV)),
     )
+    cnt_view = _cnt_c_view(c0_parts, cdof_starts)
     tri_r, tri_c, tri_v = [], [], []
-    for t in range(n_shards):
+    for t in mine:
         a_arr, e_arr, i_arr, j_arr, off_arr, fl_arr, V0_arr = (
             fac_parts[t]
         )
         inc_a_arr, inc_c_arr = inc_parts[t]
-        if not len(a_arr):
-            continue
         o = np.argsort(e_arr, kind="stable")
         a_arr, e_arr, i_arr, j_arr = (
             a_arr[o], e_arr[o], i_arr[o], j_arr[o]
         )
         off_arr, fl_arr, V0_arr = off_arr[o], fl_arr[o], V0_arr[o]
-        for a in np.unique(a_arr):
+        # aggregates with >= 2 interior facets (the only ones corrected)
+        ua, ua_cnt = (
+            np.unique(a_arr, return_counts=True)
+            if len(a_arr)
+            else (z, z)
+        )
+        live = ua[ua_cnt >= 2]
+        live_set = set(int(a) for a in live)
+        sel_all = (
+            np.flatnonzero(
+                np.isin(a_arr, live)
+            )
+            if len(a_arr)
+            else z
+        )
+        flux_all = off_arr[sel_all] if len(sel_all) else z
+        # BATCHED collectives (one each per owner, symmetric across
+        # ranks): P rows at every corrected flux row, the union of
+        # their Vc columns, the incident-ce metadata, the stencil rows
+        Prow_all = _gather_csr_rows(P_parts, dof_starts, flux_all, ndc)
+        cols_u = (
+            np.unique(Prow_all.indices.astype(np.int64))
+            if Prow_all.nnz
+            else z
+        )
+        Vc_u = _gather(Vc_parts, cdof_starts, cols_u)
+        po = np.lexsort((inc_c_arr, inc_a_arr))
+        pa, pc = inc_a_arr[po], inc_c_arr[po]
+        if len(pa):
+            newp = np.ones(len(pa), dtype=bool)
+            newp[1:] = (pa[1:] != pa[:-1]) | (pc[1:] != pc[:-1])
+            pa, pc = pa[newp], pc[newp]
+        c0_of_all = _gather(c0_parts, ce_starts, pc)
+        kcnt_all = _gather(cnt_view, ce_starts, pc)
+        stencil_all = (
+            np.concatenate(
+                [
+                    np.arange(c0_of_all[q], c0_of_all[q] + kcnt_all[q])
+                    for q in range(len(pc))
+                ]
+            )
+            if len(pc)
+            else z
+        )
+        pair_starts = np.zeros(len(pc) + 1, dtype=np.int64)
+        if len(pc):
+            pair_starts[1:] = np.cumsum(kcnt_all)
+        Vs_all = _gather(Vc_parts, cdof_starts, stencil_all)
+        if not len(sel_all):
+            continue
+        # position of each corrected facet inside the batched P rows
+        rowpos = {int(q): k for k, q in enumerate(sel_all)}
+        colmap_all = np.searchsorted(cols_u, Prow_all.indices)
+        Pc_all = sp.csr_matrix(
+            (Prow_all.data, colmap_all, Prow_all.indptr),
+            shape=(Prow_all.shape[0], len(cols_u)),
+        )
+        resid_all = Pc_all @ Vc_u if len(cols_u) else np.zeros(
+            (Prow_all.shape[0], V0_arr.shape[1])
+        )
+        for a in live:
             sel = np.flatnonzero(a_arr == a)
-            if len(sel) < 2:
-                continue
             flux_rows = off_arr[sel]
-            # residual at the flux rows: V0 - P[rows] @ Vc
-            Prow = _gather_csr_rows(P_parts, dof_starts, flux_rows, ndc)
-            cols = (
-                np.unique(Prow.indices.astype(np.int64))
-                if Prow.nnz
-                else z
-            )
-            Vc_sub = _gather(Vc_parts, cdof_starts, cols)
-            colmap = np.searchsorted(cols, Prow.indices)
-            Pc = sp.csr_matrix(
-                (Prow.data, colmap, Prow.indptr),
-                shape=(Prow.shape[0], len(cols)),
-            )
-            resid = V0_arr[sel] - (Pc @ Vc_sub if len(cols) else 0.0)
+            rk = np.array([rowpos[int(q)] for q in sel], dtype=np.int64)
+            resid = V0_arr[sel] - resid_all[rk]
             if np.abs(resid).max() < 1e-13:
                 continue
             # local cycles over the aggregate's interior facet subgraph
@@ -2103,35 +2179,34 @@ def _dist_hdiv_cycle_fix(
                 continue
             y, *_ = np.linalg.lstsq(Ca, resid, rcond=None)
             corr = Ca @ y
-            ces = np.unique(inc_c_arr[inc_a_arr == a])
-            if not len(ces):
+            pr = np.flatnonzero(pa == a)
+            if not len(pr):
                 continue
-            c0_of = _gather(c0_parts, ce_starts, ces)
-            kcnt = _gather(
-                _cnt_c_view(c0_parts, cdof_starts), ce_starts, ces
+            st_idx = np.concatenate(
+                [
+                    np.arange(pair_starts[q], pair_starts[q + 1])
+                    for q in pr
+                ]
             )
-            stencil = np.concatenate(
-                [np.arange(c0_of[q], c0_of[q] + kcnt[q])
-                 for q in range(len(ces))]
-            )
-            Vs = _gather(Vc_parts, cdof_starts, stencil)
+            stencil = stencil_all[st_idx]
+            Vs = Vs_all[st_idx]
             X = corr @ np.linalg.pinv(Vs, rcond=1e-10)
             r, c = np.meshgrid(flux_rows, stencil, indexing="ij")
             tri_r.append(r.ravel())
             tri_c.append(c.ravel())
             tri_v.append(X.ravel())
-    if not tri_r:
-        return P_parts
+    # the route is a collective every rank joins, triples or not
     dP_parts = _route_coo(
         dof_starts,
-        np.concatenate(tri_r),
-        np.concatenate(tri_c),
-        np.concatenate(tri_v),
+        np.concatenate(tri_r) if tri_r else z,
+        np.concatenate(tri_c) if tri_c else z,
+        np.concatenate(tri_v) if tri_v else np.zeros(0),
         ndc,
     )
-    return [
-        (P_parts[s] + dP_parts[s]).tocsr() for s in range(len(P_parts))
-    ]
+    out = [None] * n_shards
+    for s in mine:
+        out[s] = (P_parts[s] + dP_parts[s]).tocsr()
+    return out
 
 
 class _FacView:
@@ -2157,12 +2232,17 @@ def dist_stokes_hdiv_levels(
     aggregate. Returns the assembled `StokesLevel` list with dofs/pres
     per level, matching the serial hierarchy.
     """
-    from ..apps.stokes_hdiv import MeshDOFs, PreservedVectors
-    from .dist_setup import _dist_rap
+    sd, cnt_parts, V_parts = _shard_hdiv_level0(
+        A, mesh0, dofs0, pres0, int(n_shards)
+    )
+    recs, _log = _stokes_hdiv_levels_parts(
+        sd, cnt_parts, V_parts, pres0.n_special, opts
+    )
+    return package_hdiv_levels(recs, pres0.n_special)
 
-    lc = opts.levels
-    n_shards = int(n_shards)
-    # level-0 sharded state: facet partition + DOF-aligned matrix rows
+
+def _shard_hdiv_level0(A, mesh0, dofs0, pres0, n_shards):
+    """Per-shard HDiv level-0 state (driver-side split)."""
     v_starts = _split(mesh0.nv, n_shards)
     e_starts = _split(mesh0.ne, n_shards)
     A = A.tocsr().astype(np.float64)
@@ -2189,30 +2269,87 @@ def dist_stokes_hdiv_levels(
         pres0.vectors[off_all[e_starts[s]]: off_all[e_starts[s + 1]]]
         for s in range(n_shards)
     ]
-    levels = []
+    return sd, cnt_parts, V_parts
+
+
+def _stokes_hdiv_levels_parts(sd, cnt_parts, V_parts, n_special, opts):
+    """The HDiv Stokes distributed level loop, rank-local.
+
+    Like `_stokes_levels_parts`, every slot not in
+    ``transport.my_shards`` is ``None``; the preserved-vector machinery
+    runs owner-computed with BATCHED per-owner collectives (symmetric
+    call counts across ranks).
+    """
+    from ..factory.levels import FactoryLog
+    from .dist_setup import _dist_rap
+    from .transport import get_transport, shard_nbytes
+
+    tr = get_transport()
+    n_shards = sd.n_shards
+    mine = _my(sd)
+    lc = opts.levels
+    log = FactoryLog()
+    log.finest_global_bytes = int(
+        tr.allgather(
+            np.array(
+                [shard_nbytes(sd.A_parts[s]) for s in mine],
+                dtype=np.int64,
+            )
+        ).sum()
+    )
+    recs = []
     lvl = 0
     while True:
-        mesh = sd.assemble_mesh()
-        cnt_all = np.concatenate(cnt_parts)
-        dofs = MeshDOFs.from_counts(cnt_all)
-        pres = PreservedVectors(
-            pres0.n_special, np.concatenate(V_parts, axis=0)
+        ndof = int(
+            tr.allgather(
+                np.array(
+                    [int(cnt_parts[s].sum()) for s in mine],
+                    dtype=np.int64,
+                )
+            ).sum()
         )
-        cap = st.StokesLevel(
-            A=sp.vstack(sd.A_parts, format="csr"), mesh=mesh
+        rec = {
+            "v_starts": sd.v_starts,
+            "e_starts": sd.e_starts,
+            "A_parts": sd.A_parts,
+            "pos_parts": sd.pos_parts,
+            "vol_parts": sd.vol_parts,
+            "edges_parts": sd.edges_parts,
+            "flow_parts": sd.flow_parts,
+            "cnt_parts": cnt_parts,
+            "V_parts": V_parts,
+            "P_parts": None,
+            "v2agg_parts": None,
+        }
+        recs.append(rec)
+        log.nvs.append(sd.nv)
+        log.nnzs.append(
+            int(
+                tr.allgather(
+                    np.array(
+                        [sd.A_parts[s].nnz for s in mine],
+                        dtype=np.int64,
+                    )
+                ).sum()
+            )
         )
-        cap.dofs = dofs
-        cap.pres = pres
-        levels.append(cap)
+        per = [
+            shard_nbytes(
+                sd.A_parts[s], sd.pos_parts[s], sd.vol_parts[s],
+                sd.edges_parts[s], sd.flow_parts[s], V_parts[s],
+            )
+            for s in mine
+        ]
+        log.peak_shard_bytes = max(log.peak_shard_bytes, max(per))
         if (
             lvl + 1 >= lc.max_levels
-            or dofs.ndof <= lc.max_coarse_size
-            or mesh.nv <= 8
+            or ndof <= lc.max_coarse_size
+            or sd.nv <= 8
         ):
             break
         v2agg_parts, c_starts = _dist_coarsen_cells(sd)
         n_agg = int(c_starts[-1])
-        if n_agg >= lc.min_coarsen_ratio * mesh.nv:
+        if n_agg >= lc.min_coarsen_ratio * sd.nv:
             break
         (ce_starts, cedges_parts, ci_parts, cj_parts,
          e2ce_parts) = _dist_map_edges(sd, v2agg_parts, c_starts)
@@ -2246,17 +2383,44 @@ def dist_stokes_hdiv_levels(
             off_parts, c0_parts, dof_starts, cdof_starts, Vc_parts,
             V_parts, P_parts, ndc,
         )
-        cap.P = sp.vstack(P_parts, format="csr")
-        cap.v2agg = np.concatenate(v2agg_parts)
+        rec["P_parts"] = P_parts
+        rec["v2agg_parts"] = v2agg_parts
         Ac_parts = _dist_rap(sd.A_parts, dof_starts, P_parts, cdof_starts)
-        Ac = sp.vstack(Ac_parts, format="csr")
-        Ac = ((Ac + Ac.T) * 0.5).tocsr()
-        csd.A_parts = [
-            Ac[cdof_starts[t]: cdof_starts[t + 1]]
-            for t in range(n_shards)
-        ]
+        Ac_parts = _dist_symmetrize(Ac_parts, cdof_starts)
+        csd.A_parts = Ac_parts
         cnt_parts = cnt_c_parts
         V_parts = Vc_parts
         sd = csd
         lvl += 1
+    return recs, log
+
+
+def package_hdiv_levels(recs, n_special):
+    """Assemble global HDiv `StokesLevel`s from per-shard records."""
+    from ..apps.stokes_hdiv import MeshDOFs, PreservedVectors
+
+    levels = []
+    for rec in recs:
+        mesh = AlgebraicMesh(
+            nv=int(rec["v_starts"][-1]),
+            edges=np.concatenate(rec["edges_parts"])
+            if int(rec["e_starts"][-1])
+            else np.zeros((0, 2), dtype=np.int64),
+        )
+        mesh.vertex_data["pos"] = np.concatenate(rec["pos_parts"])
+        mesh.vertex_data["vol"] = np.concatenate(rec["vol_parts"])
+        mesh.edge_data["flow"] = np.concatenate(rec["flow_parts"])
+        cap = st.StokesLevel(
+            A=sp.vstack(rec["A_parts"], format="csr"), mesh=mesh
+        )
+        cap.dofs = MeshDOFs.from_counts(
+            np.concatenate(rec["cnt_parts"])
+        )
+        cap.pres = PreservedVectors(
+            n_special, np.concatenate(rec["V_parts"], axis=0)
+        )
+        if rec["P_parts"] is not None:
+            cap.P = sp.vstack(rec["P_parts"], format="csr")
+            cap.v2agg = np.concatenate(rec["v2agg_parts"])
+        levels.append(cap)
     return levels

@@ -44,6 +44,7 @@ __all__ = [
     "MPTransport",
     "mp_dist_setup_levels",
     "mp_dist_stokes_levels",
+    "mp_dist_stokes_hdiv_levels",
 ]
 
 
@@ -256,7 +257,52 @@ def _mp_worker(rank, n, conns, parent, payload, starts, energy, opts):
 
         tr = MPTransport(rank, n, conns)
         with use_transport(tr):
-            if isinstance(payload, dict) and "stokes" in payload:
+            if isinstance(payload, dict) and "stokes_hdiv" in payload:
+                from .dist_stokes import (
+                    _ShardedDual,
+                    _stokes_hdiv_levels_parts,
+                )
+
+                (pos, vol, edges, flow, A_rows, cnt, V,
+                 n_special) = payload["stokes_hdiv"]
+                v_starts, e_starts = starts
+
+                def _wrap(x):
+                    return [x if s == rank else None for s in range(n)]
+
+                sd = _ShardedDual(
+                    v_starts, e_starts, _wrap(pos), _wrap(vol),
+                    _wrap(edges), _wrap(flow), _wrap(A_rows),
+                )
+                recs, log = _stokes_hdiv_levels_parts(
+                    sd, _wrap(cnt), _wrap(V), n_special, opts
+                )
+                out = [
+                    {
+                        "v_starts": rec["v_starts"],
+                        "e_starts": rec["e_starts"],
+                        "A": rec["A_parts"][rank],
+                        "pos": rec["pos_parts"][rank],
+                        "vol": rec["vol_parts"][rank],
+                        "edges": rec["edges_parts"][rank],
+                        "flow": rec["flow_parts"][rank],
+                        "cnt": rec["cnt_parts"][rank],
+                        "V": rec["V_parts"][rank],
+                        "P": (
+                            None
+                            if rec["P_parts"] is None
+                            else rec["P_parts"][rank]
+                        ),
+                        "v2agg": (
+                            None
+                            if rec["v2agg_parts"] is None
+                            else rec["v2agg_parts"][rank]
+                        ),
+                    }
+                    for rec in recs
+                ]
+                extra = None
+            elif isinstance(payload, dict) and "stokes" in payload:
                 from .dist_stokes import (
                     _ShardedDual,
                     _stokes_levels_parts,
@@ -526,6 +572,77 @@ def mp_dist_stokes_levels(
             }
         )
     return package_stokes_levels(recs), log
+
+
+def mp_dist_stokes_hdiv_levels(
+    A: sp.spmatrix,
+    mesh0,
+    dofs0,
+    pres0,
+    opts,
+    n_ranks: int,
+    timeout: float = 600.0,
+):
+    """HDiv Stokes distributed setup across ``n_ranks`` OS processes
+    (variable facet DOFs + preserved vectors, rank-local
+    `dist_stokes._stokes_hdiv_levels_parts`)."""
+    from .dist_stokes import _shard_hdiv_level0, package_hdiv_levels
+
+    sd, cnt_parts, V_parts = _shard_hdiv_level0(
+        A, mesh0, dofs0, pres0, n_ranks
+    )
+    parts = [
+        {
+            "stokes_hdiv": (
+                sd.pos_parts[s], sd.vol_parts[s], sd.edges_parts[s],
+                sd.flow_parts[s], sd.A_parts[s], cnt_parts[s],
+                V_parts[s], pres0.n_special,
+            )
+        }
+        for s in range(n_ranks)
+    ]
+    results = _mp_spawn_collect(
+        parts, (sd.v_starts, sd.e_starts), None, opts, n_ranks, timeout
+    )
+    from ..factory.levels import FactoryLog
+
+    log = FactoryLog()
+    stats0 = results[0][1]
+    log.nvs = list(stats0["nvs"])
+    log.nnzs = list(stats0["nnzs"])
+    log.finest_global_bytes = stats0["finest_global_bytes"]
+    log.peak_shard_bytes = max(
+        res[1]["peak_shard_bytes"] for res in results
+    )
+    log.mp_rank_stats = [res[1] for res in results]
+    n_levels = len(results[0][0])
+    recs = []
+    for li in range(n_levels):
+        rr = [results[r][0][li] for r in range(n_ranks)]
+        recs.append(
+            {
+                "v_starts": rr[0]["v_starts"],
+                "e_starts": rr[0]["e_starts"],
+                "A_parts": [rec["A"] for rec in rr],
+                "pos_parts": [rec["pos"] for rec in rr],
+                "vol_parts": [rec["vol"] for rec in rr],
+                "edges_parts": [rec["edges"] for rec in rr],
+                "flow_parts": [rec["flow"] for rec in rr],
+                "cnt_parts": [rec["cnt"] for rec in rr],
+                "V_parts": [rec["V"] for rec in rr],
+                "P_parts": (
+                    None
+                    if rr[0]["P"] is None
+                    else [rec["P"] for rec in rr]
+                ),
+                "v2agg_parts": (
+                    None
+                    if rr[0]["v2agg"] is None
+                    else [rec["v2agg"] for rec in rr]
+                ),
+            }
+        )
+    return package_hdiv_levels(recs, pres0.n_special), log
 
 
 def mp_dist_setup_levels(

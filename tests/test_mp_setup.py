@@ -259,3 +259,46 @@ def test_mp_setup_solves():
     G = (P.T @ (A @ P)).tocsr()
     Gs = ((G + G.T) * 0.5).tocsr()
     assert abs(Gs - Ac).max() < 1e-12 * abs(Ac).max()
+
+
+def test_mp_stokes_hdiv_equals_single_controller():
+    """The HDiv preserved-vector level loop runs one-process-per-rank
+    (`dist_stokes._stokes_hdiv_levels_parts` under MPTransport, with
+    batched per-owner collectives): hierarchy equal to the
+    single-controller run — completing the rank-local coverage of every
+    distributed energy."""
+    from ngsamg_tpu.parallel.dist_stokes import dist_stokes_hdiv_levels
+    from ngsamg_tpu.parallel.mp_runtime import mp_dist_stokes_hdiv_levels
+    from ngsamg_tpu.precond.stokes import StokesHDivAMG
+    from ngsamg_tpu.utils.stokes_fem import stokes_tri_hdiv
+
+    p, counts, V = stokes_tri_hdiv(8, dim=2, alpha=10.0)
+    o = AMGOptions()
+    o.levels.max_coarse_size = 120
+    pc = StokesHDivAMG(
+        p.A,
+        cell_pos=p.cell_pos,
+        cell_vol=p.cell_vol,
+        facet_cells=p.facet_cells,
+        facet_flow=p.facet_flow,
+        facet_dof_counts=counts,
+        preserved=V,
+        options=o,
+    ).setup()
+    s_levels = dist_stokes_hdiv_levels(
+        pc.A_host, pc.mesh0, pc.dofs0, pc.pres0, o, 3
+    )
+    m_levels, m_log = mp_dist_stokes_hdiv_levels(
+        pc.A_host, pc.mesh0, pc.dofs0, pc.pres0, o, 3
+    )
+    assert len(s_levels) == len(m_levels) >= 2
+    assert m_log.peak_shard_bytes > 0
+    for i, (sl, ml) in enumerate(zip(s_levels, m_levels)):
+        np.testing.assert_array_equal(sl.dofs.offsets, ml.dofs.offsets)
+        assert abs(sl.A - ml.A).max() == 0.0, f"L{i}"
+        np.testing.assert_array_equal(
+            sl.pres.vectors, ml.pres.vectors
+        )
+        if sl.P is not None or ml.P is not None:
+            assert abs(sl.P - ml.P).max() == 0.0, f"P L{i}"
+            np.testing.assert_array_equal(sl.v2agg, ml.v2agg)
