@@ -260,3 +260,40 @@ def test_dist_stokes_hdiv_parity():
     x, info = pc_d.solve(p.b, tol=1e-8, maxiter=200)
     r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
     assert info.converged and r < 1e-7
+
+
+def test_dist_stokes_collective_transport_parity():
+    """The Stokes dual-mesh setup over the XLA-collective transport:
+    every exchange — including the new `route_rows` typed-table routing
+    — runs as a jitted shard_map/all_to_all program on the virtual mesh
+    and reproduces the LocalTransport hierarchy (payloads bit-cast, so
+    arithmetic is identical)."""
+    import jax
+
+    from ngsamg_tpu.parallel.transport import (
+        CollectiveTransport,
+        use_transport,
+    )
+
+    p, _ = stokes_tri(8, dim=2, alpha=10.0)
+    opts = AMGOptions()
+    opts.levels.max_coarse_size = 60
+    pc = _serial_levels(p, opts)
+    n_shards = len(jax.devices())
+    l_levels = dist_stokes_levels(pc.A_host, pc.mesh0, 1, opts, n_shards)
+    t = CollectiveTransport()
+    with use_transport(t):
+        c_levels = dist_stokes_levels(
+            pc.A_host, pc.mesh0, 1, opts, n_shards
+        )
+    assert t.calls > 0, "collective transport never exercised"
+    assert len(l_levels) == len(c_levels)
+    for i, (ll, cl) in enumerate(zip(l_levels, c_levels)):
+        assert abs(ll.A - cl.A).max() == 0.0, f"L{i}"
+        np.testing.assert_array_equal(
+            ll.mesh.edge_data["flow"], cl.mesh.edge_data["flow"]
+        )
+        if ll.P is not None or cl.P is not None:
+            assert abs(ll.P - cl.P).max() == 0.0, f"P L{i}"
+        if ll.C is not None or cl.C is not None:
+            assert abs(ll.C - cl.C).max() == 0.0, f"C L{i}"
