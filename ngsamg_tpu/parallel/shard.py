@@ -59,6 +59,7 @@ def _shard_bell(A: BlockELL, mesh: Mesh, rows: tuple) -> BlockELL:
         nrows=A.nrows,
         ncols=A.ncols,
         nrows_pad=A.nrows_pad,
+        col_chunk=A.col_chunk,
     )
 
 

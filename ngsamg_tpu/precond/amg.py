@@ -602,6 +602,18 @@ class AMGPreconditioner:
                         formats.TILE_CHUNK if self._use_tile_stack
                         else None
                     ),
+                    # default 1 (off): measured on the 1.25M-DoF 3D
+                    # elasticity cycle, C=2 chunking is 6% SLOWER (794
+                    # vs 747 ms/cycle) — block gathers already amortize
+                    # per-row cost at bc elements/slot, so chunking only
+                    # adds zero-fill elements (slots 23->17 but gathered
+                    # elements 28.7M->42.5M at ~8 ns/element). The knob
+                    # stays for wider-block or denser-pairing cases.
+                    block_chunk=(
+                        int(os.environ.get("NGSAMG_BLOCK_CHUNK", "1"))
+                        if self._use_tile_stack
+                        else None
+                    ),
                 )
             A_fmts.append(A_fmt)
             _mark("pack_A")

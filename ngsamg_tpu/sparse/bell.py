@@ -34,6 +34,19 @@ def to_scipy(A: "BlockELL"):
 
     data = np.asarray(A.data, dtype=np.float64)[: A.nrows]
     cols = np.asarray(A.cols)[: A.nrows]
+    if A.col_chunk > 1:
+        C = A.col_chunk
+        n, K, br, cbc = data.shape
+        bc = cbc // C
+        # expand each chunk slot into C plain block slots
+        data = data.reshape(n, K, br, C, bc).transpose(0, 1, 3, 2, 4)
+        data = data.reshape(n, K * C, br, bc)
+        cols = (
+            cols[:, :, None] * C + np.arange(C)[None, None, :]
+        ).reshape(n, K * C)
+        # a chunk overhanging ncols holds only zero blocks: clamp the
+        # index into range (eliminate_zeros drops them below)
+        cols = np.minimum(cols, max(A.ncols - 1, 0))
     n, K, br, bc = data.shape
     rows = np.repeat(np.arange(n), K)
     B = sp.bsr_matrix(
@@ -52,17 +65,28 @@ def to_scipy(A: "BlockELL"):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "cols"],
-    meta_fields=["nrows", "ncols", "nrows_pad"],
+    meta_fields=["nrows", "ncols", "nrows_pad", "col_chunk"],
 )
 @dataclass(frozen=True)
 class BlockELL:
-    """Padded block-ELL sparse matrix (block rows x block cols)."""
+    """Padded block-ELL sparse matrix (block rows x block cols).
 
-    data: jax.Array  # (n_pad, K, br, bc)
-    cols: jax.Array  # (n_pad, K) int32
+    ``col_chunk = C > 1`` stores each slot as C ADJACENT block columns
+    side by side (``data``: (n, K, br, C*bc), ``cols``: chunk index =
+    block_col // C): the matvec gathers one (C*bc)-wide row of x per
+    slot instead of C separate bc-wide gathers — the TileELL column-
+    chunk trick at block granularity. The V-cycle on block energies is
+    gather-volume bound (~8 ns per gathered slot on-chip, measured), so
+    halving the slot count nearly halves the sweep time; the price is
+    zero-fill where only one column of a pair is present.
+    """
+
+    data: jax.Array  # (n_pad, K, br, col_chunk*bc)
+    cols: jax.Array  # (n_pad, K) int32 (block col, or chunk id if C>1)
     nrows: int  # logical number of block rows
     ncols: int  # logical number of block cols
     nrows_pad: int  # padded number of block rows (= data.shape[0])
+    col_chunk: int = 1
 
     @property
     def ell_width(self) -> int:
@@ -81,6 +105,48 @@ class BlockELL:
         return spmv(self, x)
 
 
+def _chunked_pack(A, bs_r: int, bs_c: int, C: int, dtype):
+    """(data (n, K, br, C*bc), cols (n, K) chunk ids) — C adjacent block
+    columns per slot (see BlockELL.col_chunk)."""
+    import scipy.sparse as sp
+
+    if bs_r == bs_c == 1:
+        B = A.tocsr()
+        bdata = B.data.reshape(-1, 1, 1)
+        indptr, indices = B.indptr, B.indices
+        n = B.shape[0]
+    else:
+        B = sp.bsr_matrix(A, blocksize=(bs_r, bs_c))
+        bdata = B.data
+        indptr, indices = B.indptr, B.indices
+        n = B.shape[0] // bs_r
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols_b = indices.astype(np.int64)
+    cc = cols_b // C
+    # BSR column indices are ascending per row, so (row, cc) runs are
+    # contiguous: slot = rank of the (row, chunk) pair within its row
+    newp = np.ones(len(rows), dtype=bool)
+    newp[1:] = (rows[1:] != rows[:-1]) | (cc[1:] != cc[:-1])
+    gid = np.cumsum(newp) - 1
+    pair_row = rows[newp]
+    row_first = np.searchsorted(pair_row, np.arange(n, dtype=np.int64))
+    slot_pair = np.arange(len(pair_row), dtype=np.int64) - row_first[
+        pair_row
+    ]
+    slot = slot_pair[gid]
+    K = int(slot.max(initial=-1)) + 1 if len(slot) else 1
+    K = max(K, 1)
+    try:
+        data = np.zeros((n, K, bs_r, C, bs_c), dtype=np.dtype(dtype))
+    except TypeError:
+        data = np.zeros((n, K, bs_r, C, bs_c), dtype=dtype)
+    cols = np.zeros((n, K), dtype=np.int32)
+    data[rows, slot, :, cols_b % C, :] = bdata
+    cols[rows, slot] = cc.astype(np.int32)
+    return data.reshape(n, K, bs_r, C * bs_c), cols
+
+
 def from_scipy(
     A,
     bs_r: int = 1,
@@ -89,14 +155,23 @@ def from_scipy(
     row_align: int = 8,
     width: int | None = None,
     stage: bool = False,
+    col_chunk: int = 1,
 ) -> BlockELL:
     """Build a BlockELL from a host scipy matrix.
 
     ``stage=True`` keeps numpy leaves (host staging) so a whole hierarchy
     can be shipped with ONE `jax.device_put` — on remote-TPU tunnels each
-    individual transfer pays a round trip.
+    individual transfer pays a round trip. ``col_chunk`` packs that many
+    adjacent block columns per slot (single-device SQUARE operators
+    only: the matvec reshapes x by the chunk, so the vector pad must
+    divide it — row_align does).
     """
-    data, cols = _host.pad_to_ell(A, bs_r, bs_c, width=width, dtype=dtype)
+    if col_chunk > 1:
+        data, cols = _chunked_pack(A, bs_r, bs_c, col_chunk, dtype)
+    else:
+        data, cols = _host.pad_to_ell(
+            A, bs_r, bs_c, width=width, dtype=dtype
+        )
     n = data.shape[0]
     n_pad = -(-n // row_align) * row_align
     if n_pad != n:
@@ -116,6 +191,7 @@ def from_scipy(
         nrows=n,
         ncols=ncols,
         nrows_pad=n_pad,
+        col_chunk=col_chunk,
     )
 
 
@@ -125,7 +201,11 @@ def spmv(A: BlockELL, x: jax.Array) -> jax.Array:
     ``x`` may be longer than ``A.ncols`` (padded); gathered columns are always
     < ncols so padding never contaminates the product.
     """
-    xg = x[A.cols]  # (n, K, bc)
+    if A.col_chunk > 1:
+        xw = x.reshape(-1, A.col_chunk * x.shape[1])
+        xg = xw[A.cols]  # (n, K, C*bc)
+    else:
+        xg = x[A.cols]  # (n, K, bc)
     y = jnp.einsum(
         "nkij,nkj->ni", A.data, xg, preferred_element_type=A.data.dtype
     )
@@ -136,7 +216,10 @@ def spmv_rows(A: BlockELL, x: jax.Array, rows: jax.Array) -> jax.Array:
     """(A @ x) restricted to the given block rows — used by multicolor GS."""
     d = A.data[rows]  # (m, K, br, bc)
     c = A.cols[rows]  # (m, K)
-    xg = x[c]
+    if A.col_chunk > 1:
+        xg = x.reshape(-1, A.col_chunk * x.shape[1])[c]
+    else:
+        xg = x[c]
     return jnp.einsum("mkij,mkj->mi", d, xg, preferred_element_type=d.dtype)
 
 

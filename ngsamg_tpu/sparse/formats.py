@@ -216,11 +216,16 @@ def matvec_slabbed(A, x: jax.Array, nslabs: int) -> jax.Array:
         n = A.data.shape[0]
         slab = -(-n // nslabs)
         slab = -(-slab // 8) * 8
+        xw = (
+            x.reshape(-1, A.col_chunk * x.shape[1])
+            if A.col_chunk > 1
+            else x
+        )
         ys = []
         a = 0
         while a < n:
             b = min(a + slab, n)
-            xg = x[A.cols[a:b]]
+            xg = xw[A.cols[a:b]]
             ys.append(
                 jnp.einsum(
                     "nkij,nkj->ni", A.data[a:b], xg,
@@ -1052,6 +1057,7 @@ def choose_format(
     supernode_tile: int = 8,
     stage: bool = False,
     stack_chunk: int | None = None,
+    block_chunk: int | None = None,
 ):
     """Pick the fastest TPU format for one level's matrix.
 
@@ -1099,6 +1105,10 @@ def choose_format(
         return supernode_from_scipy(
             A, dtype, tile=supernode_tile, row_align=row_align, stage=stage
         )
+    # block (bs > 1) unstructured levels: chunk adjacent block columns
+    # per slot on single-device placements (the V-cycle on block
+    # energies is gather-slot bound — see BlockELL.col_chunk)
     return _bell.from_scipy(
-        A, bs, bs, dtype=dtype, row_align=row_align, stage=stage
+        A, bs, bs, dtype=dtype, row_align=row_align, stage=stage,
+        col_chunk=(block_chunk or 1),
     )
