@@ -882,3 +882,26 @@ def test_big_soc_acceptance_check():
     x, info = pc.solve(pe.b, tol=1e-8, maxiter=120)
     r = np.linalg.norm(pe.A @ x - pe.b) / np.linalg.norm(pe.b)
     assert info.converged and r < 1e-7
+
+
+@pytest.mark.parametrize("bs,C", [(1, 2), (3, 2), (3, 4)])
+def test_bell_column_chunked_spmv(bs, C):
+    """Column-chunked BlockELL (col_chunk=C): spmv parity with scipy and
+    exact to_scipy roundtrip (the knob is off by default — measured
+    slower on block energies, docs/SCALING.md — but must stay correct)."""
+    if bs == 1:
+        p = fem.unstructured_poisson(20, dim=2)
+    else:
+        p = fem.unstructured_elasticity(6, dim=3)
+    A, n = p.A.tocsr(), p.n
+    Ad = bell.from_scipy(A, bs, bs, col_chunk=C)
+    assert Ad.col_chunk == C
+    plain = bell.from_scipy(A, bs, bs)
+    assert Ad.data.shape[1] <= plain.data.shape[1]  # fewer slots
+    x = np.random.default_rng(0).standard_normal(n)
+    xd = bell.block_vec(x, bs, Ad.nrows_pad, Ad.data.dtype)
+    y = bell.flat_vec(bell.spmv(Ad, xd), Ad.nrows)
+    ref = A @ x
+    assert np.abs(np.asarray(y) - ref).max() < 2e-5 * np.abs(ref).max()
+    R = bell.to_scipy(Ad)
+    assert abs(R - A).max() < 1e-6 * abs(A).max()
