@@ -459,6 +459,33 @@ def elast_rm_diag(pos, edges, E, s):
     )
 
 
+def bsr_mm(A, B):
+    """Block-sparse Gustavson product C = A @ B for scipy BSR inputs
+    with equal square block size; returns scipy BSR (or None when the
+    extension is absent — callers fall back to scipy's scalar CSR
+    product, which does ~bs^2 more index work)."""
+    if not HAVE_NATIVE:
+        return None
+    import scipy.sparse as sp
+
+    bs = A.blocksize[0]
+    if A.blocksize != (bs, bs) or B.blocksize != (bs, bs):
+        return None
+    ncB = B.shape[1] // bs
+    ip, ix, dat = _nat.bsr_mm(
+        np.ascontiguousarray(A.indptr, dtype=np.int64),
+        np.ascontiguousarray(A.indices, dtype=np.int32),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        np.ascontiguousarray(B.indptr, dtype=np.int64),
+        np.ascontiguousarray(B.indices, dtype=np.int32),
+        np.ascontiguousarray(B.data, dtype=np.float64),
+        int(ncB),
+    )
+    return sp.bsr_matrix(
+        (dat, ix, ip), shape=(A.shape[0], B.shape[1])
+    )
+
+
 def elast_map_edge_mats(pos, cpos, edges, ce, cedges, E, s):
     """Fused coarse-edge-matrix accumulation (map_data hot loop):
     Ec[ce] += Q(m_c -> m_f)^T E Q(m_c -> m_f) over mapped fine edges, in

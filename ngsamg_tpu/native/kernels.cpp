@@ -2204,6 +2204,84 @@ PyObject *elast_rm_diag(PyObject *, PyObject *args) {
   return (PyObject *)o_d;
 }
 
+// bsr_mm(A_indptr i64 (nbr+1), A_indices i32, A_data (nnzA, bs, bs) f64,
+//        B_indptr i64, B_indices i32, B_data (nnzB, bs, bs) f64,
+//        n_col_blocks_B) -> (C_indptr i64, C_indices i32,
+//        C_data (nnzC, bs, bs)): block-sparse Gustavson product C = A B
+// with dense (bs x bs) GEMM accumulation per block pair — the block-
+// entry SpMM of the reference's MatMultABImpl (utils_sparseMM.hpp:61)
+// for the prolongation-smoothing products (scipy treats the same
+// product as scalar CSR, ~bs^2 more index work).
+PyObject *bsr_mm(PyObject *, PyObject *args) {
+  PyArrayObject *aip_o, *aix_o, *ad_o, *bip_o, *bix_o, *bd_o;
+  long long ncB;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!L", &PyArray_Type, &aip_o,
+                        &PyArray_Type, &aix_o, &PyArray_Type, &ad_o,
+                        &PyArray_Type, &bip_o, &PyArray_Type, &bix_o,
+                        &PyArray_Type, &bd_o, &ncB))
+    return nullptr;
+  const int64_t nbr = PyArray_DIM(aip_o, 0) - 1;
+  const int bs = (int)PyArray_DIM(ad_o, 1);
+  if (bs > kMaxD || (int)PyArray_DIM(bd_o, 1) != bs) {
+    PyErr_SetString(PyExc_ValueError, "bsr_mm: bad block size");
+    return nullptr;
+  }
+  auto *aip = static_cast<const int64_t *>(PyArray_DATA(aip_o));
+  auto *aix = static_cast<const int32_t *>(PyArray_DATA(aix_o));
+  auto *ad = static_cast<const double *>(PyArray_DATA(ad_o));
+  auto *bip = static_cast<const int64_t *>(PyArray_DATA(bip_o));
+  auto *bix = static_cast<const int32_t *>(PyArray_DATA(bix_o));
+  auto *bd = static_cast<const double *>(PyArray_DATA(bd_o));
+  const int dd = bs * bs;
+  std::vector<int64_t> cptr(nbr + 1, 0);
+  std::vector<int32_t> ccols;
+  std::vector<double> cdata;
+  ccols.reserve((size_t)PyArray_DIM(ad_o, 0));
+  cdata.reserve((size_t)PyArray_DIM(ad_o, 0) * dd);
+  std::vector<int64_t> mark((size_t)ncB, -1);
+  for (int64_t i = 0; i < nbr; ++i) {
+    const int64_t row_start = (int64_t)ccols.size();
+    for (int64_t e = aip[i]; e < aip[i + 1]; ++e) {
+      const int64_t k = aix[e];
+      const double *Ab = ad + e * dd;
+      for (int64_t f = bip[k]; f < bip[k + 1]; ++f) {
+        const int64_t j = bix[f];
+        const double *Bb = bd + f * dd;
+        int64_t pos = mark[j];
+        if (pos < row_start) {  // first touch of column j in this row
+          pos = (int64_t)ccols.size();
+          mark[j] = pos;
+          ccols.push_back((int32_t)j);
+          cdata.resize(cdata.size() + dd, 0.0);
+        }
+        double *Cb = cdata.data() + pos * dd;
+        for (int r = 0; r < bs; ++r)
+          for (int c = 0; c < bs; ++c) {
+            double acc = 0.0;
+            for (int t = 0; t < bs; ++t)
+              acc += Ab[r * bs + t] * Bb[t * bs + c];
+            Cb[r * bs + c] += acc;
+          }
+      }
+    }
+    cptr[i + 1] = (int64_t)ccols.size();
+  }
+  npy_intp d1[1] = {nbr + 1};
+  PyArrayObject *o_ip =
+      (PyArrayObject *)PyArray_SimpleNew(1, d1, NPY_INT64);
+  memcpy(PyArray_DATA(o_ip), cptr.data(), sizeof(int64_t) * (nbr + 1));
+  npy_intp d2[1] = {(npy_intp)ccols.size()};
+  PyArrayObject *o_ix =
+      (PyArrayObject *)PyArray_SimpleNew(1, d2, NPY_INT32);
+  memcpy(PyArray_DATA(o_ix), ccols.data(),
+         sizeof(int32_t) * ccols.size());
+  npy_intp d3[3] = {(npy_intp)ccols.size(), bs, bs};
+  PyArrayObject *o_d =
+      (PyArrayObject *)PyArray_SimpleNew(3, d3, NPY_FLOAT64);
+  memcpy(PyArray_DATA(o_d), cdata.data(), sizeof(double) * cdata.size());
+  return Py_BuildValue("(NNN)", o_ip, o_ix, o_d);
+}
+
 // elast_map_edge_mats(pos (nv,dim), cpos (nagg,dim), edges (me,2) i64,
 // ce (me,) i64, cedges (nce,2) i64, E (me,dpv,dpv), s) ->
 // Ec (nce,dpv,dpv): coarse edge matrices as Q-transported sums
@@ -2390,6 +2468,8 @@ PyMethodDef methods[] = {
      "sequential greedy graph coloring"},
     {"pencil_extreme_eig", pencil_extreme_eig_native, METH_VARARGS,
      "batched extreme eigenvalue of small symmetric pencils"},
+    {"bsr_mm", bsr_mm, METH_VARARGS,
+     "block-sparse Gustavson product C = A B (BSR)"},
     {"elast_map_edge_mats", elast_map_edge_mats, METH_VARARGS,
      "coarse edge matrices: Q-transported fine-edge energy sums"},
     {"elast_rm_diag", elast_rm_diag, METH_VARARGS,

@@ -131,7 +131,28 @@ def smoothed_prol(
     rho = _rho_estimate(Dinv_op, Ahat)
     scale = omega / max(rho, 1e-12)
 
-    P = (P_pw - scale * (Dinv_mat @ (Ahat @ P_pw))).tocsr()
+    P = None
+    if dpv > 1:
+        # native block-sparse Gustavson: scipy computes the same product
+        # as scalar CSR (~dpv^2 more index work — 37 s of the 1.25M-DoF
+        # elasticity setup profile); the block-diagonal Dinv application
+        # is one batched einsum over the product's block entries
+        from ..native import bsr_mm as _nat_bsr_mm
+
+        Ahat_b = sp.bsr_matrix(Ahat, blocksize=(dpv, dpv))
+        Ppw_b = P_pw.tobsr(blocksize=(dpv, dpv))
+        AP = _nat_bsr_mm(Ahat_b, Ppw_b)
+        if AP is not None:
+            rows = np.repeat(
+                np.arange(nf, dtype=np.int64), np.diff(AP.indptr)
+            )
+            sd = np.einsum("nij,njk->nik", Dinv_b[rows], AP.data)
+            S = sp.bsr_matrix(
+                (sd, AP.indices, AP.indptr), shape=AP.shape
+            )
+            P = (P_pw.tocsr() - scale * S.tocsr()).tocsr()
+    if P is None:
+        P = (P_pw - scale * (Dinv_mat @ (Ahat @ P_pw))).tocsr()
 
     classic = None
     if A is not None and row_bs == dpv and max_classic and max_classic > 1:
@@ -164,7 +185,28 @@ def smoothed_prol(
         else:
             rho_r = _rho_estimate(lambda x: DinvA @ x, Ar, seed=1)
             scale_r = omega / max(rho_r, 1e-12)
-        P_real = (P_pw - scale_r * (DinvA @ (Ar @ P_pw))).tocsr()
+        P_real = None
+        if dpv > 1:
+            from ..native import bsr_mm as _nat_bsr_mm
+
+            ArP = _nat_bsr_mm(
+                sp.bsr_matrix(Ar, blocksize=(dpv, dpv)),
+                P_pw.tobsr(blocksize=(dpv, dpv)),
+            )
+            if ArP is not None:
+                rows = np.repeat(
+                    np.arange(nf, dtype=np.int64), np.diff(ArP.indptr)
+                )
+                sd = np.einsum(
+                    "nij,njk->nik", np.asarray(DinvA.data)[rows],
+                    ArP.data,
+                )
+                S = sp.bsr_matrix(
+                    (sd, ArP.indices, ArP.indptr), shape=ArP.shape
+                )
+                P_real = (P_pw.tocsr() - scale_r * S.tocsr()).tocsr()
+        if P_real is None:
+            P_real = (P_pw - scale_r * (DinvA @ (Ar @ P_pw))).tocsr()
         sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
         inv = sp.diags(np.repeat((~classic).astype(np.float64), dpv))
         P = (sel @ P_real + inv @ P).tocsr()
