@@ -905,3 +905,29 @@ def test_bell_column_chunked_spmv(bs, C):
     assert np.abs(np.asarray(y) - ref).max() < 2e-5 * np.abs(ref).max()
     R = bell.to_scipy(Ad)
     assert abs(R - A).max() < 1e-6 * abs(A).max()
+
+
+def test_native_bsr_mm_matches_scipy():
+    """Native block-sparse Gustavson product == scipy scalar product."""
+    import ngsamg_tpu.native as nat
+
+    if not nat.HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    p = fem.unstructured_elasticity(7, dim=3)
+    A = sp.bsr_matrix(p.A, blocksize=(3, 3))
+    rng = np.random.default_rng(0)
+    nb = p.n // 3
+    nc = max(nb // 4, 1)
+    Pb = sp.bsr_matrix(
+        (
+            rng.standard_normal((nb, 3, 3)),
+            rng.integers(0, nc, nb).astype(np.int32),
+            np.arange(nb + 1),
+        ),
+        shape=(p.n, nc * 3),
+    )
+    C1 = nat.bsr_mm(A, Pb)
+    C2 = (A.tocsr() @ Pb.tocsr()).tocsr()
+    d = abs(C1.tocsr() - C2)
+    assert (d.max() if d.nnz else 0.0) < 1e-12 * abs(C2).max()
+    assert C1.tocsr().nnz == C2.nnz
