@@ -103,7 +103,8 @@ def smoothed_prol(
         )
         if P is not None:
             return P
-    Ahat = energy.replacement_matrix(mesh_f).tocsr()
+    Ahat_raw = energy.replacement_matrix(mesh_f)
+    Ahat = Ahat_raw.tocsr()
     nf = mesh_f.nv
 
     # block-diagonal inverse of A-hat
@@ -139,7 +140,13 @@ def smoothed_prol(
         # is one batched einsum over the product's block entries
         from ..native import bsr_mm as _nat_bsr_mm
 
-        Ahat_b = sp.bsr_matrix(Ahat, blocksize=(dpv, dpv))
+        Ahat_b = (
+            Ahat_raw
+            if sp.issparse(Ahat_raw)
+            and Ahat_raw.format == "bsr"
+            and Ahat_raw.blocksize == (dpv, dpv)
+            else sp.bsr_matrix(Ahat, blocksize=(dpv, dpv))
+        )
         Ppw_b = P_pw.tobsr(blocksize=(dpv, dpv))
         AP = _nat_bsr_mm(Ahat_b, Ppw_b)
         if AP is not None:
