@@ -577,6 +577,12 @@ def setup_levels(
         # became -7.8e-9, Cholesky then "succeeded" with a garbage inverse
         # (||A_c^-1 A_c - I|| = 735) and the f32 cycle went indefinite
         # (740 PCG iterations at 6k DoF, divergence at 1.25M).
+        # NOTE: the block (bsr_mm) RAP route was MEASURED SLOWER here
+        # (67 s vs 38.7 s at 1.25M-DoF elasticity): the fused scalar
+        # rap_csr kernel needs no CSR<->BSR conversions and symmetrizes
+        # in-kernel, while the block route pays ~42 s of conversions
+        # around its 24.6 s of products. bsr_mm wins only where BSR
+        # handles already exist (the prolongation smoothing).
         Ac = rap(cur.A, P, dtype=np.float64)
         cur.P = P
         cur.v2agg = v2agg

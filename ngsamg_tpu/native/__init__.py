@@ -461,17 +461,18 @@ def elast_rm_diag(pos, edges, E, s):
 
 def bsr_mm(A, B):
     """Block-sparse Gustavson product C = A @ B for scipy BSR inputs
-    with equal square block size; returns scipy BSR (or None when the
-    extension is absent — callers fall back to scipy's scalar CSR
-    product, which does ~bs^2 more index work)."""
+    with compatible (possibly rectangular) block sizes; returns scipy
+    BSR (or None when the extension is absent — callers fall back to
+    scipy's scalar CSR product, which does ~bs^2 more index work)."""
     if not HAVE_NATIVE:
         return None
     import scipy.sparse as sp
 
-    bs = A.blocksize[0]
-    if A.blocksize != (bs, bs) or B.blocksize != (bs, bs):
+    ra, ca = A.blocksize
+    if B.blocksize[0] != ca:
         return None
-    ncB = B.shape[1] // bs
+    cbk = B.blocksize[1]
+    ncB = B.shape[1] // cbk
     ip, ix, dat = _nat.bsr_mm(
         np.ascontiguousarray(A.indptr, dtype=np.int64),
         np.ascontiguousarray(A.indices, dtype=np.int32),

@@ -2221,9 +2221,12 @@ PyObject *bsr_mm(PyObject *, PyObject *args) {
                         &PyArray_Type, &bd_o, &ncB))
     return nullptr;
   const int64_t nbr = PyArray_DIM(aip_o, 0) - 1;
-  const int bs = (int)PyArray_DIM(ad_o, 1);
-  if (bs > kMaxD || (int)PyArray_DIM(bd_o, 1) != bs) {
-    PyErr_SetString(PyExc_ValueError, "bsr_mm: bad block size");
+  const int ra = (int)PyArray_DIM(ad_o, 1);   // A blocks (ra x ca)
+  const int ca = (int)PyArray_DIM(ad_o, 2);
+  const int cb = (int)PyArray_DIM(bd_o, 2);   // B blocks (ca x cb)
+  if (ra > kMaxD || ca > kMaxD || cb > kMaxD ||
+      (int)PyArray_DIM(bd_o, 1) != ca) {
+    PyErr_SetString(PyExc_ValueError, "bsr_mm: bad block sizes");
     return nullptr;
   }
   auto *aip = static_cast<const int64_t *>(PyArray_DATA(aip_o));
@@ -2232,35 +2235,35 @@ PyObject *bsr_mm(PyObject *, PyObject *args) {
   auto *bip = static_cast<const int64_t *>(PyArray_DATA(bip_o));
   auto *bix = static_cast<const int32_t *>(PyArray_DATA(bix_o));
   auto *bd = static_cast<const double *>(PyArray_DATA(bd_o));
-  const int dd = bs * bs;
+  const int dda = ra * ca, ddb = ca * cb, ddc = ra * cb;
   std::vector<int64_t> cptr(nbr + 1, 0);
   std::vector<int32_t> ccols;
   std::vector<double> cdata;
   ccols.reserve((size_t)PyArray_DIM(ad_o, 0));
-  cdata.reserve((size_t)PyArray_DIM(ad_o, 0) * dd);
+  cdata.reserve((size_t)PyArray_DIM(ad_o, 0) * ddc);
   std::vector<int64_t> mark((size_t)ncB, -1);
   for (int64_t i = 0; i < nbr; ++i) {
     const int64_t row_start = (int64_t)ccols.size();
     for (int64_t e = aip[i]; e < aip[i + 1]; ++e) {
       const int64_t k = aix[e];
-      const double *Ab = ad + e * dd;
+      const double *Ab = ad + e * dda;
       for (int64_t f = bip[k]; f < bip[k + 1]; ++f) {
         const int64_t j = bix[f];
-        const double *Bb = bd + f * dd;
+        const double *Bb = bd + f * ddb;
         int64_t pos = mark[j];
         if (pos < row_start) {  // first touch of column j in this row
           pos = (int64_t)ccols.size();
           mark[j] = pos;
           ccols.push_back((int32_t)j);
-          cdata.resize(cdata.size() + dd, 0.0);
+          cdata.resize(cdata.size() + ddc, 0.0);
         }
-        double *Cb = cdata.data() + pos * dd;
-        for (int r = 0; r < bs; ++r)
-          for (int c = 0; c < bs; ++c) {
+        double *Cb = cdata.data() + pos * ddc;
+        for (int r = 0; r < ra; ++r)
+          for (int c = 0; c < cb; ++c) {
             double acc = 0.0;
-            for (int t = 0; t < bs; ++t)
-              acc += Ab[r * bs + t] * Bb[t * bs + c];
-            Cb[r * bs + c] += acc;
+            for (int t = 0; t < ca; ++t)
+              acc += Ab[r * ca + t] * Bb[t * cb + c];
+            Cb[r * cb + c] += acc;
           }
       }
     }
@@ -2275,7 +2278,7 @@ PyObject *bsr_mm(PyObject *, PyObject *args) {
       (PyArrayObject *)PyArray_SimpleNew(1, d2, NPY_INT32);
   memcpy(PyArray_DATA(o_ix), ccols.data(),
          sizeof(int32_t) * ccols.size());
-  npy_intp d3[3] = {(npy_intp)ccols.size(), bs, bs};
+  npy_intp d3[3] = {(npy_intp)ccols.size(), ra, cb};
   PyArrayObject *o_d =
       (PyArrayObject *)PyArray_SimpleNew(3, d3, NPY_FLOAT64);
   memcpy(PyArray_DATA(o_d), cdata.data(), sizeof(double) * cdata.size());

@@ -931,3 +931,28 @@ def test_native_bsr_mm_matches_scipy():
     d = abs(C1.tocsr() - C2)
     assert (d.max() if d.nnz else 0.0) < 1e-12 * abs(C2).max()
     assert C1.tocsr().nnz == C2.nnz
+
+
+def test_block_rap_matches_scalar():
+    """rap(bs_r, bs_c) block route (rectangular 3x6 + square 6x6
+    bsr_mm composition) == the scalar kernel."""
+    import ngsamg_tpu.native as nat
+
+    if not nat.HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    p = fem.unstructured_elasticity(6, dim=3)
+    rng = np.random.default_rng(0)
+    nb = p.n // 3
+    nc = max(nb // 4, 1)
+    Pb = sp.bsr_matrix(
+        (
+            rng.standard_normal((nb, 3, 6)),
+            rng.integers(0, nc, nb).astype(np.int32),
+            np.arange(nb + 1),
+        ),
+        shape=(p.n, nc * 6),
+    )
+    C1 = rap(p.A, Pb, dtype=np.float64, bs_r=3, bs_c=6)
+    C2 = rap(p.A, Pb.tocsr(), dtype=np.float64)
+    d = abs(C1 - C2)
+    assert (d.max() if d.nnz else 0.0) < 1e-11 * abs(C2).max()
