@@ -60,7 +60,7 @@ _BUDGET_S = float(os.environ.get("NGSAMG_BENCH_BUDGET_S", "480"))
 # started leg should also finish inside the window
 _LEG_EST_S = {
     "unstructured": 300.0,
-    "elasticity": 600.0,
+    "elasticity": 450.0,  # one setup rep (~250 s quiet) + solves
     "stokes": 150.0,
     "gs": 400.0,
 }
@@ -362,7 +362,14 @@ def main():
             esm = os.environ.get("NGSAMG_BENCH_ELAST_SM", "chebyshev")
             eopts.smoother.type = SpecOpt(SmootherType(esm))
             te_setup = te_solve = float("inf")
-            for _rep in range(max(repeats, 1)):
+            # default ONE rep: this leg's headline value is the
+            # iteration count (deterministic); a second ~250 s
+            # host-bound setup doubles the leg's wall for timing
+            # polish only (override with NGSAMG_BENCH_ELAST_REPEATS)
+            ereps = int(
+                os.environ.get("NGSAMG_BENCH_ELAST_REPEATS", "1")
+            )
+            for _rep in range(max(ereps, 1)):
                 t0 = time.perf_counter()
                 epc = AMGPreconditioner(
                     ep.A, energy="elasticity", block_size=edim,
