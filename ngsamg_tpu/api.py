@@ -33,7 +33,17 @@ class _AMGClass(AMGPreconditioner):
     _energy = "h1"
     _block_size = 1
 
-    def __init__(self, A, coords=None, freedofs=None, **flags):
+    def __init__(self, A=None, coords=None, freedofs=None, **flags):
+        if A is None:
+            # the reference's two-phase lifecycle (amg_pc.cpp:375-420):
+            # construct first, InitLevel(freedofs) captures the free-DOF
+            # set, FinalizeLevel(mat) receives the assembled matrix and
+            # builds
+            self._pending = {
+                "coords": coords, "freedofs": freedofs, "flags": flags,
+            }
+            return
+        self._pending = None
         super().__init__(
             A,
             energy=self._energy,
@@ -43,6 +53,43 @@ class _AMGClass(AMGPreconditioner):
             **flags,
         )
         self.setup()
+
+    # -- lifecycle (BaseAMGPC::InitLevel/FinalizeLevel, amg_pc.cpp) -----
+    def InitLevel(self, freedofs=None):
+        """Capture the free-DOF set before the matrix arrives
+        (`BaseAMGPC::InitLevel`, amg_pc.cpp:375)."""
+        if getattr(self, "_pending", None) is None:
+            raise RuntimeError(
+                "InitLevel: construct with A=None for the two-phase "
+                "lifecycle"
+            )
+        self._pending["freedofs"] = freedofs
+
+    def FinalizeLevel(self, mat):
+        """Receive the assembled matrix and build the AMG hierarchy
+        (`BaseAMGPC::FinalizeLevel` -> `Finalize` -> `BuildAMGMat`,
+        amg_pc.cpp:420-565)."""
+        p = getattr(self, "_pending", None)
+        if p is None:
+            raise RuntimeError("FinalizeLevel: already finalized")
+        self._pending = None
+        AMGPreconditioner.__init__(
+            self,
+            mat,
+            energy=self._energy,
+            block_size=self._block_size,
+            coords=p["coords"],
+            freedofs=p["freedofs"],
+            **p["flags"],
+        )
+        self.setup()
+
+    def RegularizeMatrix(self, mat, block_size: int | None = None):
+        """Kernel-stabilize near-singular diagonal blocks (`RegTM` /
+        `RegularizeMatrix`, elasticity_pc_impl.hpp:139)."""
+        return RegularizeMatrix(
+            mat, block_size or self._block_size
+        )
 
     # -- introspection (python_amg.hpp:30-105) --------------------------
     def GetNLevels(self, rank: int = 0) -> int:
@@ -365,6 +412,49 @@ class DOFMap:
 
     def __getitem__(self, k):
         return self.steps[k].P
+
+
+def RegularizeMatrix(mat, block_size: int = 1) -> sp.csr_matrix:
+    """Kernel-stabilize near-singular diagonal blocks.
+
+    The `RegTM`/`RegularizeMatrix` analog (utils_denseLA.hpp `RegTM`,
+    elasticity_pc_impl.hpp:139): rotation-free elasticity matrices carry
+    singular (or near-singular) diagonal blocks whose null modes destroy
+    direct coarse inverses. Per diagonal block, eigenvalues below
+    ``tol * lam_max`` are lifted to that floor (the block's eigenbasis is
+    kept), which regularizes exactly the deficient subspace.
+    """
+    A = mat.tocsr().astype(np.float64)
+    bs = int(block_size)
+    if bs <= 1:
+        d = A.diagonal().copy()
+        scale = max(float(np.abs(d).max(initial=0.0)), 1e-300)
+        fix = np.abs(d) < 1e-10 * scale
+        if fix.any():
+            A = A + sp.diags(np.where(fix, 1e-10 * scale, 0.0))
+        return A.tocsr()
+    from .sparse.host import block_diagonal_fast
+
+    n = A.shape[0] // bs
+    D = block_diagonal_fast(A, bs)
+    w, V = np.linalg.eigh(D)
+    lam_max = np.maximum(w.max(axis=1), 1e-300)
+    floor = 1e-10 * lam_max[:, None]
+    w_fix = np.maximum(w, floor)
+    delta = np.einsum(
+        "nij,nj,nkj->nik", V, w_fix - w, V
+    )
+    rows = np.repeat(np.arange(n) * bs, bs * bs)
+    ri = rows + np.tile(
+        np.repeat(np.arange(bs), bs), n
+    )
+    ci = rows + np.tile(np.tile(np.arange(bs), bs), n)
+    return (
+        A
+        + sp.coo_matrix(
+            (delta.ravel(), (ri, ci)), shape=A.shape
+        ).tocsr()
+    ).tocsr()
 
 
 def SparseMM(A, B):

@@ -188,3 +188,31 @@ def test_per_level_two_grid_bounds():
     assert len(bounds) == pc.num_levels
     for lo, hi in bounds:
         assert 0.15 < lo <= hi < 1.3, bounds
+
+
+def test_api_lifecycle_and_regularize():
+    """Reference export surface: the two-phase InitLevel/FinalizeLevel
+    lifecycle (amg_pc.cpp:375-420) and RegularizeMatrix (RegTM /
+    elasticity_pc_impl.hpp:139)."""
+    import numpy as np
+
+    from ngsamg_tpu.api import RegularizeMatrix, h1_scal
+    from ngsamg_tpu.sparse.host import block_diagonal_fast
+    from ngsamg_tpu.utils import fem
+
+    p = fem.poisson_2d(24)
+    pc = h1_scal(None)
+    pc.InitLevel(freedofs=None)
+    pc.FinalizeLevel(p.A)
+    x, info = pc.solve(p.b, tol=1e-8)
+    r = np.linalg.norm(p.A @ x - p.b) / np.linalg.norm(p.b)
+    assert info.converged and r < 1e-7
+
+    pe = fem.unstructured_elasticity(6, dim=2)
+    A = pe.A.tolil()
+    A[0, 0] = 0.0  # deficient diagonal block
+    A = A.tocsr()
+    R = RegularizeMatrix(A, block_size=2)
+    w = np.linalg.eigvalsh(block_diagonal_fast(R, 2))
+    assert (w > 0).all()
+    assert abs(R - A).nnz <= 4  # only the deficient block touched
