@@ -229,7 +229,7 @@ def main():
             "n_dof": prob.n,
             "iterations": int(info.iterations),
             "relres": float(r),
-            "converged": bool(info.converged and r < 10 * tol),
+            "converged": bool(info.converged and r < tol),
             "levels": n_levels,
             "operator_complexity": round(op_complexity, 3),
             "setup_s": round(t_setup, 3),
@@ -311,7 +311,7 @@ def main():
                 "n_dof": up.n,
                 "iterations": int(uinfo.iterations),
                 "relres": float(ur),
-                "converged": bool(uinfo.converged and ur < 10 * tol),
+                "converged": bool(uinfo.converged and ur < tol),
                 "setup_s": round(tu_setup, 3),
                 "setup_us_per_dof": round(1e6 * tu_setup / up.n, 2),
                 "solve_s": round(tu_solve, 3),
@@ -379,14 +379,19 @@ def main():
                 if _rep == 0:
                     epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
                 t0 = time.perf_counter()
-                ex, einfo = epc.solve(ep.b, tol=tol, maxiter=120, mixed=True)
+                # mixed-precision recurrence drift leaves the TRUE residual ~1.3x
+                # the device estimate: solve to 0.5*tol so the strict
+                # host-verified check below holds without slack
+                ex, einfo = epc.solve(
+                    ep.b, tol=0.5 * tol, maxiter=120, mixed=True
+                )
                 te_solve = min(te_solve, time.perf_counter() - t0)
             er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
             em.result["extra"]["elasticity"] = {
                 "n_dof": ep.n,
                 "iterations": int(einfo.iterations),
                 "relres": float(er),
-                "converged": bool(einfo.converged and er < 10 * tol),
+                "converged": bool(einfo.converged and er < tol),
                 "setup_s": round(te_setup, 3),
                 "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
                 "solve_s": round(te_solve, 3),
@@ -450,7 +455,7 @@ def main():
                 "n_dof": sprob.A.shape[0],
                 "iterations": int(sinfo.iterations),
                 "relres": float(sr),
-                "converged": bool(sinfo.converged and sr < 10 * tol),
+                "converged": bool(sinfo.converged and sr < tol),
                 "setup_s": round(ts_setup, 3),
                 "solve_s": round(ts_solve, 3),
                 "dofs_per_s": round(
@@ -499,7 +504,7 @@ def main():
                 gs[sm] = {
                     "iterations": int(ginfo.iterations),
                     "relres": float(gr),
-                    "converged": bool(ginfo.converged and gr < 10 * tol),
+                    "converged": bool(ginfo.converged and gr < tol),
                     "setup_s": round(tg_setup, 3),
                     "solve_s": round(tg_solve, 3),
                     "dofs_per_s": round(gp.n / (tg_setup + tg_solve), 1),

@@ -441,14 +441,19 @@ def RegularizeMatrix(mat, block_size: int = 1) -> sp.csr_matrix:
     lam_max = np.maximum(w.max(axis=1), 1e-300)
     floor = 1e-10 * lam_max[:, None]
     w_fix = np.maximum(w, floor)
+    # only deficient blocks contribute a delta — emitting the full
+    # block-diagonal COO would inflate every diagonal block's stored nnz
+    # with explicit zeros
+    bad = (w_fix != w).any(axis=1)
+    if not bad.any():
+        return A
+    nb = int(bad.sum())
     delta = np.einsum(
-        "nij,nj,nkj->nik", V, w_fix - w, V
+        "nij,nj,nkj->nik", V[bad], (w_fix - w)[bad], V[bad]
     )
-    rows = np.repeat(np.arange(n) * bs, bs * bs)
-    ri = rows + np.tile(
-        np.repeat(np.arange(bs), bs), n
-    )
-    ci = rows + np.tile(np.tile(np.arange(bs), bs), n)
+    rows = np.repeat(np.flatnonzero(bad) * bs, bs * bs)
+    ri = rows + np.tile(np.repeat(np.arange(bs), bs), nb)
+    ci = rows + np.tile(np.tile(np.arange(bs), bs), nb)
     return (
         A
         + sp.coo_matrix(

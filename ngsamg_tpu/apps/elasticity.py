@@ -73,6 +73,7 @@ class ElasticityEnergy(Energy):
     """
 
     default_robust = True  # ENABLE_ROBUST_ELASTICITY_COARSENING analog
+    transport_kind = "rigid"  # native truncate_prol kernel dispatch
 
     def __init__(self, dim: int, rot_scale: float | str = "auto"):
         # goal-driven coarsening default for 3D (reference per-app
@@ -230,6 +231,15 @@ class ElasticityEnergy(Energy):
         """
         nv, dpv = mesh.nv, self.dpv
         i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+        fused = native.elast_ahat_bsr(
+            mesh.vertex_data["pos"], mesh.edges, mesh.edge_data["mat"],
+            self._s, mesh.vertex_data["l2wt"],
+        )
+        if fused is not None:
+            # rigid edge blocks scattered straight into sorted BSR —
+            # no (ne, dpv, dpv) temporaries (bitwise equal to the
+            # rigid_edge_blocks + bsr_from_edge_blocks pipeline below)
+            return fused
         Bii, Bij, Bji, Bjj = self._edge_rm_blocks(mesh)
 
         vwt = mesh.vertex_data["l2wt"]

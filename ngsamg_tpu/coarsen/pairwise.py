@@ -202,6 +202,7 @@ def big_soc_vet(
     partner: np.ndarray,
     rho: float,
     max_members: int = 16,
+    Dfull: np.ndarray | None = None,
 ) -> np.ndarray:
     """Agglomerate-wide stability acceptance check (`bigSOC`).
 
@@ -261,7 +262,8 @@ def big_soc_vet(
     pos = mesh.vertex_data["pos"]
     E = mesh.edge_data["mat"]
     edges = mesh.edges
-    Dfull = energy.aux_diagonal(mesh)
+    if Dfull is None:  # caller may hoist this out of the round loop
+        Dfull = energy.aux_diagonal(mesh)
 
     # edges interior to a pair's union
     ei, ej = edges[:, 0], edges[:, 1]
@@ -395,6 +397,13 @@ def spw_aggregate_energy(
     # the fused native round reads the mesh's l2wt, so the scalar stab
     # retention (applied in map_data) composes with it unchanged
     fast_round = None if use_robust else getattr(energy, "spw_round", None)
+    # big-SOC vets on the FINE mesh: its full aux diagonal is
+    # round-invariant, compute it once outside the round loop
+    big_soc_D = (
+        energy.aux_diagonal(mesh)
+        if big_soc and rounds > 1 and hasattr(energy, "transport")
+        else None
+    )
     for _round in range(rounds):
         if aaf is not None and n_cur <= aaf * n0:
             break
@@ -428,6 +437,7 @@ def spw_aggregate_energy(
                 v2c,
                 partner,
                 theta if big_soc_rho is None else float(big_soc_rho),
+                Dfull=big_soc_D,
             )
         c2agg, n_agg = aggregates_from_partner(partner, cur_active)
         if n_agg >= n_cur or n_agg == 0:

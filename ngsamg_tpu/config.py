@@ -209,7 +209,13 @@ class SmootherOptions:
     steps: SpecLike = 1  # number of pre/post sweeps (amg_pc.hpp:67 sm_steps)
     symmetric: SpecLike = True  # forward pre-sweep + backward post-sweep
     omega: SpecLike = 1.0  # damping for jacobi-type smoothers
-    cheby_order: SpecLike = 3
+    # Chebyshev polynomial order; None = auto per energy: 3 for scalar
+    # levels, 5 for block (elasticity) levels — the measured defaults that
+    # land Poisson at peak throughput and 3D elasticity INSIDE the
+    # reference's <40-iteration budget (36 iters at 1.25M DoF,
+    # docs/SCALING.md; budget: /root/reference/tests/elasticity/mdim/
+    # simple/test_3d_lo.py:5-11)
+    cheby_order: SpecLike = None
     # fraction of lambda_max where the chebyshev window starts
     cheby_lower: SpecLike = 0.30
 

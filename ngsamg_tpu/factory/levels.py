@@ -577,13 +577,35 @@ def setup_levels(
         # became -7.8e-9, Cholesky then "succeeded" with a garbage inverse
         # (||A_c^-1 A_c - I|| = 735) and the f32 cycle went indefinite
         # (740 PCG iterations at 6k DoF, divergence at 1.25M).
-        # NOTE: the block (bsr_mm) RAP route was MEASURED SLOWER here
-        # (67 s vs 38.7 s at 1.25M-DoF elasticity): the fused scalar
-        # rap_csr kernel needs no CSR<->BSR conversions and symmetrizes
-        # in-kernel, while the block route pays ~42 s of conversions
-        # around its 24.6 s of products. bsr_mm wins only where BSR
-        # handles already exist (the prolongation smoothing).
-        Ac = rap(cur.A, P, dtype=np.float64)
+        Ac = None
+        if energy.dpv > 1 and sp.issparse(P) and P.format == "bsr" \
+                and P.blocksize == (cur.row_bs, energy.dpv):
+            # fused conversion-free BLOCK RAP (native rap_bsr): the BSR
+            # view of A is cached (to_bsr — the finest level's was built
+            # by build_finest_mesh already), the coarse BSR is seeded
+            # into the coarse CSR's cache so every downstream block
+            # consumer (pack, diagonals, classic rows) skips csr_tobsr.
+            # Round 4's composed bsr_mm route measured SLOWER than the
+            # scalar kernel (67 s vs 38.7 s at 1.25M elasticity) because
+            # of the CSR<->BSR conversions around it; the fused kernel
+            # eliminates both (reference RestrictMatrix,
+            # utils_sparseMM.hpp:94-108 per-block-size instantiations).
+            from .. import native as _native
+            from ..sparse.host import to_bsr
+
+            A_b = to_bsr(cur.A, cur.row_bs)
+            Ac_b = _native.rap_bsr(A_b, P)
+            if Ac_b is not None:
+                Ac = Ac_b.tocsr()
+                # scalar zero-pruning parity with the scalar rap kernel
+                # (block storage keeps explicit zeros inside blocks;
+                # e.g. vector-H1 kron blocks are diagonal) — the
+                # distributed path's nnz must match (test_dist_setup)
+                Ac.eliminate_zeros()
+                Ac.has_canonical_format = True
+                Ac._amg_bsr_cache = (energy.dpv, Ac_b)
+        if Ac is None:
+            Ac = rap(cur.A, P, dtype=np.float64)
         cur.P = P
         cur.v2agg = v2agg
         levels.append(

@@ -522,6 +522,104 @@ def elast_soc_robust(pos, edges, E, D, s, tol=1e-10, reduction="min"):
     )
 
 
+def rap_bsr(A, P, nc_blocks=None, symmetrize=True):
+    """Fused block-entry Galerkin triple product C = P^T A P for scipy
+    BSR inputs (A: (br,br) blocks, P: (br,bc) blocks) with in-kernel
+    block symmetrization; returns scipy BSR with (bc,bc) blocks, or
+    None when the extension is absent (transfer/galerkin.rap)."""
+    if not HAVE_NATIVE or not hasattr(_nat, "rap_bsr"):
+        return None
+    import scipy.sparse as sp
+
+    br, br2 = A.blocksize
+    brp, bc = P.blocksize
+    if br != br2 or brp != br:
+        return None
+    ncb = nc_blocks if nc_blocks is not None else P.shape[1] // bc
+    ip, ix, dat = _nat.rap_bsr(
+        np.ascontiguousarray(A.indptr, dtype=np.int64),
+        np.ascontiguousarray(A.indices, dtype=np.int32),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        np.ascontiguousarray(P.indptr, dtype=np.int64),
+        np.ascontiguousarray(P.indices, dtype=np.int32),
+        np.ascontiguousarray(P.data, dtype=np.float64),
+        int(ncb),
+        1 if symmetrize else 0,
+    )
+    return sp.bsr_matrix(
+        (dat, ix, ip), shape=(ncb * bc, ncb * bc)
+    )
+
+
+def truncate_prol_blocks(P, pos_c, s, max_per_row, min_frac):
+    """Fan-out-bounded kernel-preserving truncation of a block
+    prolongation (scipy BSR, sorted indices); ``pos_c`` None = identity
+    transport; returns truncated scipy BSR or None when the extension
+    is absent (transfer/prolongation.truncate_prol)."""
+    if not HAVE_NATIVE or not hasattr(_nat, "truncate_prol_blocks"):
+        return None
+    import scipy.sparse as sp
+
+    d = P.blocksize[0]
+    if P.blocksize[1] != d:
+        return None
+    ip, ix, dat = _nat.truncate_prol_blocks(
+        np.ascontiguousarray(P.indptr, dtype=np.int64),
+        np.ascontiguousarray(P.indices, dtype=np.int32),
+        np.ascontiguousarray(P.data, dtype=np.float64),
+        None
+        if pos_c is None
+        else np.ascontiguousarray(pos_c, dtype=np.float64),
+        float(s),
+        int(max_per_row),
+        float(min_frac),
+    )
+    return sp.bsr_matrix((dat, ix, ip), shape=P.shape)
+
+
+def elast_ahat_bsr(pos, edges, E, s, l2):
+    """Fully fused elasticity replacement-matrix assembly (rigid edge
+    blocks scattered straight into sorted BSR + l2 displacement
+    diagonal); None when the extension is absent
+    (apps/elasticity.replacement_matrix)."""
+    if not HAVE_NATIVE or not hasattr(_nat, "elast_ahat_bsr"):
+        return None
+    import scipy.sparse as sp
+
+    d = E.shape[1]
+    nv = len(l2)
+    indptr, indices, blocks = _nat.elast_ahat_bsr(
+        np.ascontiguousarray(pos, dtype=np.float64),
+        np.ascontiguousarray(edges, dtype=np.int64),
+        np.ascontiguousarray(E, dtype=np.float64),
+        float(s),
+        np.ascontiguousarray(l2, dtype=np.float64),
+    )
+    return sp.bsr_matrix(
+        (blocks, indices, indptr), shape=(nv * d, nv * d)
+    )
+
+
+def rho_power(A, Dinv, x0, iters):
+    """Power-iteration rho(D^-1 A) on a scalar CSR or block BSR with
+    block-diagonal Dinv; None when the extension is absent
+    (prolongation._rho_estimate / smoothers/build._lam_max_estimate)."""
+    if not HAVE_NATIVE or not hasattr(_nat, "rho_power"):
+        return None
+    data = A.data
+    if data.ndim == 3:
+        data = np.ascontiguousarray(data, dtype=np.float64)
+    else:
+        data = np.ascontiguousarray(data.ravel(), dtype=np.float64)
+    indptr, indices = _csr_idx(A.indptr, A.indices)
+    return _nat.rho_power(
+        indptr, indices, data,
+        np.ascontiguousarray(Dinv, dtype=np.float64),
+        np.ascontiguousarray(x0, dtype=np.float64),
+        int(iters),
+    )
+
+
 def rigid_edge_blocks(pos, edges, E, s):
     """Fused per-edge replacement-matrix blocks (Bii, Bij, Bji, Bjj);
     None when the extension is absent (_edge_rm_blocks hot path)."""

@@ -2267,6 +2267,34 @@ PyObject *bsr_mm(PyObject *, PyObject *args) {
           }
       }
     }
+    // emit ascending-column rows (first-touch order is arbitrary;
+    // downstream truncation/merging relies on sorted BSR)
+    const int64_t row_len = (int64_t)ccols.size() - row_start;
+    if (row_len > 1) {
+      std::vector<std::pair<int32_t, int64_t>> ord;
+      ord.reserve((size_t)row_len);
+      for (int64_t k = 0; k < row_len; ++k)
+        ord.emplace_back(ccols[(size_t)(row_start + k)], k);
+      bool sorted = true;
+      for (int64_t k = 1; k < row_len; ++k)
+        if (ord[(size_t)k].first < ord[(size_t)(k - 1)].first) {
+          sorted = false;
+          break;
+        }
+      if (!sorted) {
+        std::sort(ord.begin(), ord.end());
+        std::vector<double> tmp(
+            cdata.begin() + row_start * ddc,
+            cdata.begin() + (row_start + row_len) * ddc);
+        for (int64_t k = 0; k < row_len; ++k) {
+          ccols[(size_t)(row_start + k)] = ord[(size_t)k].first;
+          const int64_t src = ord[(size_t)k].second;
+          std::copy(tmp.begin() + src * ddc,
+                    tmp.begin() + (src + 1) * ddc,
+                    cdata.begin() + (row_start + k) * ddc);
+        }
+      }
+    }
     cptr[i + 1] = (int64_t)ccols.size();
   }
   npy_intp d1[1] = {nbr + 1};
@@ -2466,6 +2494,595 @@ PyObject *csr_sym_scale(PyObject *, PyObject *args) {
   });
 }
 
+// ---------------------------------------------------------------------
+// rap_bsr(A_indptr i64, A_indices i32, A_data (nnzA, br, br) f64,
+//         P_indptr i64, P_indices i32, P_data (nnzP, br, bc) f64,
+//         ncb, symmetrize) -> (C_indptr i64, C_indices i32,
+//         C_data (nnzC, bc, bc) f64)
+//
+// Fused block-entry Galerkin triple product C = P^T A P — the
+// per-block-size `RestrictMatrix` instantiations of the reference
+// (utils_sparseMM.hpp:94-108) as ONE conversion-free kernel: block
+// Gustavson AP = A@P with a dense per-row block accumulator, P^T by
+// counting sort, second block Gustavson, and (C + C^T)/2 in-kernel
+// (mirror blocks averaged with their transposes). ~br*bc less index
+// work than the scalar rap_csr on block-energy levels, and no
+// CSR<->BSR conversions around it (the composed scipy route measured
+// 67 s vs 38.7 s scalar at 1.25M-DoF elasticity; this kernel replaces
+// both).
+// ---------------------------------------------------------------------
+PyObject *rap_bsr(PyObject *, PyObject *args) {
+  PyArrayObject *aip_o, *aix_o, *ad_o, *pip_o, *pix_o, *pd_o;
+  long long ncb_l;
+  int symmetrize = 1;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!L|i", &PyArray_Type, &aip_o,
+                        &PyArray_Type, &aix_o, &PyArray_Type, &ad_o,
+                        &PyArray_Type, &pip_o, &PyArray_Type, &pix_o,
+                        &PyArray_Type, &pd_o, &ncb_l, &symmetrize))
+    return nullptr;
+  const int64_t n = PyArray_DIM(aip_o, 0) - 1;   // fine block rows
+  const int64_t nc = (int64_t)ncb_l;             // coarse block rows
+  const int br = (int)PyArray_DIM(ad_o, 1);
+  const int bc = (int)PyArray_DIM(pd_o, 2);
+  if (br > kMaxD || bc > kMaxD || (int)PyArray_DIM(ad_o, 2) != br ||
+      (int)PyArray_DIM(pd_o, 1) != br) {
+    PyErr_SetString(PyExc_ValueError, "rap_bsr: bad block sizes");
+    return nullptr;
+  }
+  auto *aip = static_cast<const int64_t *>(PyArray_DATA(aip_o));
+  auto *aix = static_cast<const int32_t *>(PyArray_DATA(aix_o));
+  auto *ad = static_cast<const double *>(PyArray_DATA(ad_o));
+  auto *pip = static_cast<const int64_t *>(PyArray_DATA(pip_o));
+  auto *pix = static_cast<const int32_t *>(PyArray_DATA(pix_o));
+  auto *pd = static_cast<const double *>(PyArray_DATA(pd_o));
+  const int dda = br * br, ddp = br * bc, ddc = bc * bc;
+
+  // ---- pass 1: AP = A @ P  (block rows, (br x bc) blocks) -------------
+  std::vector<int64_t> ap_ptr(n + 1, 0);
+  std::vector<int32_t> ap_col;
+  std::vector<double> ap_val;
+  ap_col.reserve((size_t)(2 * aip[n]));
+  ap_val.reserve((size_t)(2 * aip[n]) * ddp);
+  {
+    std::vector<int64_t> mark((size_t)nc, -1);
+    std::vector<int32_t> touched;
+    std::vector<double> rowbuf;  // compact per-row block accumulators
+    std::vector<int64_t> slot((size_t)nc, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      touched.clear();
+      rowbuf.clear();
+      for (int64_t e = aip[i]; e < aip[i + 1]; ++e) {
+        const int64_t j = aix[e];
+        const double *Ab = ad + e * dda;
+        for (int64_t f = pip[j]; f < pip[j + 1]; ++f) {
+          const int32_t c = pix[f];
+          const double *Pb = pd + f * ddp;
+          int64_t sl = (mark[c] == i) ? slot[c] : -1;
+          if (sl < 0) {
+            mark[c] = i;
+            sl = (int64_t)touched.size();
+            slot[c] = sl;
+            touched.push_back(c);
+            rowbuf.resize(rowbuf.size() + ddp, 0.0);
+          }
+          double *Cb = rowbuf.data() + sl * ddp;
+          for (int r = 0; r < br; ++r)
+            for (int cq = 0; cq < bc; ++cq) {
+              double acc = 0.0;
+              for (int t = 0; t < br; ++t)
+                acc += Ab[r * br + t] * Pb[t * bc + cq];
+              Cb[r * bc + cq] += acc;
+            }
+        }
+      }
+      // emit in ascending column order (deterministic, sorted rows)
+      std::vector<int32_t> ord(touched);
+      std::sort(ord.begin(), ord.end());
+      for (int32_t c : ord) {
+        const double *Cb = rowbuf.data() + slot[c] * ddp;
+        bool nz = false;
+        for (int k = 0; k < ddp; ++k)
+          if (Cb[k] != 0.0) { nz = true; break; }
+        if (!nz) continue;  // prune exact-zero blocks
+        ap_col.push_back(c);
+        ap_val.insert(ap_val.end(), Cb, Cb + ddp);
+      }
+      ap_ptr[i + 1] = (int64_t)ap_col.size();
+    }
+  }
+
+  // ---- transpose P (counting sort; blocks transposed to (bc x br)) ----
+  const int64_t pnnz = pip[n];
+  std::vector<int64_t> pt_ptr(nc + 1, 0);
+  std::vector<int32_t> pt_row(pnnz);
+  std::vector<double> pt_val((size_t)pnnz * ddp);
+  for (int64_t k = 0; k < pnnz; ++k) pt_ptr[pix[k] + 1]++;
+  for (int64_t c = 0; c < nc; ++c) pt_ptr[c + 1] += pt_ptr[c];
+  {
+    std::vector<int64_t> cur(pt_ptr.begin(), pt_ptr.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t k = pip[i]; k < pip[i + 1]; ++k) {
+        const int64_t dst = cur[pix[k]]++;
+        pt_row[dst] = (int32_t)i;
+        const double *src = pd + k * ddp;
+        double *dstb = pt_val.data() + dst * ddp;  // (bc x br) transposed
+        for (int r = 0; r < br; ++r)
+          for (int cq = 0; cq < bc; ++cq)
+            dstb[cq * br + r] = src[r * bc + cq];
+      }
+  }
+
+  // ---- pass 2: C = P^T @ AP  ((bc x bc) blocks) -----------------------
+  std::vector<int64_t> c_ptr(nc + 1, 0);
+  std::vector<int32_t> c_col;
+  std::vector<double> c_val;
+  c_col.reserve((size_t)pnnz);
+  c_val.reserve((size_t)pnnz * ddc);
+  {
+    std::vector<int64_t> mark((size_t)nc, -1);
+    std::vector<int32_t> touched;
+    std::vector<double> rowbuf;
+    std::vector<int64_t> slot((size_t)nc, 0);
+    for (int64_t r = 0; r < nc; ++r) {
+      touched.clear();
+      rowbuf.clear();
+      for (int64_t k = pt_ptr[r]; k < pt_ptr[r + 1]; ++k) {
+        const int32_t i = pt_row[k];
+        const double *Ptb = pt_val.data() + k * ddp;  // (bc x br)
+        for (int64_t l = ap_ptr[i]; l < ap_ptr[i + 1]; ++l) {
+          const int32_t c = ap_col[l];
+          const double *APb = ap_val.data() + l * ddp;  // (br x bc)
+          int64_t sl = (mark[c] == r) ? slot[c] : -1;
+          if (sl < 0) {
+            mark[c] = r;
+            sl = (int64_t)touched.size();
+            slot[c] = sl;
+            touched.push_back(c);
+            rowbuf.resize(rowbuf.size() + ddc, 0.0);
+          }
+          double *Cb = rowbuf.data() + sl * ddc;
+          for (int rr = 0; rr < bc; ++rr)
+            for (int cq = 0; cq < bc; ++cq) {
+              double acc = 0.0;
+              for (int t = 0; t < br; ++t)
+                acc += Ptb[rr * br + t] * APb[t * bc + cq];
+              Cb[rr * bc + cq] += acc;
+            }
+        }
+      }
+      std::vector<int32_t> ord(touched);
+      std::sort(ord.begin(), ord.end());
+      for (int32_t c : ord) {
+        const double *Cb = rowbuf.data() + slot[c] * ddc;
+        bool nz = false;
+        for (int k = 0; k < ddc; ++k)
+          if (Cb[k] != 0.0) { nz = true; break; }
+        if (!nz) continue;
+        c_col.push_back(c);
+        c_val.insert(c_val.end(), Cb, Cb + ddc);
+      }
+      c_ptr[r + 1] = (int64_t)c_col.size();
+    }
+  }
+
+  if (symmetrize) {
+    // (C + C^T)/2 block-wise in place: upper block (r,c) averages with
+    // the TRANSPOSE of its mirror (c,r); structurally-missing mirrors
+    // are skipped (pruned exact-zero blocks)
+    for (int64_t r = 0; r < nc; ++r)
+      for (int64_t k = c_ptr[r]; k < c_ptr[r + 1]; ++k) {
+        const int32_t c = c_col[k];
+        if (c < r) continue;
+        if (c == (int32_t)r) {  // diagonal block: Bd = (Bd + Bd^T)/2
+          double *B = c_val.data() + k * ddc;
+          for (int rr = 0; rr < bc; ++rr)
+            for (int cq = rr + 1; cq < bc; ++cq) {
+              const double avg =
+                  0.5 * (B[rr * bc + cq] + B[cq * bc + rr]);
+              B[rr * bc + cq] = avg;
+              B[cq * bc + rr] = avg;
+            }
+          continue;
+        }
+        const int32_t *lo = c_col.data() + c_ptr[c];
+        const int32_t *hi = c_col.data() + c_ptr[c + 1];
+        const int32_t *it = std::lower_bound(lo, hi, (int32_t)r);
+        if (it != hi && *it == (int32_t)r) {
+          const int64_t km = it - c_col.data();
+          double *Bu = c_val.data() + k * ddc;
+          double *Bl = c_val.data() + km * ddc;
+          for (int rr = 0; rr < bc; ++rr)
+            for (int cq = 0; cq < bc; ++cq) {
+              const double avg =
+                  0.5 * (Bu[rr * bc + cq] + Bl[cq * bc + rr]);
+              Bu[rr * bc + cq] = avg;
+              Bl[cq * bc + rr] = avg;
+            }
+        }
+      }
+  }
+
+  npy_intp d1[1] = {nc + 1};
+  PyArrayObject *o_ip =
+      (PyArrayObject *)PyArray_SimpleNew(1, d1, NPY_INT64);
+  memcpy(PyArray_DATA(o_ip), c_ptr.data(), sizeof(int64_t) * (nc + 1));
+  npy_intp d2[1] = {(npy_intp)c_col.size()};
+  PyArrayObject *o_ix =
+      (PyArrayObject *)PyArray_SimpleNew(1, d2, NPY_INT32);
+  memcpy(PyArray_DATA(o_ix), c_col.data(),
+         sizeof(int32_t) * c_col.size());
+  npy_intp d3[3] = {(npy_intp)c_col.size(), bc, bc};
+  PyArrayObject *o_d =
+      (PyArrayObject *)PyArray_SimpleNew(3, d3, NPY_FLOAT64);
+  memcpy(PyArray_DATA(o_d), c_val.data(), sizeof(double) * c_val.size());
+  return Py_BuildValue("(NNN)", o_ip, o_ix, o_d);
+}
+
+// ---------------------------------------------------------------------
+// truncate_prol_blocks(indptr i64, indices i32, data (nnzb, d, d) f64,
+//                      pos_c (ncb, dim) f64 | None, s, max_per_row,
+//                      min_frac) -> (indptr i64, indices i32, data f64)
+//
+// Fan-out-bounded kernel-preserving prolongation truncation — the
+// native form of transfer/prolongation.truncate_prol for block rows:
+// per block row keep the (up to) max_per_row strongest blocks by
+// Frobenius norm that clear min_frac * strongest, and TRANSPORT every
+// dropped block B onto the strongest kept column c0 as B @ Q(c0 -> cd)
+// (rigid-body Q when pos_c is given, identity otherwise) — exact
+// kernel/RBM preservation. Magnitudes are quantized to 40 fractional
+// bits before ranking, matching the numpy path bit for bit (ties keep
+// ascending-column order). Replaces the padded-array numpy pipeline
+// (measured 55 s of the 1.25M-DoF elasticity setup).
+// ---------------------------------------------------------------------
+PyObject *truncate_prol_blocks(PyObject *, PyObject *args) {
+  PyArrayObject *ip_o, *ix_o, *d_o;
+  PyObject *pos_obj;
+  double s, min_frac;
+  long mpr_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!Odld", &PyArray_Type, &ip_o,
+                        &PyArray_Type, &ix_o, &PyArray_Type, &d_o,
+                        &pos_obj, &s, &mpr_l, &min_frac))
+    return nullptr;
+  const int64_t n = PyArray_DIM(ip_o, 0) - 1;
+  const int d = (int)PyArray_DIM(d_o, 1);
+  if (d > kMaxD || (int)PyArray_DIM(d_o, 2) != d) {
+    PyErr_SetString(PyExc_ValueError, "truncate_prol_blocks: bad block");
+    return nullptr;
+  }
+  const bool rigid = pos_obj != Py_None;
+  const double *pos = nullptr;
+  int dim = 0;
+  if (rigid) {
+    PyArrayObject *pos_o = (PyArrayObject *)pos_obj;
+    pos = static_cast<const double *>(PyArray_DATA(pos_o));
+    dim = (int)PyArray_DIM(pos_o, 1);
+  }
+  auto *ip = static_cast<const int64_t *>(PyArray_DATA(ip_o));
+  auto *ix = static_cast<const int32_t *>(PyArray_DATA(ix_o));
+  const int64_t nnzb = ip[n];
+  // work on a copy of the blocks (drop accumulation mutates slot0)
+  std::vector<double> data(
+      static_cast<const double *>(PyArray_DATA(d_o)),
+      static_cast<const double *>(PyArray_DATA(d_o)) + nnzb * d * d);
+  const int dd = d * d;
+  const int64_t mpr = (int64_t)mpr_l;
+  const double Q40 = 1099511627776.0;  // 2^40
+  const double qthr = std::floor(min_frac * Q40 + 0.5);
+
+  std::vector<int64_t> out_ptr(n + 1, 0);
+  std::vector<int32_t> out_col;
+  std::vector<double> out_val;
+  out_col.reserve((size_t)nnzb);
+  out_val.reserve((size_t)std::min<int64_t>(nnzb, n * mpr) * dd);
+
+  std::vector<double> q;
+  std::vector<int64_t> order;
+  std::vector<char> keep;
+  double Qm[kMaxD * kMaxD], add[kMaxD * kMaxD], dvec[3];
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = ip[i], hi = ip[i + 1];
+    const int64_t m = hi - lo;
+    if (m == 0) { out_ptr[i + 1] = (int64_t)out_col.size(); continue; }
+    q.resize((size_t)m);
+    double rowmax = 0.0;
+    for (int64_t k = 0; k < m; ++k) {
+      const double *B = data.data() + (lo + k) * dd;
+      double sq = 0.0;
+      for (int t = 0; t < dd; ++t) sq += B[t] * B[t];
+      const double nrm = std::sqrt(sq);
+      q[(size_t)k] = nrm;
+      if (nrm > rowmax) rowmax = nrm;
+    }
+    const double qs =
+        rowmax > 0.0 ? Q40 / std::max(rowmax, 1e-300) : 0.0;
+    for (int64_t k = 0; k < m; ++k)
+      q[(size_t)k] = std::floor(std::max(q[(size_t)k], 0.0) * qs + 0.5);
+    // stable descending order by quantized magnitude (ties: slot order)
+    order.resize((size_t)m);
+    for (int64_t k = 0; k < m; ++k) order[(size_t)k] = k;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                       return q[(size_t)a] > q[(size_t)b];
+                     });
+    keep.assign((size_t)m, 0);
+    for (int64_t rkn = 0; rkn < m; ++rkn) {
+      const int64_t k = order[(size_t)rkn];
+      if (rkn == 0 || (rkn < mpr && q[(size_t)k] >= qthr))
+        keep[(size_t)k] = 1;
+    }
+    const int64_t slot0 = order[0];
+    const int32_t c0 = ix[lo + slot0];
+    // transported drop accumulation, ascending slot order (np.add.at)
+    for (int64_t k = 0; k < m; ++k) {
+      if (keep[(size_t)k]) continue;
+      const double *B = data.data() + (lo + k) * dd;
+      double *D0 = data.data() + (lo + slot0) * dd;
+      if (rigid) {
+        const int32_t cd = ix[lo + k];
+        for (int t = 0; t < dim; ++t)
+          dvec[t] = pos[cd * dim + t] - pos[c0 * dim + t];
+        rigid_q(dvec, dim, d, s, Qm);
+        for (int r = 0; r < d; ++r)
+          for (int c = 0; c < d; ++c) {
+            double acc = 0.0;
+            for (int t = 0; t < d; ++t)
+              acc += B[r * d + t] * Qm[t * d + c];
+            add[r * d + c] = acc;
+          }
+        for (int t = 0; t < dd; ++t) D0[t] += add[t];
+      } else {
+        for (int t = 0; t < dd; ++t) D0[t] += B[t];
+      }
+    }
+    for (int64_t k = 0; k < m; ++k) {
+      if (!keep[(size_t)k]) continue;
+      out_col.push_back(ix[lo + k]);
+      const double *B = data.data() + (lo + k) * dd;
+      out_val.insert(out_val.end(), B, B + dd);
+    }
+    out_ptr[i + 1] = (int64_t)out_col.size();
+  }
+
+  npy_intp d1[1] = {n + 1};
+  PyArrayObject *o_ip =
+      (PyArrayObject *)PyArray_SimpleNew(1, d1, NPY_INT64);
+  memcpy(PyArray_DATA(o_ip), out_ptr.data(), sizeof(int64_t) * (n + 1));
+  npy_intp d2[1] = {(npy_intp)out_col.size()};
+  PyArrayObject *o_ix =
+      (PyArrayObject *)PyArray_SimpleNew(1, d2, NPY_INT32);
+  memcpy(PyArray_DATA(o_ix), out_col.data(),
+         sizeof(int32_t) * out_col.size());
+  npy_intp d3[3] = {(npy_intp)out_col.size(), d, d};
+  PyArrayObject *o_d =
+      (PyArrayObject *)PyArray_SimpleNew(3, d3, NPY_FLOAT64);
+  memcpy(PyArray_DATA(o_d), out_val.data(),
+         sizeof(double) * out_val.size());
+  return Py_BuildValue("(NNN)", o_ip, o_ix, o_d);
+}
+
+// ---------------------------------------------------------------------
+// elast_ahat_bsr(pos (nv,dim) f64, edges (ne,2) i64, E (ne,dpv,dpv) f64,
+//                s, l2 (nv,) f64)
+//   -> (indptr i64, indices i32, data (nnzb, dpv, dpv) f64)
+//
+// Fully fused replacement-matrix (A-hat) assembly: per edge the four
+// rigid-transported blocks (rigid_edge_blocks) scatter straight into
+// the sorted-BSR output, the l2/Dirichlet vertex weights land on the
+// displacement diagonal — no (ne, dpv, dpv) block temporaries (the
+// separate rigid_edge_blocks + bsr_from_edge_blocks pipeline moved
+// ~3 GB of intermediates at 2.7M edges; reference AssembleAhatSparse,
+// aux_mat.hpp). Accumulation order matches bsr_from_edge_blocks
+// (diagonal first, then edges in order) for bitwise parity.
+// ---------------------------------------------------------------------
+PyObject *elast_ahat_bsr(PyObject *, PyObject *args) {
+  PyArrayObject *pos_o, *e_o, *em_o, *l2_o;
+  double s;
+  if (!PyArg_ParseTuple(args, "O!O!O!dO!", &PyArray_Type, &pos_o,
+                        &PyArray_Type, &e_o, &PyArray_Type, &em_o, &s,
+                        &PyArray_Type, &l2_o))
+    return nullptr;
+  const int64_t nv = PyArray_DIM(pos_o, 0);
+  const int dim = (int)PyArray_DIM(pos_o, 1);
+  const int64_t ne = PyArray_DIM(e_o, 0);
+  const int dpv = (int)PyArray_DIM(em_o, 1);
+  if (dpv > kMaxD) {
+    PyErr_SetString(PyExc_ValueError, "block size > 8");
+    return nullptr;
+  }
+  auto *pos = static_cast<const double *>(PyArray_DATA(pos_o));
+  auto *edg = static_cast<const int64_t *>(PyArray_DATA(e_o));
+  auto *E = static_cast<const double *>(PyArray_DATA(em_o));
+  auto *l2 = static_cast<const double *>(PyArray_DATA(l2_o));
+  const int dd = dpv * dpv;
+
+  npy_intp d_ptr[1] = {nv + 1};
+  PyArrayObject *o_ptr =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_ptr, NPY_INT64);
+  auto *ptr = static_cast<int64_t *>(PyArray_DATA(o_ptr));
+  std::fill(ptr, ptr + nv + 1, (int64_t)0);
+  for (int64_t e = 0; e < ne; ++e) {
+    ptr[edg[2 * e] + 1]++;
+    ptr[edg[2 * e + 1] + 1]++;
+  }
+  for (int64_t v = 0; v < nv; ++v) ptr[v + 1] += ptr[v] + 1;  // +diag
+  const int64_t nnzb = ptr[nv];
+  npy_intp d_col[1] = {nnzb};
+  npy_intp d_blk[3] = {nnzb, dpv, dpv};
+  PyArrayObject *o_col =
+      (PyArrayObject *)PyArray_SimpleNew(1, d_col, NPY_INT32);
+  PyArrayObject *o_blk =
+      (PyArrayObject *)PyArray_ZEROS(3, d_blk, NPY_FLOAT64, 0);
+  auto *col = static_cast<int32_t *>(PyArray_DATA(o_col));
+  auto *blk = static_cast<double *>(PyArray_DATA(o_blk));
+
+  // diagonal placed first (l2 weight on displacement entries)
+  std::vector<int64_t> cur(nv);
+  for (int64_t v = 0; v < nv; ++v) {
+    col[ptr[v]] = (int32_t)v;
+    double *B = blk + ptr[v] * dd;
+    for (int k = 0; k < dim; ++k) B[k * dpv + k] = l2[v];
+    cur[(size_t)v] = ptr[v] + 1;
+  }
+  double dvec[3], Qi[kMaxD * kMaxD], Qj[kMaxD * kMaxD];
+  double T1[kMaxD * kMaxD], T2[kMaxD * kMaxD];
+  for (int64_t e = 0; e < ne; ++e) {
+    const int64_t i = edg[2 * e], j = edg[2 * e + 1];
+    const double *Ee = E + e * dd;
+    for (int k = 0; k < dim; ++k)
+      dvec[k] = 0.5 * (pos[j * dim + k] - pos[i * dim + k]);  // mid - i
+    rigid_q(dvec, dim, dpv, s, Qi);
+    for (int k = 0; k < dim; ++k) dvec[k] = -dvec[k];  // mid - j
+    rigid_q(dvec, dim, dpv, s, Qj);
+    for (int r = 0; r < dpv; ++r)  // T1 = E Qi, T2 = E Qj
+      for (int c = 0; c < dpv; ++c) {
+        double a1 = 0.0, a2 = 0.0;
+        for (int k = 0; k < dpv; ++k) {
+          const double erk = Ee[r * dpv + k];
+          a1 += erk * Qi[k * dpv + c];
+          a2 += erk * Qj[k * dpv + c];
+        }
+        T1[r * dpv + c] = a1;
+        T2[r * dpv + c] = a2;
+      }
+    int64_t qo = cur[(size_t)i]++;
+    col[qo] = (int32_t)j;
+    double *pij = blk + qo * dd;
+    qo = cur[(size_t)j]++;
+    col[qo] = (int32_t)i;
+    double *pji = blk + qo * dd;
+    double *di = blk + ptr[i] * dd;
+    double *dj = blk + ptr[j] * dd;
+    for (int r = 0; r < dpv; ++r)
+      for (int c = 0; c < dpv; ++c) {
+        double aii = 0.0, aij = 0.0, ajj = 0.0;
+        for (int k = 0; k < dpv; ++k) {
+          aii += Qi[k * dpv + r] * T1[k * dpv + c];
+          aij += Qi[k * dpv + r] * T2[k * dpv + c];
+          ajj += Qj[k * dpv + r] * T2[k * dpv + c];
+        }
+        di[r * dpv + c] += aii;
+        dj[r * dpv + c] += ajj;
+        pij[r * dpv + c] = -aij;
+      }
+    for (int r = 0; r < dpv; ++r)
+      for (int c = 0; c < dpv; ++c)
+        pji[r * dpv + c] = pij[c * dpv + r];
+  }
+  // ascending-column rows (diag placed first -> sort each row)
+  std::vector<std::pair<int32_t, int64_t>> ord;
+  std::vector<double> tmp;
+  for (int64_t v = 0; v < nv; ++v) {
+    const int64_t lo = ptr[v], hi = ptr[v + 1];
+    bool sorted = true;
+    for (int64_t k = lo + 1; k < hi; ++k)
+      if (col[k] < col[k - 1]) { sorted = false; break; }
+    if (sorted) continue;
+    ord.clear();
+    for (int64_t k = lo; k < hi; ++k) ord.emplace_back(col[k], k);
+    std::sort(ord.begin(), ord.end());
+    tmp.assign(blk + lo * dd, blk + hi * dd);
+    for (int64_t k = lo; k < hi; ++k) {
+      col[k] = ord[(size_t)(k - lo)].first;
+      const int64_t src = ord[(size_t)(k - lo)].second - lo;
+      std::copy(tmp.begin() + src * dd, tmp.begin() + (src + 1) * dd,
+                blk + k * dd);
+    }
+  }
+  return Py_BuildValue("(NNN)", o_ptr, o_col, o_blk);
+}
+
+// ---------------------------------------------------------------------
+// rho_power(indptr, indices, data (scalar f64[nnz] OR blocks
+//           f64[nnzb,br,bc]), dinv (nb, d, d) f64, x0 f64[n*? scalar
+//           rows], iters) -> float
+//
+// Power-iteration estimate of rho(D^-1 A) with D block-diagonal — the
+// native form of transfer/prolongation._rho_estimate and
+// smoothers/build._lam_max_estimate (98 scipy matvecs, 13.5 s at
+// 1.25M-DoF elasticity): y = A x (scalar-CSR or BSR matvec), x =
+// blockwise Dinv y, lam = ||x||, x /= lam. The 2-norm uses pairwise
+// summation like numpy (rho feeds only a damping scale).
+// ---------------------------------------------------------------------
+static double pairwise_sumsq(const double *v, int64_t n) {
+  if (n <= 8) {
+    double sq = 0.0;
+    for (int64_t k = 0; k < n; ++k) sq += v[k] * v[k];
+    return sq;
+  }
+  const int64_t h = n / 2;
+  return pairwise_sumsq(v, h) + pairwise_sumsq(v + h, n - h);
+}
+
+PyObject *rho_power(PyObject *, PyObject *args) {
+  PyArrayObject *ip_o, *ix_o, *d_o, *dinv_o, *x0_o;
+  long iters_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!l", &PyArray_Type, &ip_o,
+                        &PyArray_Type, &ix_o, &PyArray_Type, &d_o,
+                        &PyArray_Type, &dinv_o, &PyArray_Type, &x0_o,
+                        &iters_l))
+    return nullptr;
+  const int64_t nr = PyArray_DIM(ip_o, 0) - 1;  // matrix rows (blocks)
+  const int is_bsr = PyArray_NDIM(d_o) == 3;
+  const int br = is_bsr ? (int)PyArray_DIM(d_o, 1) : 1;
+  const int bcw = is_bsr ? (int)PyArray_DIM(d_o, 2) : 1;
+  const int db = (int)PyArray_DIM(dinv_o, 1);  // Dinv block size
+  const int64_t n = PyArray_DIM(x0_o, 0);      // scalar length
+  auto *dat = static_cast<const double *>(PyArray_DATA(d_o));
+  auto *dinv = static_cast<const double *>(PyArray_DATA(dinv_o));
+  auto *x0 = static_cast<const double *>(PyArray_DATA(x0_o));
+  std::vector<double> x(x0, x0 + n), y((size_t)n);
+  double lam = is_bsr ? 1.0 : 2.0;  // numpy-path initial defaults
+  return dispatch_index(ip_o, [&](auto ixx) -> PyObject * {
+    using I = decltype(ixx);
+    auto *ip = static_cast<const I *>(PyArray_DATA(ip_o));
+    auto *ix = static_cast<const I *>(PyArray_DATA(ix_o));
+    for (long it = 0; it < iters_l; ++it) {
+      // y = A x
+      if (!is_bsr) {
+        for (int64_t r = 0; r < nr; ++r) {
+          double acc = 0.0;
+          for (I k = ip[r]; k < ip[r + 1]; ++k)
+            acc += dat[k] * x[(size_t)ix[k]];
+          y[(size_t)r] = acc;
+        }
+      } else {
+        std::fill(y.begin(), y.end(), 0.0);
+        for (int64_t r = 0; r < nr; ++r) {
+          double *yr = y.data() + r * br;
+          for (I k = ip[r]; k < ip[r + 1]; ++k) {
+            const double *B = dat + (int64_t)k * br * bcw;
+            const double *xc = x.data() + (int64_t)ix[k] * bcw;
+            for (int rr = 0; rr < br; ++rr) {
+              double acc = 0.0;
+              for (int cc = 0; cc < bcw; ++cc)
+                acc += B[rr * bcw + cc] * xc[cc];
+              yr[rr] += acc;
+            }
+          }
+        }
+      }
+      // x = blockwise Dinv y
+      const int64_t nb = n / db;
+      for (int64_t b = 0; b < nb; ++b) {
+        const double *Db = dinv + b * db * db;
+        const double *yb = y.data() + b * db;
+        double *xb = x.data() + b * db;
+        for (int rr = 0; rr < db; ++rr) {
+          double acc = 0.0;
+          for (int cc = 0; cc < db; ++cc) acc += Db[rr * db + cc] * yb[cc];
+          xb[rr] = acc;
+        }
+      }
+      const double nrm = std::sqrt(pairwise_sumsq(x.data(), n));
+      if (nrm == 0.0) return PyFloat_FromDouble(is_bsr ? 2.0 : lam);
+      lam = nrm;
+      const double inv = 1.0 / nrm;
+      for (int64_t k = 0; k < n; ++k) x[(size_t)k] *= inv;
+    }
+    return PyFloat_FromDouble(lam);
+  });
+}
+
 PyMethodDef methods[] = {
     {"greedy_color", greedy_color, METH_VARARGS,
      "sequential greedy graph coloring"},
@@ -2514,6 +3131,14 @@ PyMethodDef methods[] = {
      "strong-cluster detection + candidate block extraction"},
     {"spw_round_h1", spw_round_h1, METH_VARARGS,
      "fused H1 matching round: soc + adjacency + handshake"},
+    {"rap_bsr", rap_bsr, METH_VARARGS,
+     "fused block-entry Galerkin triple product P^T A P (BSR in/out)"},
+    {"truncate_prol_blocks", truncate_prol_blocks, METH_VARARGS,
+     "fan-out-bounded kernel-preserving block prolongation truncation"},
+    {"elast_ahat_bsr", elast_ahat_bsr, METH_VARARGS,
+     "fused elasticity replacement-matrix assembly into sorted BSR"},
+    {"rho_power", rho_power, METH_VARARGS,
+     "power-iteration rho(D^-1 A) on scalar CSR or BSR"},
     {"bsr_from_edge_blocks", bsr_from_edge_blocks, METH_VARARGS,
      "assemble block replacement matrix from per-edge blocks"},
     {"csr_permute", csr_permute, METH_VARARGS,

@@ -123,42 +123,37 @@ def plan_tile_halo(cols: np.ndarray, nrows_pad: int, n_shards: int):
     assert nrows_pad % n_shards == 0 and T % n_shards == 0
     local = nrows_pad // n_shards
     Tl = T // n_shards
-    owner = cols // local
-    # per-owner interface lists: global columns some OTHER shard reads
-    send_lists = []
-    for t in range(n_shards):
-        need = np.zeros(0, dtype=np.int64)
-        for s in range(n_shards):
-            if s == t:
-                continue
-            c = cols[s * Tl:(s + 1) * Tl].ravel()
-            need = np.union1d(need, c[owner[s * Tl:(s + 1) * Tl].ravel() == t])
-        send_lists.append(np.asarray(need, dtype=np.int64))
-    Smax = max((len(x) for x in send_lists), default=0)
-    Smax = max(Smax, 1)
+    owner = (cols // local).astype(np.int64)
+    # single sort/unique pass over (owner, col) pairs: ghost entries are
+    # slots whose column's owner differs from the reading shard
+    reader = np.repeat(
+        np.arange(T, dtype=np.int64) // Tl, K
+    )
+    flat_c = cols.ravel().astype(np.int64)
+    flat_o = owner.ravel()
+    gh_flat = flat_o != reader
+    keys = np.unique(flat_o[gh_flat] * np.int64(nrows_pad) + flat_c[gh_flat])
+    key_owner = keys // nrows_pad
+    key_col = keys % nrows_pad
+    counts = np.bincount(key_owner, minlength=n_shards)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    Smax = max(int(counts.max(initial=0)), 1)
     send_idx = np.zeros((n_shards, Smax), dtype=np.int32)
-    for t, lst in enumerate(send_lists):
+    for t in range(n_shards):
+        lst = key_col[starts[t]:starts[t + 1]]
         send_idx[t, : len(lst)] = (lst - t * local).astype(np.int32)
     # remap columns: local -> [0, local); ghost g owned by t at position
-    # p in send_lists[t] -> local + t*Smax + p
-    new_cols = np.empty((T, K), dtype=np.int32)
-    for s in range(n_shards):
-        blk = cols[s * Tl:(s + 1) * Tl]
-        own = owner[s * Tl:(s + 1) * Tl]
-        loc = own == s
-        out = np.empty_like(blk, dtype=np.int32)
-        out[loc] = (blk[loc] - s * local).astype(np.int32)
-        gh = ~loc
-        if gh.any():
-            g = blk[gh]
-            t = own[gh]
-            pos = np.empty(len(g), dtype=np.int64)
-            for tt in np.unique(t):
-                m = t == tt
-                pos[m] = np.searchsorted(send_lists[tt], g[m])
-            out[gh] = (local + t * Smax + pos).astype(np.int32)
-        new_cols[s * Tl:(s + 1) * Tl] = out
-    return new_cols, send_idx, int(Smax)
+    # p within owner t's (sorted) send list -> local + t*Smax + p
+    new_cols = (flat_c - flat_o * local).astype(np.int64)
+    if gh_flat.any():
+        pos = np.searchsorted(keys, flat_o[gh_flat] * np.int64(nrows_pad)
+                              + flat_c[gh_flat])
+        new_cols[gh_flat] = (
+            local + flat_o[gh_flat] * Smax + (pos - starts[flat_o[gh_flat]])
+        )
+    return (
+        new_cols.reshape(T, K).astype(np.int32), send_idx, int(Smax)
+    )
 
 
 from dataclasses import dataclass
@@ -214,8 +209,6 @@ class HaloTileELL:
         return self.nsh * self.smax
 
     def halo_matvec(self, x: jax.Array) -> jax.Array:
-        local = self.nrows_pad // self.nsh
-
         def body(data, cols_l, send_l, xl):
             xf = xl[:, 0]
             xs = xf[send_l[0]]  # (smax,) this shard's interface values

@@ -66,12 +66,35 @@ def _l1_modify(A: sp.spmatrix, bs: int, D: np.ndarray) -> np.ndarray:
     return Dm
 
 
+def _cheby_order(opts: SmootherOptions, level: int, bs: int) -> int:
+    """Resolve the per-energy Chebyshev order default.
+
+    None = auto: order 3 on scalar levels (fewer matvecs/iter wins on
+    Poisson), order 5 on block levels — the measured configuration that
+    lands 1.25M-DoF 3D elasticity at 36 iterations, inside the
+    reference's <40 budget (docs/SCALING.md round-4 table)."""
+    co = opts.cheby_order.get(level)
+    if co is None:
+        return 5 if bs > 1 else 3
+    return int(co)
+
+
 def _lam_max_estimate(A: sp.spmatrix, bs: int, Dinv: np.ndarray, iters=12):
     """Power-iteration estimate of lambda_max(D^-1 A) on the host."""
     n = A.shape[0]
     rng = np.random.default_rng(0)
     x = rng.standard_normal(n)
     lam = 2.0
+    from .. import native
+    from ..sparse.host import to_bsr
+
+    # native matvec loop (98 scipy matvecs = 13.5 s at 1.25M-DoF
+    # elasticity); block levels use the cached BSR view (~bs^2 less
+    # index work per matvec)
+    An = to_bsr(A, bs) if bs > 1 else A.tocsr()
+    nat = native.rho_power(An, Dinv, x, iters)
+    if nat is not None:
+        return float(nat) * 1.05  # safety margin
     Ac = A.tocsr()
     for _ in range(iters):
         y = Ac @ x
@@ -134,7 +157,7 @@ def build_smoother(
                     Dinv=Dinv1,
                     lam_max=np.asarray(lam_max, dtype=np.dtype(dtype)),
                     lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
-                    order=int(opts.cheby_order.get(level)),
+                    order=_cheby_order(opts, level, bs),
                 )
         nv = stencil.n
         D = stencil.diagonal().reshape(-1, 1, 1)
@@ -179,7 +202,7 @@ def build_smoother(
             Dinv=pad_blocks(Dinv),
             lam_max=np.asarray(lam_max, dtype=np.dtype(dtype)),
             lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
-            order=int(opts.cheby_order.get(level)),
+            order=_cheby_order(opts, level, bs),
         )
     if kind == SmootherType.DYNBGS:
         from .block import build_dyn_block_gs

@@ -112,11 +112,22 @@ def _chunked_pack(A, bs_r: int, bs_c: int, C: int, dtype):
 
     if bs_r == bs_c == 1:
         B = A.tocsr()
+        # the plain-assignment scatter below drops (not sums) duplicate
+        # stored entries and assumes ascending column order — canonicalize
+        if not B.has_canonical_format:
+            B.sum_duplicates()
         bdata = B.data.reshape(-1, 1, 1)
         indptr, indices = B.indptr, B.indices
         n = B.shape[0]
     else:
-        B = sp.bsr_matrix(A, blocksize=(bs_r, bs_c))
+        if bs_r == bs_c:
+            from .host import to_bsr
+
+            B = to_bsr(A, bs_r)  # cached square-block view
+        else:
+            B = sp.bsr_matrix(A, blocksize=(bs_r, bs_c))
+        if not B.has_sorted_indices:
+            B.sort_indices()
         bdata = B.data
         indptr, indices = B.indptr, B.indices
         n = B.shape[0] // bs_r

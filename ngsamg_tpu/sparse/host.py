@@ -178,7 +178,11 @@ def pad_to_ell(
         indptr, indices = C.indptr, C.indices
         n = C.shape[0]
     else:
-        B = sp.bsr_matrix(A, blocksize=(bs_r, bs_c))
+        B = (
+            to_bsr(A, bs_r)  # cached square-block view
+            if bs_r == bs_c
+            else sp.bsr_matrix(A, blocksize=(bs_r, bs_c))
+        )
         data3 = B.data
         indptr, indices = B.indptr, B.indices
         n = B.shape[0] // bs_r

@@ -39,6 +39,8 @@ def rap(
         from ..native import bsr_mm as _bsr_mm
 
         bc = bs_c or bs_r
+        # only the BSR conversions may legitimately fail (irregular
+        # blocking); kernel errors must propagate, not silently fall back
         try:
             A_b = sp.bsr_matrix(A, blocksize=(bs_r, bs_r))
             P_b = (
@@ -48,6 +50,9 @@ def rap(
                 and P.blocksize == (bs_r, bc)
                 else sp.bsr_matrix(P, blocksize=(bs_r, bc))
             )
+        except (ValueError, TypeError):
+            A_b = P_b = None
+        if A_b is not None:
             AP = _bsr_mm(A_b, P_b)
             if AP is not None:
                 Pt_b = P_b.transpose().tobsr(blocksize=(bc, bs_r))
@@ -60,8 +65,6 @@ def rap(
                     if dtype is not None:
                         Ac = Ac.astype(dtype)
                     return Ac
-        except (ValueError, TypeError):
-            pass  # irregular blocking: fall through to the scalar kernel
     from ..native import rap_csr as _native_rap
 
     Ac = _native_rap(A, P, dtype=dtype, symmetrize=True)

@@ -104,61 +104,96 @@ def smoothed_prol(
         if P is not None:
             return P
     Ahat_raw = energy.replacement_matrix(mesh_f)
-    Ahat = Ahat_raw.tocsr()
     nf = mesh_f.nv
 
-    # block-diagonal inverse of A-hat
-    if dpv == 1:
-        d = Ahat.diagonal()
-        dinv = np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
-
-        def Dinv_op(x):
-            return dinv * x
-
-        Dinv_mat = sp.diags(dinv)
-    else:
-        from ..sparse.host import block_diagonal_fast
-
-        Db = block_diagonal_fast(Ahat, dpv)
-        Dinv_b = np.linalg.pinv(Db)
-        Dinv_mat = sp.bsr_matrix(
-            (Dinv_b, np.arange(nf, dtype=np.int32), np.arange(nf + 1)),
-            shape=(nf * dpv, nf * dpv),
-        )
-
-        def Dinv_op(x):
-            return Dinv_mat @ x
-
-    rho = _rho_estimate(Dinv_op, Ahat)
-    scale = omega / max(rho, 1e-12)
-
     P = None
+    Ahat = Dinv_b = None
     if dpv > 1:
-        # native block-sparse Gustavson: scipy computes the same product
-        # as scalar CSR (~dpv^2 more index work — 37 s of the 1.25M-DoF
-        # elasticity setup profile); the block-diagonal Dinv application
-        # is one batched einsum over the product's block entries
-        from ..native import bsr_mm as _nat_bsr_mm
+        # BSR-direct block path: A-hat stays sorted BSR end to end (no
+        # CSR conversions), rho via the native block power iteration,
+        # the smoothing product via native block Gustavson, the damped
+        # update assembled on the product's own (sorted) structure —
+        # the piecewise block of each row lands at its searchsorted
+        # position (A-hat's diagonal guarantees the column exists)
+        from .. import native
+        from ..sparse.host import block_diagonal_fast
 
         Ahat_b = (
             Ahat_raw
             if sp.issparse(Ahat_raw)
             and Ahat_raw.format == "bsr"
             and Ahat_raw.blocksize == (dpv, dpv)
-            else sp.bsr_matrix(Ahat, blocksize=(dpv, dpv))
+            else sp.bsr_matrix(Ahat_raw.tocsr(), blocksize=(dpv, dpv))
         )
-        Ppw_b = P_pw.tobsr(blocksize=(dpv, dpv))
-        AP = _nat_bsr_mm(Ahat_b, Ppw_b)
-        if AP is not None:
-            rows = np.repeat(
-                np.arange(nf, dtype=np.int64), np.diff(AP.indptr)
-            )
-            sd = np.einsum("nij,njk->nik", Dinv_b[rows], AP.data)
-            S = sp.bsr_matrix(
-                (sd, AP.indices, AP.indptr), shape=AP.shape
-            )
-            P = (P_pw.tocsr() - scale * S.tocsr()).tocsr()
+        if not Ahat_b.has_sorted_indices:
+            Ahat_b.sort_indices()
+        Db = block_diagonal_fast(Ahat_b, dpv)
+        Dinv_b = np.linalg.pinv(Db)
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal(nf * dpv)
+        rho = native.rho_power(Ahat_b, Dinv_b, x0, 10)
+        if rho is not None:
+            scale = omega / max(float(rho), 1e-12)
+            Ppw_b = P_pw.tobsr(blocksize=(dpv, dpv))
+            AP = native.bsr_mm(Ahat_b, Ppw_b)
+            if AP is not None:
+                nc_b = AP.shape[1] // dpv
+                rows = np.repeat(
+                    np.arange(nf, dtype=np.int64), np.diff(AP.indptr)
+                )
+                # batched BLAS matmul (not c_einsum: ~10x on 6x6 stacks)
+                data_new = (-scale) * (Dinv_b[rows] @ AP.data)
+                # += P_pw blocks at their positions (sorted rows => the
+                # global (row, col) keys are ascending)
+                pw_rows = np.repeat(
+                    np.arange(nf, dtype=np.int64),
+                    np.diff(Ppw_b.indptr),
+                )
+                keys = rows * nc_b + AP.indices
+                want = pw_rows * nc_b + Ppw_b.indices
+                pos = np.searchsorted(keys, want)
+                # A-hat's structural diagonal guarantees every pw
+                # column exists in AP — a miss means unsorted bsr_mm
+                # output and would corrupt P silently
+                assert len(want) == 0 or (
+                    (pos < len(keys)) & (keys[pos % len(keys)] == want)
+                ).all()
+                data_new[pos] += Ppw_b.data
+                P = sp.bsr_matrix(
+                    (data_new, AP.indices, AP.indptr), shape=AP.shape
+                )
+                P.has_sorted_indices = True
     if P is None:
+        # generic scalar-CSR fallback (also the dpv == 1 aux path)
+        Ahat = Ahat_raw.tocsr()
+        if dpv == 1:
+            d = Ahat.diagonal()
+            dinv = np.where(d > 0, 1.0 / np.maximum(d, 1e-300), 0.0)
+
+            def Dinv_op(x):
+                return dinv * x
+
+            Dinv_mat = sp.diags(dinv)
+        else:
+            from ..sparse.host import block_diagonal_fast
+
+            if Dinv_b is None:
+                Db = block_diagonal_fast(Ahat, dpv)
+                Dinv_b = np.linalg.pinv(Db)
+            Dinv_mat = sp.bsr_matrix(
+                (
+                    Dinv_b,
+                    np.arange(nf, dtype=np.int32),
+                    np.arange(nf + 1),
+                ),
+                shape=(nf * dpv, nf * dpv),
+            )
+
+            def Dinv_op(x):
+                return Dinv_mat @ x
+
+        rho = _rho_estimate(Dinv_op, Ahat)
+        scale = omega / max(rho, 1e-12)
         P = (P_pw - scale * (Dinv_mat @ (Ahat @ P_pw))).tocsr()
 
     classic = None
@@ -166,54 +201,55 @@ def smoothed_prol(
         classic = _classic_rows(A, dpv, v2agg, P_pw.shape[1] // dpv,
                                 max_classic)
     if classic is not None and classic.any():
-        from ..sparse.host import block_diagonal_fast
+        from ..sparse.host import block_diagonal_fast, to_bsr
 
-        Ar = A.tocsr()
         if dpv == 1:
             # SA filtering parity with the native kernel: lump positive
             # off-diagonals onto the diagonal (rowsum-preserving)
-            Ar = _filter_pos_offdiag(Ar)
+            Ar = _filter_pos_offdiag(A.tocsr())
             da = Ar.diagonal()
             dainv = np.where(da > 0, 1.0 / da, 0.0)
             DinvA = sp.diags(dainv)
+            # filtered classic matrix ~= aux replacement matrix for H1:
+            # share the aux scale (native-kernel parity)
+            scale_r = scale
         else:
+            Ar = to_bsr(A, dpv)  # cached on the level matrix object
+            DinvA_b = np.linalg.pinv(block_diagonal_fast(Ar, dpv))
             DinvA = sp.bsr_matrix(
                 (
-                    np.linalg.pinv(block_diagonal_fast(Ar, dpv)),
+                    DinvA_b,
                     np.arange(nf, dtype=np.int32),
                     np.arange(nf + 1),
                 ),
                 shape=(nf * dpv, nf * dpv),
             )
-        if dpv == 1:
-            # filtered classic matrix ~= aux replacement matrix for H1:
-            # share the aux scale (native-kernel parity)
-            scale_r = scale
-        else:
-            rho_r = _rho_estimate(lambda x: DinvA @ x, Ar, seed=1)
-            scale_r = omega / max(rho_r, 1e-12)
+            from .. import native
+
+            rng = np.random.default_rng(1)
+            rho_r = native.rho_power(
+                Ar, DinvA_b, rng.standard_normal(nf * dpv), 10
+            )
+            if rho_r is None:
+                rho_r = _rho_estimate(lambda x: DinvA @ x, Ar, seed=1)
+            scale_r = omega / max(float(rho_r), 1e-12)
         P_real = None
         if dpv > 1:
             from ..native import bsr_mm as _nat_bsr_mm
 
-            ArP = _nat_bsr_mm(
-                sp.bsr_matrix(Ar, blocksize=(dpv, dpv)),
-                P_pw.tobsr(blocksize=(dpv, dpv)),
-            )
+            ArP = _nat_bsr_mm(Ar, P_pw.tobsr(blocksize=(dpv, dpv)))
             if ArP is not None:
                 rows = np.repeat(
                     np.arange(nf, dtype=np.int64), np.diff(ArP.indptr)
                 )
-                sd = np.einsum(
-                    "nij,njk->nik", np.asarray(DinvA.data)[rows],
-                    ArP.data,
-                )
+                # batched BLAS matmul (not c_einsum)
+                sd = DinvA_b[rows] @ ArP.data
                 S = sp.bsr_matrix(
                     (sd, ArP.indices, ArP.indptr), shape=ArP.shape
                 )
                 P_real = (P_pw.tocsr() - scale_r * S.tocsr()).tocsr()
         if P_real is None:
-            P_real = (P_pw - scale_r * (DinvA @ (Ar @ P_pw))).tocsr()
+            P_real = (P_pw - scale_r * (DinvA @ (Ar.tocsr() @ P_pw))).tocsr()
         sel = sp.diags(np.repeat(classic.astype(np.float64), dpv))
         inv = sp.diags(np.repeat((~classic).astype(np.float64), dpv))
         P = (sel @ P_real + inv @ P).tocsr()
@@ -386,6 +422,24 @@ def truncate_prol(
     """
     dpv = energy.dpv
     nf = P.shape[0] // dpv
+    kind = getattr(energy, "transport_kind", None)
+    if kind in ("identity", "rigid") and P.blocksize == (dpv, dpv):
+        # native kernel (no padded temporaries): rigid-body or identity
+        # transport resolved in-kernel; ties and quantization match the
+        # numpy path bit for bit
+        from .. import native
+
+        if not P.has_sorted_indices:
+            P.sort_indices()
+        pos_c = (
+            energy.vertex_positions(mesh_c) if kind == "rigid" else None
+        )
+        s = float(getattr(energy, "_s", 0.0)) if kind == "rigid" else 0.0
+        out = native.truncate_prol_blocks(
+            P, pos_c, s, max_per_row, min_frac
+        )
+        if out is not None:
+            return out
     data, cols = _bsr_to_padded(P, dpv)  # (nf, K, dpv, dpv), (nf, K) col=-1 pad
     K = data.shape[1]
     if K <= max_per_row and min_frac <= 0:
