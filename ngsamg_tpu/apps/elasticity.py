@@ -43,6 +43,9 @@ def _frob2T(B: np.ndarray) -> np.ndarray:
     bitwise-identical weights. Required for the distributed setup's
     serial-equality guarantee (parallel/dist_elast.py).
     """
+    nat = native.frob2_sym(B) if B.ndim == 3 else None
+    if nat is not None:
+        return nat
     sq = B * B
     d = np.einsum("...ii->...i", sq).sum(axis=-1)
     s = sq + np.swapaxes(sq, -1, -2)  # commutative add: transpose-invariant
@@ -403,7 +406,8 @@ class ElasticityEnergy(Energy):
         return scatter_add(eid_t, boost, len(E))
 
     def soc_robust(
-        self, mesh: AlgebraicMesh, reduction="max", neib_boost=False
+        self, mesh: AlgebraicMesh, reduction="max", neib_boost=False,
+        edge_subset=None,
     ) -> np.ndarray:
         """Robust strength via batched generalized EVPs.
 
@@ -426,18 +430,34 @@ class ElasticityEnergy(Energy):
         — `mis_neib_boost` / `AddNeibBoost` semantics).
         """
         pos = mesh.vertex_data["pos"]
-        i, j = mesh.edges[:, 0], mesh.edges[:, 1]
         E = mesh.edge_data["mat"]
         if neib_boost:
             E = E + self._neib_boost(mesh)
         D = self.aux_diagonal(mesh)
+        edges = mesh.edges
+        ne_full = len(edges)
+        if edge_subset is not None:
+            # score only the shortlisted edges (the reference's scalar
+            # prefilter, spw_agg_impl.hpp:691); the full aux diagonal D
+            # still sees every edge. Result: full-length, zeros outside.
+            sub = np.asarray(edge_subset)
+            if sub.dtype == bool:
+                sub = np.flatnonzero(sub)
+            edges = edges[sub]
+            E = E[sub]
+        i, j = edges[:, 0], edges[:, 1]
+        out_sub = None
         if len(E) < DEVICE_SOC_MIN_EDGES:
-            out = native.elast_soc_robust(
-                pos, mesh.edges, E, D, self._s,
+            out_sub = native.elast_soc_robust(
+                pos, edges, E, D, self._s,
                 tol=1e-10, reduction=reduction,
             )
-            if out is not None:
-                return out
+        if out_sub is not None:
+            if edge_subset is None:
+                return out_sub
+            out = np.zeros(ne_full)
+            out[sub] = out_sub
+            return out
         mid = 0.5 * (pos[i] + pos[j])
         Qmi = self.transport(mid, pos[i])  # coeff at m -> coeff at i
         Qmj = self.transport(mid, pos[j])
@@ -450,7 +470,12 @@ class ElasticityEnergy(Energy):
             )
             C = di @ dsum_inv @ dj
             C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
-        return _pencil_extreme_eig(E, C, reduction=reduction)
+        res = _pencil_extreme_eig(E, C, reduction=reduction)
+        if edge_subset is None:
+            return res
+        out = np.zeros(ne_full)
+        out[sub] = res
+        return out
 
     # -- coarse data mapping ----------------------------------------------
     def map_data(

@@ -349,6 +349,7 @@ def spw_aggregate_energy(
     max_agg: int | None = None,
     robust: bool = True,
     neib_boost: bool = False,
+    scal_rel_thresh: float = 0.25,
     soc_reduction: str | None = None,
     diag_stab_boost: float = 0.0,
     big_soc: bool = False,
@@ -421,7 +422,9 @@ def spw_aggregate_energy(
             )
         if partner is None:
             soc = (
-                energy.soc_robust(cur_mesh, **rob_kw)
+                _robust_soc_prefiltered(
+                    energy, cur_mesh, rob_kw, scal_rel_thresh
+                )
                 if use_robust
                 else energy.soc(cur_mesh)
             )
@@ -457,13 +460,42 @@ def spw_aggregate_energy(
         n_cur = n_agg
     if adopt_orphans and n_cur:
         soc = (
-            energy.soc_robust(cur_mesh, **rob_kw)
+            _robust_soc_prefiltered(
+                energy, cur_mesh, rob_kw, scal_rel_thresh
+            )
             if use_robust
             else energy.soc(cur_mesh)
         )
         S_c = cur_mesh.edge_graph(weights=soc)
         v2c, n_cur = _adopt_orphans(S_c, v2c, n_cur)
     return v2c, n_cur
+
+
+def _robust_soc_prefiltered(energy, mesh, rob_kw, rel: float):
+    """Robust SOC with the reference's scalar phase-(a) neighbor filter.
+
+    `FindNeib3Step` (spw_agg_impl.hpp:677-711) computes the cheap scalar
+    weight for ALL neighbors, then robust-scores only those clearing
+    ``scalRelThresh * maxScalWt`` (relative to the picking vertex's row
+    maximum; default 0.25, spw_agg_impl.hpp:1404) and sets the rest to
+    -1 (excluded). The symmetric-handshake counterpart: an edge is
+    shortlisted when it clears the threshold for EITHER endpoint; only
+    shortlisted edges pay the pencil EVP, the rest score 0 (never
+    proposed). ``rel <= 0`` disables the filter.
+    """
+    if rel <= 0 or "neib_boost" in rob_kw:
+        # neighbor-boost accumulates path energies mesh-wide; keep the
+        # full scoring there (the boost already changes every pencil)
+        return energy.soc_robust(mesh, **rob_kw)
+    w = energy.soc(mesh)
+    i, j = mesh.edges[:, 0], mesh.edges[:, 1]
+    rowmax = np.zeros(mesh.nv)
+    np.maximum.at(rowmax, i, w)
+    np.maximum.at(rowmax, j, w)
+    keep = (w >= rel * rowmax[i]) | (w >= rel * rowmax[j])
+    if keep.all():
+        return energy.soc_robust(mesh, **rob_kw)
+    return energy.soc_robust(mesh, edge_subset=keep, **rob_kw)
 
 
 def _adopt_orphans(S_c, v2c, n_c):

@@ -144,6 +144,14 @@ class CoarsenOptions:
     # the pencil EVP — makes the strict min-eigenvalue reduction
     # non-degenerate for near-singular (thin-body) block energies
     neib_boost: SpecLike = False
+    # scalar prefilter for the robust SOC (the reference's phase-(a)
+    # neighbor filtering, spw_agg.hpp:100-112 / spw_agg_impl.hpp:691
+    # `scalRelThresh`, default 0.25 there too): only edges whose scalar
+    # approximate weight reaches this fraction of EITHER endpoint's row
+    # maximum get the (expensive) pencil-EVP robust score; the rest are
+    # excluded from matching, exactly like the reference's weights[j]=-1.
+    # 0 disables (robust-score every edge).
+    scal_rel_thresh: SpecLike = 0.25
     # pencil reduction for the robust SOC: None = the energy's default
     # ("max": rank-1 finest tangential projections), "min" = the
     # reference's strict semantics (use with neib_boost)
@@ -176,6 +184,7 @@ class CoarsenOptions:
         self.aaf = as_spec(self.aaf)
         self.theta = as_spec(self.theta)
         self.robust = as_spec(self.robust)
+        self.scal_rel_thresh = as_spec(self.scal_rel_thresh)
         self.neib_boost = as_spec(self.neib_boost)
         self.soc_reduction = as_spec(self.soc_reduction)
         self.diag_stab_boost = as_spec(self.diag_stab_boost)

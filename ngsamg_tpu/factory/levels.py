@@ -157,6 +157,7 @@ def build_coarse_map(
             aaf=None if aaf is None else float(aaf),
             robust=robust,
             neib_boost=bool(c.neib_boost.get(level)),
+            scal_rel_thresh=float(c.scal_rel_thresh.get(level)),
             soc_reduction=None if sred is None else str(sred),
             diag_stab_boost=float(c.diag_stab_boost.get(level)),
             big_soc=bool(c.big_soc.get(level)),

@@ -446,6 +446,29 @@ def csr_sym_scale(A, s):
     )
 
 
+def frob2_sym(B):
+    """Transpose-invariant batched squared Frobenius norms (canonical
+    summation order of apps/elasticity._frob2T, fp-contraction off);
+    None when the extension is absent."""
+    if not HAVE_NATIVE or not hasattr(_nat, "frob2_sym"):
+        return None
+    return _nat.frob2_sym(np.ascontiguousarray(B, dtype=np.float64))
+
+
+def bsr_sym_scale(A, s):
+    """One-pass symmetric diagonal scaling of a scipy BSR (block form of
+    csr_sym_scale): data'[e,r,c] = data[e,r,c] * s[row_r] * s[col_c];
+    None when the extension is absent (precond/amg._sym_scale)."""
+    if not HAVE_NATIVE or not hasattr(_nat, "bsr_sym_scale"):
+        return None
+    return _nat.bsr_sym_scale(
+        np.ascontiguousarray(A.indptr, dtype=np.int64),
+        np.ascontiguousarray(A.indices, dtype=np.int32),
+        np.ascontiguousarray(A.data, dtype=np.float64),
+        np.ascontiguousarray(s, dtype=np.float64),
+    )
+
+
 def elast_rm_diag(pos, edges, E, s):
     """Fused replacement-matrix diagonal (aux_diagonal's RM part): D[i] +=
     Qim^T E Qim, D[j] += Qjm^T E Qjm; None when the extension is absent."""
@@ -549,6 +572,38 @@ def rap_bsr(A, P, nc_blocks=None, symmetrize=True):
     return sp.bsr_matrix(
         (dat, ix, ip), shape=(ncb * bc, ncb * bc)
     )
+
+
+def bsr_smooth_update(Ahat, Ppw, Dinv, scale):
+    """Fused damped-Jacobi prolongation smoothing
+    C = P_pw - scale * Dinv (A-hat @ P_pw) for square-block scipy BSR
+    inputs; returns sorted scipy BSR or None when the extension is
+    absent (transfer/prolongation.smoothed_prol block path)."""
+    if not HAVE_NATIVE or not hasattr(_nat, "bsr_smooth_update"):
+        return None
+    import scipy.sparse as sp
+
+    d = Ahat.blocksize[0]
+    if Ahat.blocksize[1] != d or Ppw.blocksize != (d, d):
+        return None
+    deg = np.diff(Ppw.indptr)
+    if len(deg) and deg.max() > 1:
+        return None  # kernel reads at most one (piecewise) block per row
+    ncb = Ppw.shape[1] // d
+    ip, ix, dat = _nat.bsr_smooth_update(
+        np.ascontiguousarray(Ahat.indptr, dtype=np.int64),
+        np.ascontiguousarray(Ahat.indices, dtype=np.int32),
+        np.ascontiguousarray(Ahat.data, dtype=np.float64),
+        np.ascontiguousarray(Ppw.indptr, dtype=np.int64),
+        np.ascontiguousarray(Ppw.indices, dtype=np.int32),
+        np.ascontiguousarray(Ppw.data, dtype=np.float64),
+        np.ascontiguousarray(Dinv, dtype=np.float64),
+        float(scale),
+        int(ncb),
+    )
+    out = sp.bsr_matrix((dat, ix, ip), shape=Ppw.shape)
+    out.has_sorted_indices = True
+    return out
 
 
 def truncate_prol_blocks(P, pos_c, s, max_per_row, min_frac):

@@ -2719,6 +2719,130 @@ PyObject *rap_bsr(PyObject *, PyObject *args) {
 }
 
 // ---------------------------------------------------------------------
+// bsr_smooth_update(A_indptr i64, A_indices i32, A_data (nnzA,d,d) f64,
+//                   P_indptr i64, P_indices i32, P_data (nnzP,d,d) f64,
+//                   Dinv (n,d,d) f64, scale, ncb)
+//   -> (C_indptr i64, C_indices i32, C_data (nnzC,d,d) f64)
+//
+// One-pass damped-Jacobi prolongation smoothing
+//     C = P_pw - scale * Dinv (A-hat @ P_pw)
+// (transfer/prolongation.smoothed_prol's block path): block Gustavson
+// per row with the Dinv premultiply, (-scale) damping, and the
+// piecewise block added at its column — fused, sorted rows, no
+// (nnz, d, d) host temporaries (the numpy composition moved ~3 GB per
+// 1.25M-DoF elasticity level at this host's first-touch fault rate).
+// ---------------------------------------------------------------------
+PyObject *bsr_smooth_update(PyObject *, PyObject *args) {
+  PyArrayObject *aip_o, *aix_o, *ad_o, *pip_o, *pix_o, *pd_o, *di_o;
+  double scale;
+  long long ncb_l;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!dL", &PyArray_Type, &aip_o,
+                        &PyArray_Type, &aix_o, &PyArray_Type, &ad_o,
+                        &PyArray_Type, &pip_o, &PyArray_Type, &pix_o,
+                        &PyArray_Type, &pd_o, &PyArray_Type, &di_o,
+                        &scale, &ncb_l))
+    return nullptr;
+  const int64_t n = PyArray_DIM(aip_o, 0) - 1;
+  const int64_t nc = (int64_t)ncb_l;
+  const int d = (int)PyArray_DIM(ad_o, 1);
+  if (d > kMaxD || (int)PyArray_DIM(pd_o, 1) != d ||
+      (int)PyArray_DIM(pd_o, 2) != d || (int)PyArray_DIM(di_o, 1) != d) {
+    PyErr_SetString(PyExc_ValueError, "bsr_smooth_update: bad blocks");
+    return nullptr;
+  }
+  auto *aip = static_cast<const int64_t *>(PyArray_DATA(aip_o));
+  auto *aix = static_cast<const int32_t *>(PyArray_DATA(aix_o));
+  auto *ad = static_cast<const double *>(PyArray_DATA(ad_o));
+  auto *pip = static_cast<const int64_t *>(PyArray_DATA(pip_o));
+  auto *pix = static_cast<const int32_t *>(PyArray_DATA(pix_o));
+  auto *pd = static_cast<const double *>(PyArray_DATA(pd_o));
+  auto *dinv = static_cast<const double *>(PyArray_DATA(di_o));
+  const int dd = d * d;
+
+  std::vector<int64_t> c_ptr(n + 1, 0);
+  std::vector<int32_t> c_col;
+  std::vector<double> c_val;
+  c_col.reserve((size_t)(4 * aip[n] / 3));
+  c_val.reserve((size_t)(4 * aip[n] / 3) * dd);
+  std::vector<int64_t> mark((size_t)nc, -1);
+  std::vector<int64_t> slot((size_t)nc, 0);
+  std::vector<int32_t> touched;
+  std::vector<double> rowbuf;
+  double tmp[kMaxD * kMaxD];
+  for (int64_t i = 0; i < n; ++i) {
+    touched.clear();
+    rowbuf.clear();
+    for (int64_t e = aip[i]; e < aip[i + 1]; ++e) {
+      const int64_t j = aix[e];
+      const double *Ab = ad + e * dd;
+      for (int64_t f = pip[j]; f < pip[j + 1]; ++f) {
+        const int32_t c = pix[f];
+        const double *Pb = pd + f * dd;
+        int64_t sl = (mark[c] == i) ? slot[c] : -1;
+        if (sl < 0) {
+          mark[c] = i;
+          sl = (int64_t)touched.size();
+          slot[c] = sl;
+          touched.push_back(c);
+          rowbuf.resize(rowbuf.size() + dd, 0.0);
+        }
+        double *Cb = rowbuf.data() + sl * dd;
+        for (int r = 0; r < d; ++r)
+          for (int cq = 0; cq < d; ++cq) {
+            double acc = 0.0;
+            for (int t = 0; t < d; ++t)
+              acc += Ab[r * d + t] * Pb[t * d + cq];
+            Cb[r * d + cq] += acc;
+          }
+      }
+    }
+    std::vector<int32_t> ord(touched);
+    std::sort(ord.begin(), ord.end());
+    const double *Di = dinv + i * dd;
+    // the (single) piecewise block of this row, if any
+    const int32_t pwc = (pip[i + 1] > pip[i]) ? pix[pip[i]] : -1;
+    const double *pwb = (pwc >= 0) ? pd + pip[i] * dd : nullptr;
+    for (int32_t c : ord) {
+      const double *Tb = rowbuf.data() + slot[c] * dd;
+      // tmp = Dinv[i] @ T, out = (-scale) * tmp [+ pw]
+      for (int r = 0; r < d; ++r)
+        for (int cq = 0; cq < d; ++cq) {
+          double acc = 0.0;
+          for (int t = 0; t < d; ++t)
+            acc += Di[r * d + t] * Tb[t * d + cq];
+          tmp[r * d + cq] = acc;
+        }
+      c_col.push_back(c);
+      const size_t base = c_val.size();
+      c_val.resize(base + dd);
+      double *out = c_val.data() + base;
+      const double ns = -scale;
+      if (c == pwc) {
+        for (int t = 0; t < dd; ++t) out[t] = ns * tmp[t] + pwb[t];
+      } else {
+        for (int t = 0; t < dd; ++t) out[t] = ns * tmp[t];
+      }
+    }
+    c_ptr[i + 1] = (int64_t)c_col.size();
+  }
+
+  npy_intp d1[1] = {n + 1};
+  PyArrayObject *o_ip =
+      (PyArrayObject *)PyArray_SimpleNew(1, d1, NPY_INT64);
+  memcpy(PyArray_DATA(o_ip), c_ptr.data(), sizeof(int64_t) * (n + 1));
+  npy_intp d2[1] = {(npy_intp)c_col.size()};
+  PyArrayObject *o_ix =
+      (PyArrayObject *)PyArray_SimpleNew(1, d2, NPY_INT32);
+  memcpy(PyArray_DATA(o_ix), c_col.data(),
+         sizeof(int32_t) * c_col.size());
+  npy_intp d3[3] = {(npy_intp)c_col.size(), d, d};
+  PyArrayObject *o_d =
+      (PyArrayObject *)PyArray_SimpleNew(3, d3, NPY_FLOAT64);
+  memcpy(PyArray_DATA(o_d), c_val.data(), sizeof(double) * c_val.size());
+  return Py_BuildValue("(NNN)", o_ip, o_ix, o_d);
+}
+
+// ---------------------------------------------------------------------
 // truncate_prol_blocks(indptr i64, indices i32, data (nnzb, d, d) f64,
 //                      pos_c (ncb, dim) f64 | None, s, max_per_row,
 //                      min_frac) -> (indptr i64, indices i32, data f64)
@@ -3083,7 +3207,92 @@ PyObject *rho_power(PyObject *, PyObject *args) {
   });
 }
 
+// ---------------------------------------------------------------------
+// bsr_sym_scale(indptr i64, indices i32, data (nnzb, R, C) f64,
+//               s f64[n_scal]) -> data' (nnzb, R, C) f64
+// One-pass symmetric diagonal scaling of a BSR:
+// data'[e][r][c] = data[e][r][c] * s[row*R + r] * s[col*C + c]
+// (the block form of csr_sym_scale; the numpy broadcast version moved
+// ~1.5 GB of gather/product temporaries at 5.8M finest blocks).
+// ---------------------------------------------------------------------
+PyObject *bsr_sym_scale(PyObject *, PyObject *args) {
+  PyArrayObject *ip_o, *ix_o, *d_o, *s_o;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!", &PyArray_Type, &ip_o,
+                        &PyArray_Type, &ix_o, &PyArray_Type, &d_o,
+                        &PyArray_Type, &s_o))
+    return nullptr;
+  const int64_t n = PyArray_DIM(ip_o, 0) - 1;
+  const int R = (int)PyArray_DIM(d_o, 1);
+  const int C = (int)PyArray_DIM(d_o, 2);
+  auto *ip = static_cast<const int64_t *>(PyArray_DATA(ip_o));
+  auto *ix = static_cast<const int32_t *>(PyArray_DATA(ix_o));
+  auto *dat = static_cast<const double *>(PyArray_DATA(d_o));
+  auto *s = static_cast<const double *>(PyArray_DATA(s_o));
+  npy_intp dims[3] = {PyArray_DIM(d_o, 0), R, C};
+  PyArrayObject *o_d =
+      (PyArrayObject *)PyArray_SimpleNew(3, dims, NPY_FLOAT64);
+  auto *out = static_cast<double *>(PyArray_DATA(o_d));
+  const int dd = R * C;
+  for (int64_t i = 0; i < n; ++i) {
+    const double *sr = s + i * R;
+    for (int64_t e = ip[i]; e < ip[i + 1]; ++e) {
+      const double *sc = s + (int64_t)ix[e] * C;
+      const double *src = dat + e * dd;
+      double *dst = out + e * dd;
+      for (int r = 0; r < R; ++r)
+        for (int c = 0; c < C; ++c)
+          dst[r * C + c] = src[r * C + c] * sr[r] * sc[c];
+    }
+  }
+  return (PyObject *)o_d;
+}
+
+// ---------------------------------------------------------------------
+// frob2_sym(B (m, d, d) f64) -> (m,) f64: transpose-invariant batched
+// squared Frobenius norm in the canonical order of
+// apps/elasticity._frob2T — diagonal squares first, then the unordered
+// off-diagonal pairs as (sq_ij + sq_ji) in row-major upper order —
+// so both owners of a transposed block pair compute bitwise-identical
+// weights, with no (m, d, d) squared temporaries.
+// ---------------------------------------------------------------------
+// fp-contract OFF: the transpose-invariance guarantee (owner of block
+// (i,j) and owner of the TRANSPOSED block (j,i) compute bitwise-equal
+// weights) requires every product to round identically on both operand
+// orders — an FMA contracting one side's product into the accumulate
+// would break it.
+__attribute__((optimize("fp-contract=off")))
+PyObject *frob2_sym(PyObject *, PyObject *args) {
+  PyArrayObject *b_o;
+  if (!PyArg_ParseTuple(args, "O!", &PyArray_Type, &b_o))
+    return nullptr;
+  const int64_t m = PyArray_DIM(b_o, 0);
+  const int d = (int)PyArray_DIM(b_o, 1);
+  auto *B = static_cast<const double *>(PyArray_DATA(b_o));
+  npy_intp dims[1] = {m};
+  PyArrayObject *o =
+      (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_FLOAT64);
+  auto *out = static_cast<double *>(PyArray_DATA(o));
+  const int dd = d * d;
+  for (int64_t e = 0; e < m; ++e) {
+    const double *Be = B + e * dd;
+    // exactly the numpy association: diag sum and pair sum accumulate
+    // separately, each pair as (sq_ij + sq_ji), then one final add
+    double accd = 0.0, accp = 0.0;
+    for (int i = 0; i < d; ++i) accd += Be[i * d + i] * Be[i * d + i];
+    for (int i = 0; i < d; ++i)
+      for (int j = i + 1; j < d; ++j)
+        accp += Be[i * d + j] * Be[i * d + j] +
+                Be[j * d + i] * Be[j * d + i];
+    out[e] = accd + accp;
+  }
+  return (PyObject *)o;
+}
+
 PyMethodDef methods[] = {
+    {"frob2_sym", frob2_sym, METH_VARARGS,
+     "transpose-invariant batched squared Frobenius norms"},
+    {"bsr_sym_scale", bsr_sym_scale, METH_VARARGS,
+     "one-pass symmetric diagonal scaling of a BSR"},
     {"greedy_color", greedy_color, METH_VARARGS,
      "sequential greedy graph coloring"},
     {"pencil_extreme_eig", pencil_extreme_eig_native, METH_VARARGS,
@@ -3131,6 +3340,8 @@ PyMethodDef methods[] = {
      "strong-cluster detection + candidate block extraction"},
     {"spw_round_h1", spw_round_h1, METH_VARARGS,
      "fused H1 matching round: soc + adjacency + handshake"},
+    {"bsr_smooth_update", bsr_smooth_update, METH_VARARGS,
+     "fused damped-Jacobi prolongation smoothing P - s*Dinv(A P)"},
     {"rap_bsr", rap_bsr, METH_VARARGS,
      "fused block-entry Galerkin triple product P^T A P (BSR in/out)"},
     {"truncate_prol_blocks", truncate_prol_blocks, METH_VARARGS,

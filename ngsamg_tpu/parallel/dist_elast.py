@@ -209,12 +209,19 @@ def _rows_aux_diag(rows_list, vst, energy):
     return out
 
 
-def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
+def _rows_soc(rows_list, vst, energy, robust, D_parts=None,
+              scal_rel=0.0):
     """Per-shard strength rows (same sparsity as G).
 
     robust: the serial `soc_robust` pencil per entry, computed in the
     canonical (lo, hi) orientation so both owners agree bitwise.
     scalar: wt * (1/d_i + 1/d_j)/2, d = l2 + incident wt (serial `soc`).
+    ``scal_rel`` > 0 mirrors the serial `_robust_soc_prefiltered`
+    shortlist (reference phase-(a) scalar filter, spw_agg_impl.hpp:691):
+    entries below ``scal_rel`` x max(row-max of either endpoint) in the
+    SCALAR weight score 0 and skip the pencil EVP. The scalar weights,
+    row maxima, and the compare are bitwise shard-order independent, so
+    the shortlist (and hence the aggregates) equal the serial path's.
     """
     from .transport import get_transport
 
@@ -242,6 +249,25 @@ def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
         return out
     if D_parts is None:
         D_parts = _rows_aux_diag(rows_list, vst, energy)
+    keep_parts = [None] * n_shards
+    if scal_rel > 0:
+        scal_parts = _rows_soc(rows_list, vst, energy, False)
+        rowmax_parts = [None] * n_shards
+        for s in mine:
+            Ssc = scal_parts[s]
+            from ..sparse.host import csr_rowwise_max
+
+            rowmax_parts[s] = csr_rowwise_max(Ssc.indptr, Ssc.data)
+        for s in mine:
+            Ssc = scal_parts[s]
+            rows_l = _row_locals(Ssc)
+            w = Ssc.data
+            rm_own = rowmax_parts[s][rows_l]
+            rm_col = _gather(
+                rowmax_parts, vst, Ssc.indices.astype(np.int64)
+            )
+            k = (w >= scal_rel * rm_own) | (w >= scal_rel * rm_col)
+            keep_parts[s] = None if k.all() else k
     out = [None] * n_shards
     for s in mine:
         rows = rows_list[s]
@@ -251,6 +277,11 @@ def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
         own_g = rows_l + own0
         lo = np.minimum(own_g, cols)
         hi = np.maximum(own_g, cols)
+        keep = keep_parts[s]
+        E_use = rows.E
+        if keep is not None:
+            lo, hi = lo[keep], hi[keep]
+            E_use = E_use[keep]
         pos_lo = _gather(pos_parts, vst, lo)
         pos_hi = _gather(pos_parts, vst, hi)
         D_lo = _gather(D_parts, vst, lo)
@@ -264,7 +295,12 @@ def _rows_soc(rows_list, vst, energy, robust, D_parts=None):
         dsum_inv = np.linalg.pinv(di + dj, rcond=1e-12, hermitian=True)
         C = di @ dsum_inv @ dj
         C = 0.5 * (C + np.transpose(C, (0, 2, 1)))
-        soc = _pencil_extreme_eig(rows.E, C, reduction="max")
+        soc_sub = _pencil_extreme_eig(E_use, C, reduction="max")
+        if keep is None:
+            soc = soc_sub
+        else:
+            soc = np.zeros(len(keep))
+            soc[keep] = soc_sub
         out[s] = sp.csr_matrix(
             (soc, rows.G.indices, rows.G.indptr), shape=rows.G.shape
         )
@@ -420,6 +456,7 @@ def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
     use_robust = (
         getattr(energy, "default_robust", False) if r is None else bool(r)
     )
+    scal_rel = float(c.scal_rel_thresh.get(level)) if use_robust else 0.0
     from .transport import get_transport
 
     n_shards = len(rows_list)
@@ -433,7 +470,9 @@ def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
     for _round in range(rounds):
         if aaf is not None and n_cur <= float(aaf) * n0:
             break
-        S_parts = _rows_soc(cur_rows, cur_vst, energy, use_robust)
+        S_parts = _rows_soc(
+            cur_rows, cur_vst, energy, use_robust, scal_rel=scal_rel
+        )
         partner_parts = _dist_handshake(S_parts, cur_vst, theta)
         c2agg_parts, c_starts = _dist_aggregates(partner_parts, cur_vst)
         n_agg = int(c_starts[-1])
@@ -449,7 +488,9 @@ def _dist_spw_energy(rows_list, vst, opts: AMGOptions, level: int, energy):
         cur_vst = c_starts
         n_cur = n_agg
     if bool(c.adopt_orphans.get(level)) and n_cur:
-        S_parts = _rows_soc(cur_rows, cur_vst, energy, use_robust)
+        S_parts = _rows_soc(
+            cur_rows, cur_vst, energy, use_robust, scal_rel=scal_rel
+        )
         v2c_parts, cur_vst = _dist_adopt_orphans(
             S_parts, cur_vst, v2c_parts
         )

@@ -552,16 +552,22 @@ class AMGPreconditioner:
             s = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 1.0)
             svecs[i] = s
             if sp.issparse(A) and A.format == "bsr":
-                R, C = A.blocksize
-                brow = np.repeat(
-                    np.arange(A.shape[0] // R), np.diff(A.indptr)
-                )
-                sr = s[brow[:, None] * R + np.arange(R)]
-                scl = s[A.indices[:, None] * C + np.arange(C)]
-                data = A.data * sr[:, :, None] * scl[:, None, :]
-                return sp.bsr_matrix(
+                from ..native import bsr_sym_scale as _nat_bscale
+
+                data = _nat_bscale(A, s)
+                if data is None:
+                    R, C = A.blocksize
+                    brow = np.repeat(
+                        np.arange(A.shape[0] // R), np.diff(A.indptr)
+                    )
+                    sr = s[brow[:, None] * R + np.arange(R)]
+                    scl = s[A.indices[:, None] * C + np.arange(C)]
+                    data = A.data * sr[:, :, None] * scl[:, None, :]
+                out = sp.bsr_matrix(
                     (data, A.indices, A.indptr), shape=A.shape
                 )
+                out.has_sorted_indices = A.has_sorted_indices
+                return out
             A = A.tocsr()
             from ..native import csr_sym_scale as _nat_scale
 
@@ -578,12 +584,31 @@ class AMGPreconditioner:
         A_fmts, A_perm, sms = [], [], []
         for i, lev in enumerate(self.setup_levels_):
             A = lev.A
-            if A is not None and scal_perms[i] is not None:
-                p = scal_perms[i]
-                Ap = _nat_permute(A, p, p)
-                A = Ap if Ap is not None else A[p][:, p].tocsr()
-            if use_scaling and A is not None:
-                A = _sym_scale(A, i)
+            if (
+                A is not None
+                and lev.row_bs > 1
+                and lev.stencil is None
+                and getattr(A, "_amg_bsr_cache", None) is not None
+            ):
+                # block levels with a cached BSR view (seeded by the
+                # fused block RAP) stay in the BLOCK domain through
+                # permute + scaling + packing: one data gather instead
+                # of csr-permute + csr_tobsr moving the bytes twice
+                from ..sparse.host import bsr_permute, to_bsr
+
+                A_b = to_bsr(A, lev.row_bs)
+                if perms[i] is not None:
+                    A_b = bsr_permute(A_b, perms[i])
+                if use_scaling:
+                    A_b = _sym_scale(A_b, i)
+                A = A_b
+            else:
+                if A is not None and scal_perms[i] is not None:
+                    p = scal_perms[i]
+                    Ap = _nat_permute(A, p, p)
+                    A = Ap if Ap is not None else A[p][:, p].tocsr()
+                if use_scaling and A is not None:
+                    A = _sym_scale(A, i)
             _mark("permute")
             A_perm.append(A)
             if lev.stencil is not None:
@@ -654,8 +679,58 @@ class AMGPreconditioner:
                 # column block size = the NEXT level's dofs per vertex
                 # (equals energy.dpv except for synthetic embedding levels)
                 dpv = self.setup_levels_[i + 1].row_bs
-                P = None
-                if lev.P is not None:
+                P = Pb_blk = None
+                if (
+                    lev.P is not None
+                    and sp.issparse(lev.P)
+                    and lev.P.format == "bsr"
+                    and lev.P.blocksize == (lev.row_bs, dpv)
+                    and lev.row_bs * dpv > 1
+                ):
+                    # block-domain staging: permute + scale on the BSR
+                    # blocks directly (one data gather; the CSR route
+                    # paid bsr_tocsr + csr-permute + csr_tobsr per level)
+                    from ..sparse.host import bsr_permute
+
+                    Pb_blk = lev.P
+                    if perms[i] is not None or perms[i + 1] is not None:
+                        nfb = Pb_blk.shape[0] // lev.row_bs
+                        ncb = Pb_blk.shape[1] // dpv
+                        rp = (
+                            perms[i]
+                            if perms[i] is not None
+                            else np.arange(nfb)
+                        )
+                        cpm = (
+                            perms[i + 1]
+                            if perms[i + 1] is not None
+                            else np.arange(ncb)
+                        )
+                        Pb_blk = bsr_permute(Pb_blk, rp, col_perm=cpm)
+                    if use_scaling:
+                        # P' = S_f^-1 P S_c: *= s_c[col] then /= s_f[row],
+                        # same operation order as the scalar path
+                        sf = svecs[i]
+                        sc = svecs[i + 1]
+                        R, C = Pb_blk.blocksize
+                        dat = Pb_blk.data.copy()
+                        if sc is not None:
+                            dat *= sc[
+                                Pb_blk.indices[:, None] * C + np.arange(C)
+                            ][:, None, :]
+                        if sf is not None:
+                            rows = np.repeat(
+                                np.arange(Pb_blk.shape[0] // R),
+                                np.diff(Pb_blk.indptr),
+                            )
+                            dat /= sf[
+                                rows[:, None] * R + np.arange(R)
+                            ][:, :, None]
+                        Pb_blk = sp.bsr_matrix(
+                            (dat, Pb_blk.indices, Pb_blk.indptr),
+                            shape=Pb_blk.shape,
+                        )
+                elif lev.P is not None:
                     P = lev.P.tocsr()
                     if (
                         scal_perms[i] is not None
@@ -671,22 +746,22 @@ class AMGPreconditioner:
                                 P = P[scal_perms[i]]
                             if scal_perms[i + 1] is not None:
                                 P = P[:, scal_perms[i + 1]]
-                if use_scaling and P is not None:
-                    # P' = S_f^-1 P S_c (entries *= s_c[col] / s_f[row])
-                    sf = svecs[i]
-                    sc = svecs[i + 1]
-                    P = P.tocsr()
-                    dat = P.data.copy()
-                    if sc is not None:
-                        dat *= sc[P.indices]
-                    if sf is not None:
-                        rows = np.repeat(
-                            np.arange(P.shape[0]), np.diff(P.indptr)
+                    if use_scaling:
+                        # P' = S_f^-1 P S_c (*= s_c[col] / s_f[row])
+                        sf = svecs[i]
+                        sc = svecs[i + 1]
+                        P = P.tocsr()
+                        dat = P.data.copy()
+                        if sc is not None:
+                            dat *= sc[P.indices]
+                        if sf is not None:
+                            rows = np.repeat(
+                                np.arange(P.shape[0]), np.diff(P.indptr)
+                            )
+                            dat /= sf[rows]
+                        P = sp.csr_matrix(
+                            (dat, P.indices, P.indptr), shape=P.shape
                         )
-                        dat /= sf[rows]
-                    P = sp.csr_matrix(
-                        (dat, P.indices, P.indptr), shape=P.shape
-                    )
                 nf_pad = _scalar_pad(A_fmts[i], lev.row_bs)
                 nc_pad = _scalar_pad(
                     A_fmts[i + 1], self.setup_levels_[i + 1].row_bs
@@ -781,7 +856,11 @@ class AMGPreconditioner:
                             nr_pad=nc_pad, nc_pad=nf_pad, stage=True,
                         )
                 else:
-                    Pb = P.tobsr(blocksize=(lev.row_bs, dpv))
+                    Pb = (
+                        Pb_blk
+                        if Pb_blk is not None
+                        else P.tobsr(blocksize=(lev.row_bs, dpv))
+                    )
                     P_fmt = bell.from_scipy(
                         Pb, lev.row_bs, dpv, dtype=self.dtype,
                         row_align=self._row_align, stage=True,

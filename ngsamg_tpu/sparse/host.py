@@ -113,6 +113,42 @@ def block_diagonal_fast(A: sp.spmatrix, bs: int) -> np.ndarray:
     return out
 
 
+def bsr_permute(
+    B: sp.bsr_matrix, perm: np.ndarray, col_perm=None
+) -> sp.bsr_matrix:
+    """Block-row/column permutation of a BSR: rows reordered by the
+    BLOCK permutation ``perm`` (new index r holds old index perm[r]),
+    columns by ``col_perm`` (defaults to ``perm`` — the symmetric case;
+    pass a different permutation for rectangular transfers).
+
+    One fused index pass + ONE gather of the block data (the CSR
+    permute + csr_tobsr route moves the same bytes twice with ~bs^2
+    more index work); output rows are column-sorted.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    n = len(perm)
+    cp = perm if col_perm is None else np.asarray(col_perm, np.int64)
+    iperm = np.empty(len(cp), dtype=np.int64)
+    iperm[cp] = np.arange(len(cp))
+    deg = np.diff(B.indptr)[perm]
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    tot = int(indptr[-1])
+    pos = (
+        np.repeat(B.indptr[perm].astype(np.int64), deg)
+        + np.arange(tot, dtype=np.int64)
+        - np.repeat(indptr[:-1], deg)
+    )
+    cols = iperm[B.indices[pos]]
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    order = np.lexsort((cols, rows))
+    out = sp.bsr_matrix(
+        (B.data[pos[order]], cols[order].astype(np.int32), indptr),
+        shape=B.shape,
+    )
+    out.has_sorted_indices = True
+    return out
+
+
 def csr_rowwise_max(indptr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Per-row maximum of CSR values (0 for empty rows)."""
     n = len(indptr) - 1

@@ -135,34 +135,37 @@ def smoothed_prol(
         if rho is not None:
             scale = omega / max(float(rho), 1e-12)
             Ppw_b = P_pw.tobsr(blocksize=(dpv, dpv))
-            AP = native.bsr_mm(Ahat_b, Ppw_b)
-            if AP is not None:
-                nc_b = AP.shape[1] // dpv
-                rows = np.repeat(
-                    np.arange(nf, dtype=np.int64), np.diff(AP.indptr)
-                )
-                # batched BLAS matmul (not c_einsum: ~10x on 6x6 stacks)
-                data_new = (-scale) * (Dinv_b[rows] @ AP.data)
-                # += P_pw blocks at their positions (sorted rows => the
-                # global (row, col) keys are ascending)
-                pw_rows = np.repeat(
-                    np.arange(nf, dtype=np.int64),
-                    np.diff(Ppw_b.indptr),
-                )
-                keys = rows * nc_b + AP.indices
-                want = pw_rows * nc_b + Ppw_b.indices
-                pos = np.searchsorted(keys, want)
-                # A-hat's structural diagonal guarantees every pw
-                # column exists in AP — a miss means unsorted bsr_mm
-                # output and would corrupt P silently
-                assert len(want) == 0 or (
-                    (pos < len(keys)) & (keys[pos % len(keys)] == want)
-                ).all()
-                data_new[pos] += Ppw_b.data
-                P = sp.bsr_matrix(
-                    (data_new, AP.indices, AP.indptr), shape=AP.shape
-                )
-                P.has_sorted_indices = True
+            # fused one-pass kernel; None -> composed numpy fallback
+            P = native.bsr_smooth_update(Ahat_b, Ppw_b, Dinv_b, scale)
+            if P is None:
+                AP = native.bsr_mm(Ahat_b, Ppw_b)
+                if AP is not None:
+                    nc_b = AP.shape[1] // dpv
+                    rows = np.repeat(
+                        np.arange(nf, dtype=np.int64), np.diff(AP.indptr)
+                    )
+                    # batched BLAS matmul (not c_einsum)
+                    data_new = (-scale) * (Dinv_b[rows] @ AP.data)
+                    # += P_pw blocks at their positions (sorted rows =>
+                    # the global (row, col) keys are ascending)
+                    pw_rows = np.repeat(
+                        np.arange(nf, dtype=np.int64),
+                        np.diff(Ppw_b.indptr),
+                    )
+                    keys = rows * nc_b + AP.indices
+                    want = pw_rows * nc_b + Ppw_b.indices
+                    pos = np.searchsorted(keys, want)
+                    # A-hat's structural diagonal guarantees every pw
+                    # column exists in AP — a miss means unsorted
+                    # bsr_mm output and would corrupt P silently
+                    assert len(want) == 0 or (
+                        (pos < len(keys)) & (keys[pos % len(keys)] == want)
+                    ).all()
+                    data_new[pos] += Ppw_b.data
+                    P = sp.bsr_matrix(
+                        (data_new, AP.indices, AP.indptr), shape=AP.shape
+                    )
+                    P.has_sorted_indices = True
     if P is None:
         # generic scalar-CSR fallback (also the dpv == 1 aux path)
         Ahat = Ahat_raw.tocsr()
@@ -237,6 +240,10 @@ def smoothed_prol(
         if dpv > 1:
             from ..native import bsr_mm as _nat_bsr_mm
 
+            P_real = native.bsr_smooth_update(
+                Ar, P_pw.tobsr(blocksize=(dpv, dpv)), DinvA_b, scale_r
+            )
+        if P_real is None and dpv > 1:
             ArP = _nat_bsr_mm(Ar, P_pw.tobsr(blocksize=(dpv, dpv)))
             if ArP is not None:
                 rows = np.repeat(
