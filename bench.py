@@ -60,7 +60,11 @@ _BUDGET_S = float(os.environ.get("NGSAMG_BENCH_BUDGET_S", "480"))
 # started leg should also finish inside the window
 _LEG_EST_S = {
     "unstructured": 300.0,
-    "elasticity": 450.0,  # one setup rep (~250 s quiet) + solves
+    # round-5 native setup kernels cut the 1.25M elasticity setup from
+    # ~250 s to ~160 s quiet, and the pure-default config (oc 2.28)
+    # roughly halves the cycle cost (docs/SCALING.md); + TPU solve and
+    # compiles
+    "elasticity": 300.0,
     "stokes": 150.0,
     "gs": 400.0,
 }
@@ -273,6 +277,87 @@ def main():
             return False
         return True
 
+    # elasticity leg (robust EVP matching, rigid transports, BSR
+    # formats) — runs FIRST among the optional legs: it is the round-5
+    # priority capture (iteration budget at defaults) and must fit the
+    # driver window even when later legs do not
+    if _leg_gate("elasticity", "NGSAMG_BENCH_ELAST"):
+        try:
+            # 3D, ~1.25M DoF (3x3 blocks on the MXU): robust EVP matching,
+            # rigid transports, block formats at benchmark scale
+            en = int(os.environ.get("NGSAMG_BENCH_ELAST_N", "36"))
+            eref = int(os.environ.get("NGSAMG_BENCH_ELAST_REFINE", "1"))
+            edim = int(os.environ.get("NGSAMG_BENCH_ELAST_DIM", "3"))
+            ep = _cached_problem(
+                f"elast{edim}d_{en}_r{eref}",
+                lambda: fem.unstructured_elasticity(en, dim=edim, refine=eref),
+            )
+            # PURE library defaults (round 5): per-energy auto Chebyshev
+            # (order 5, window 0.25 on block levels), the energy's own
+            # goal aaf 0.08 — measured 38 iterations / true relres
+            # 6.6e-9 at this scale, inside the reference's <40 budget
+            # (tests/elasticity/mdim/simple/test_3d_lo.py:5-11) with NO
+            # bench-side knobs. Solved via the mixed-precision outer
+            # (f64 Krylov + f32 cycle as M).
+            from ngsamg_tpu import SpecOpt
+
+            eopts = AMGOptions()
+            # chebyshev like the other perf legs; multicolor GS is also
+            # available at this scale via NGSAMG_BENCH_ELAST_SM=gs (the
+            # per-color split-ELL storage removed the r3 compile OOM)
+            esm = os.environ.get("NGSAMG_BENCH_ELAST_SM", "chebyshev")
+            eopts.smoother.type = SpecOpt(SmootherType(esm))
+            te_setup = te_solve = float("inf")
+            # default ONE rep: this leg's headline value is the
+            # iteration count (deterministic); a second ~250 s
+            # host-bound setup doubles the leg's wall for timing
+            # polish only (override with NGSAMG_BENCH_ELAST_REPEATS)
+            ereps = int(
+                os.environ.get("NGSAMG_BENCH_ELAST_REPEATS", "1")
+            )
+            for _rep in range(max(ereps, 1)):
+                t0 = time.perf_counter()
+                epc = AMGPreconditioner(
+                    ep.A, energy="elasticity", block_size=edim,
+                    coords=ep.coords, options=eopts,
+                ).setup()
+                te_setup = min(te_setup, time.perf_counter() - t0)
+                if _rep == 0:
+                    epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
+                t0 = time.perf_counter()
+                # the mixed solver verifies the TRUE residual on device
+                # and defect-correction-restarts on a drift miss, so the
+                # strict host-verified check below holds at plain tol
+                ex, einfo = epc.solve(
+                    ep.b, tol=tol, maxiter=120, mixed=True
+                )
+                te_solve = min(te_solve, time.perf_counter() - t0)
+            er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
+            em.result["extra"]["elasticity"] = {
+                "n_dof": ep.n,
+                "iterations": int(einfo.iterations),
+                "relres": float(er),
+                "converged": bool(einfo.converged and er < tol),
+                "setup_s": round(te_setup, 3),
+                "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
+                "solve_s": round(te_solve, 3),
+                "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
+                "smoother": esm,
+            }
+            epc = ex = None
+            _free_device_state("elasticity")
+        except Exception as _e:
+            import traceback
+
+            traceback.print_exc()
+            em.result["extra"]["elasticity"] = {
+                "error": f"{type(_e).__name__}: {_e}",
+                "converged": False,
+            }
+            epc = ex = None  # noqa: F841  drop device refs before freeing
+            _free_device_state("elasticity:error")
+        em.emit()
+
     # unstructured leg (perturbed Delaunay; SPW + smoothed prol +
     # supernode formats) — the paths a general mesh exercises
     if _leg_gate("unstructured", "NGSAMG_BENCH_UNSTRUCTURED"):
@@ -331,85 +416,6 @@ def main():
             }
             upc = ux = None  # noqa: F841  drop device refs before freeing
             _free_device_state("unstructured:error")
-        em.emit()
-
-    # elasticity leg (robust EVP matching, rigid transports, BSR formats)
-    if _leg_gate("elasticity", "NGSAMG_BENCH_ELAST"):
-        try:
-            # 3D, ~1.25M DoF (3x3 blocks on the MXU): robust EVP matching,
-            # rigid transports, block formats at benchmark scale
-            en = int(os.environ.get("NGSAMG_BENCH_ELAST_N", "36"))
-            eref = int(os.environ.get("NGSAMG_BENCH_ELAST_REFINE", "1"))
-            edim = int(os.environ.get("NGSAMG_BENCH_ELAST_DIM", "3"))
-            ep = _cached_problem(
-                f"elast{edim}d_{en}_r{eref}",
-                lambda: fem.unstructured_elasticity(en, dim=edim, refine=eref),
-            )
-            # reference-budget configuration (<40 iters, tests/elasticity/
-            # mdim/simple/test_3d_lo.py:5-11): 2 smoothing sweeps + goal
-            # aaf 0.15 (measured 27 f64 iters at 147k vs 48 default), solved
-            # via the mixed-precision outer (f64 Krylov + f32 cycle as M) so
-            # iteration counts track the f64-quality cycle instead of paying
-            # the f32 inner-PCG accuracy floor (measured 1.5x)
-            from ngsamg_tpu import SpecOpt
-
-            eopts = AMGOptions()
-            eopts.smoother.steps = SpecOpt(2)
-            eopts.coarsen.aaf = SpecOpt(0.15)
-            # chebyshev like the other perf legs; multicolor GS is also
-            # available at this scale via NGSAMG_BENCH_ELAST_SM=gs (the
-            # per-color split-ELL storage removed the r3 compile OOM)
-            esm = os.environ.get("NGSAMG_BENCH_ELAST_SM", "chebyshev")
-            eopts.smoother.type = SpecOpt(SmootherType(esm))
-            te_setup = te_solve = float("inf")
-            # default ONE rep: this leg's headline value is the
-            # iteration count (deterministic); a second ~250 s
-            # host-bound setup doubles the leg's wall for timing
-            # polish only (override with NGSAMG_BENCH_ELAST_REPEATS)
-            ereps = int(
-                os.environ.get("NGSAMG_BENCH_ELAST_REPEATS", "1")
-            )
-            for _rep in range(max(ereps, 1)):
-                t0 = time.perf_counter()
-                epc = AMGPreconditioner(
-                    ep.A, energy="elasticity", block_size=edim,
-                    coords=ep.coords, options=eopts,
-                ).setup()
-                te_setup = min(te_setup, time.perf_counter() - t0)
-                if _rep == 0:
-                    epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
-                t0 = time.perf_counter()
-                # mixed-precision recurrence drift leaves the TRUE residual ~1.3x
-                # the device estimate: solve to 0.5*tol so the strict
-                # host-verified check below holds without slack
-                ex, einfo = epc.solve(
-                    ep.b, tol=0.5 * tol, maxiter=120, mixed=True
-                )
-                te_solve = min(te_solve, time.perf_counter() - t0)
-            er = np.linalg.norm(ep.A @ ex - ep.b) / np.linalg.norm(ep.b)
-            em.result["extra"]["elasticity"] = {
-                "n_dof": ep.n,
-                "iterations": int(einfo.iterations),
-                "relres": float(er),
-                "converged": bool(einfo.converged and er < tol),
-                "setup_s": round(te_setup, 3),
-                "setup_us_per_dof": round(1e6 * te_setup / ep.n, 2),
-                "solve_s": round(te_solve, 3),
-                "dofs_per_s": round(ep.n / (te_setup + te_solve), 1),
-                "smoother": esm,
-            }
-            epc = ex = None
-            _free_device_state("elasticity")
-        except Exception as _e:
-            import traceback
-
-            traceback.print_exc()
-            em.result["extra"]["elasticity"] = {
-                "error": f"{type(_e).__name__}: {_e}",
-                "converged": False,
-            }
-            epc = ex = None  # noqa: F841  drop device refs before freeing
-            _free_device_state("elasticity:error")
         em.emit()
 
     # Stokes leg (dual-mesh facet AMG, div-preserving prolongation,

@@ -225,8 +225,14 @@ class SmootherOptions:
     # docs/SCALING.md; budget: /root/reference/tests/elasticity/mdim/
     # simple/test_3d_lo.py:5-11)
     cheby_order: SpecLike = None
-    # fraction of lambda_max where the chebyshev window starts
-    cheby_lower: SpecLike = 0.30
+    # fraction of lambda_max where the chebyshev window starts;
+    # None = auto per energy: 0.30 on scalar levels, 0.25 on block
+    # (elasticity) levels — measured at 1.25M-DoF 3D elasticity
+    # (cheby_lower x iters x true relres at 0.5e-8 target:
+    # 0.30 -> 39 x 9.7e-9, 0.25 -> 38 x 6.6e-9, 0.20 -> 35 x 1.1e-8
+    # FAILS strict 1e-8): 0.25 is the best window that keeps the
+    # mixed-precision residual drift inside the tolerance
+    cheby_lower: SpecLike = None
 
     def __post_init__(self):
         for f in (

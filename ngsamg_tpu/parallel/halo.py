@@ -162,10 +162,10 @@ from functools import partial
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "cols", "send"],
+    data_fields=["data", "cols", "send", "gtile", "gdata", "gcol"],
     meta_fields=[
         "mesh", "axes", "nrows", "nrows_pad", "ncols_pad", "tile_m",
-        "smax", "nsh",
+        "smax", "nsh", "gmax",
     ],
 )
 @dataclass(frozen=True)
@@ -174,22 +174,26 @@ class HaloTileELL:
     INTERFACE-ONLY exchange — the production-cycle form of
     :func:`tile_halo_matvec`.
 
-    Each shard holds its contiguous tile rows; ``cols`` are REMAPPED to
-    [0, local) for owned columns and [local, local + nsh*smax) for ghost
-    slots; ``send`` lists the interface rows every shard contributes to
-    one padded all-gather buffer. Communication per apply is
-    ``nsh * smax`` gathered scalars — O(interface), not O(n) like the
-    GSPMD all-gather of x. This is the reference's hybrid-matrix +
-    DCC-exchange structure (hybrid_matrix.hpp:28-144, dcc_map.hpp:20-134)
-    compiled into the cycle: `parallel/shard.py::shard_operator` builds it
-    for fully-row-sharded TileELL levels, so sharded unstructured solves
-    run interface exchanges in production, not just in a standalone
-    primitive.
+    The matvec is the M+G SPLIT of the reference's hybrid matrix
+    (hybrid_matrix.hpp:28-144) with its 3-stage overlap structure
+    (hybrid_base_smoother.hpp:56-61): ``data``/``cols`` hold the
+    INTERIOR part M (ghost slots zeroed, columns all local), applied as
+    a product that does NOT depend on the collective — XLA's latency-
+    hiding scheduler can run the interface all-gather concurrently —
+    and the G part is a compact per-ghost-slot correction
+    (``gtile``/``gdata``/``gcol``) applied from the gathered buffer
+    afterwards. Communication per apply is ``nsh * smax`` gathered
+    scalars — O(interface), not O(n) like the GSPMD all-gather of x.
+    Built by `parallel/shard.py::shard_operator` for fully-row-sharded
+    TileELL levels.
     """
 
-    data: jax.Array  # (T, K, M) sharded P(axes, None, None)
-    cols: jax.Array  # (T, K) int32 remapped, sharded P(axes, None)
+    data: jax.Array  # (T, K, M) INTERIOR part, ghost slots zeroed
+    cols: jax.Array  # (T, K) int32, all < local (ghost slots -> 0)
     send: jax.Array  # (nsh, smax) int32 local rows, sharded P(axes, None)
+    gtile: jax.Array  # (nsh, gmax) int32 LOCAL tile of each ghost slot
+    gdata: jax.Array  # (nsh, gmax, M) ghost-slot matrix data
+    gcol: jax.Array  # (nsh, gmax) int32 index into the gathered buffer
     mesh: Mesh
     axes: tuple  # mesh axis names the rows are sharded over
     nrows: int
@@ -198,6 +202,7 @@ class HaloTileELL:
     tile_m: int
     smax: int
     nsh: int
+    gmax: int
 
     @property
     def shape(self):
@@ -209,16 +214,22 @@ class HaloTileELL:
         return self.nsh * self.smax
 
     def halo_matvec(self, x: jax.Array) -> jax.Array:
-        def body(data, cols_l, send_l, xl):
+        def body(data, cols_l, send_l, gt, gd, gc, xl):
             xf = xl[:, 0]
             xs = xf[send_l[0]]  # (smax,) this shard's interface values
+            # issue the collective FIRST; the interior product below has
+            # no data dependence on it (3-stage overlap structure)
             buf = jax.lax.all_gather(xs, self.axes)
-            xp = jnp.concatenate([xf, buf.reshape(-1)])
-            g = xp[cols_l]  # (Tl, K)
+            g = xf[cols_l]  # (Tl, K) all-local gather
             y = jnp.einsum(
                 "tkm,tk->tm", data, g,
                 preferred_element_type=data.dtype,
             )
+            # interface correction: each ghost slot contributes its
+            # (M,) data row scaled by one gathered scalar
+            buff = buf.reshape(-1)
+            contrib = gd[0] * buff[gc[0]][:, None]  # (gmax, M)
+            y = y.at[gt[0]].add(contrib)
             return y.reshape(-1, 1)
 
         ax = self.axes
@@ -226,15 +237,183 @@ class HaloTileELL:
             body,
             mesh=self.mesh,
             in_specs=(
-                P(ax, None, None), P(ax, None), P(ax, None), P(ax, None),
+                P(ax, None, None), P(ax, None), P(ax, None),
+                P(ax, None), P(ax, None, None), P(ax, None),
+                P(ax, None),
             ),
             out_specs=P(ax, None),
             check_vma=False,
         )
-        return fn(self.data, self.cols, self.send, x)[: self.nrows_pad]
+        return fn(
+            self.data, self.cols, self.send,
+            self.gtile, self.gdata, self.gcol, x,
+        )[: self.nrows_pad]
 
     def __matmul__(self, x):
         return self.halo_matvec(x)
+
+
+def _ghost_split(new_cols, data, send_shape_local, nsh, Tl, local):
+    """Extract the G (ghost) part per shard: per ghost slot its local
+    tile, its data row(s), and its gathered-buffer index; zero the slot
+    out of the interior arrays. Returns (cols_own, data_own,
+    gtile (nsh, gmax), gdata (nsh, gmax, ...), gcol (nsh, gmax))."""
+    T, K = new_cols.shape
+    gh = new_cols >= local
+    counts = [int(gh[s * Tl:(s + 1) * Tl].sum()) for s in range(nsh)]
+    gmax = max(max(counts), 1)
+    tail = data.shape[2:]
+    gtile = np.zeros((nsh, gmax), dtype=np.int32)
+    gdata = np.zeros((nsh, gmax) + tail, dtype=data.dtype)
+    gcol = np.zeros((nsh, gmax), dtype=np.int32)
+    data_own = data.copy()
+    cols_own = new_cols.copy()
+    for s in range(nsh):
+        sl = slice(s * Tl, (s + 1) * Tl)
+        t, k = np.nonzero(gh[sl])
+        m = len(t)
+        gtile[s, :m] = t.astype(np.int32)
+        gdata[s, :m] = data[sl][t, k]
+        gcol[s, :m] = (new_cols[sl][t, k] - local).astype(np.int32)
+        data_own[sl][t, k] = 0
+        cols_own[sl][t, k] = 0
+    return cols_own, data_own, gtile, gdata, gcol, gmax
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "cols", "send", "gtile", "gdata", "gcol"],
+    meta_fields=[
+        "mesh", "axes", "nrows", "nrows_pad", "ncols_pad",
+        "block_shape", "col_chunk", "smax", "nsh", "gmax",
+    ],
+)
+@dataclass(frozen=True)
+class HaloBlockELL:
+    """Row-sharded BlockELL with INTERFACE-ONLY exchange — the block-
+    format hybrid matrix (hybrid_matrix.hpp:28-144 covers every block
+    size; round 4 only gave scalar TileELL levels this structure, so
+    sharded elasticity paid GSPMD O(n) all-gathers).
+
+    Each shard holds its contiguous BLOCK rows; ``cols`` are remapped to
+    [0, local) for owned block columns and [local, local + nsh*smax)
+    for ghost slots; ``send`` lists the interface block rows each shard
+    contributes to one padded all-gather of (smax, bs) slabs.
+    Communication per apply is ``nsh * smax * bs`` scalars —
+    O(interface). Built by `parallel/shard.shard_operator` for fully
+    row-sharded BlockELL levels; the cycle reaches it through the
+    duck-typed ``halo_matvec`` hook in sparse/formats.matvec.
+    """
+
+    data: jax.Array  # (n_pad, K, br, bc) INTERIOR part, ghost slots zeroed
+    cols: jax.Array  # (n_pad, K) int32, all < local (ghost slots -> 0)
+    send: jax.Array  # (nsh, smax) int32 LOCAL block-row indices
+    gtile: jax.Array  # (nsh, gmax) int32 LOCAL block row per ghost slot
+    gdata: jax.Array  # (nsh, gmax, br, bc) ghost-slot blocks
+    gcol: jax.Array  # (nsh, gmax) int32 index into the gathered buffer
+    mesh: Mesh
+    axes: tuple
+    nrows: int  # logical block rows
+    nrows_pad: int
+    ncols_pad: int
+    block_shape: tuple
+    col_chunk: int
+    smax: int
+    nsh: int
+    gmax: int
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        br, bc = self.block_shape
+        return self.nrows * br, self.ncols_pad * bc
+
+    @property
+    def comm_per_apply(self) -> int:
+        """Gathered scalars per matvec (the O(interface) volume)."""
+        return self.nsh * self.smax * self.block_shape[1]
+
+    def halo_matvec(self, x: jax.Array) -> jax.Array:
+        def body(data, cols_l, send_l, gt, gd, gc, xl):
+            xs = xl[send_l[0]]  # (smax, bc) interface block rows
+            # collective first; the interior product is independent
+            # (M+G 3-stage overlap, hybrid_base_smoother.hpp:56-61)
+            buf = jax.lax.all_gather(xs, self.axes)  # (nsh, smax, bc)
+            g = xl[cols_l]  # (nl, K, bc) all-local gather
+            y = jnp.einsum(
+                "nkij,nkj->ni", data, g,
+                preferred_element_type=data.dtype,
+            )
+            bufr = buf.reshape(-1, xl.shape[1])
+            xg = bufr[gc[0]]  # (gmax, bc)
+            contrib = jnp.einsum(
+                "gij,gj->gi", gd[0], xg,
+                preferred_element_type=gd.dtype,
+            )
+            y = y.at[gt[0]].add(contrib)
+            return y
+
+        ax = self.axes
+        fn = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(ax, None, None, None), P(ax, None), P(ax, None),
+                P(ax, None), P(ax, None, None, None), P(ax, None),
+                P(ax, None),
+            ),
+            out_specs=P(ax, None),
+            check_vma=False,
+        )
+        return fn(
+            self.data, self.cols, self.send,
+            self.gtile, self.gdata, self.gcol, x,
+        )[: self.nrows_pad]
+
+    def __matmul__(self, x):
+        return self.halo_matvec(x)
+
+
+def halo_block_ell(A, mesh: Mesh, axes: tuple) -> "HaloBlockELL":
+    """Build a :class:`HaloBlockELL` from a (host-readable) BlockELL.
+
+    Reuses :func:`plan_tile_halo` in BLOCK space: the column index space
+    of a square BlockELL is its block-row space, so the owner/ghost
+    split and send lists apply unchanged with "tile" = block row.
+    """
+    nsh = int(
+        np.prod(
+            [dict(zip(mesh.axis_names, mesh.devices.shape))[a] for a in axes]
+        )
+    )
+    if A.col_chunk != 1:
+        raise ValueError("halo_block_ell requires col_chunk == 1")
+    cols = np.asarray(A.cols)
+    n_pad = cols.shape[0]
+    new_cols, send_idx, smax = plan_tile_halo(cols, n_pad, nsh)
+    local = n_pad // nsh
+    cols_own, data_own, gtile, gdata, gcol, gmax = _ghost_split(
+        new_cols, np.asarray(A.data), None, nsh, local, local
+    )
+    sh4 = NamedSharding(mesh, P(axes, None, None, None))
+    sh2 = NamedSharding(mesh, P(axes, None))
+    return HaloBlockELL(
+        data=jax.device_put(data_own, sh4),
+        cols=jax.device_put(cols_own, sh2),
+        send=jax.device_put(send_idx, sh2),
+        gtile=jax.device_put(gtile, sh2),
+        gdata=jax.device_put(gdata, sh4),
+        gcol=jax.device_put(gcol, sh2),
+        mesh=mesh,
+        axes=tuple(axes),
+        nrows=A.nrows,
+        nrows_pad=n_pad,
+        ncols_pad=n_pad,  # square sharded levels: x pads like the rows
+        block_shape=A.block_shape,
+        col_chunk=1,
+        smax=smax,
+        nsh=nsh,
+        gmax=gmax,
+    )
 
 
 def halo_tile_ell(A, mesh: Mesh, axes: tuple) -> HaloTileELL:
@@ -251,12 +430,20 @@ def halo_tile_ell(A, mesh: Mesh, axes: tuple) -> HaloTileELL:
     )
     cols = np.asarray(A.cols)
     new_cols, send_idx, smax = plan_tile_halo(cols, A.nrows_pad, nsh)
+    T = cols.shape[0]
+    local = A.nrows_pad // nsh
+    cols_own, data_own, gtile, gdata, gcol, gmax = _ghost_split(
+        new_cols, np.asarray(A.data), None, nsh, T // nsh, local
+    )
     sh3 = NamedSharding(mesh, P(axes, None, None))
     sh2 = NamedSharding(mesh, P(axes, None))
     return HaloTileELL(
-        data=jax.device_put(A.data, sh3),
-        cols=jax.device_put(new_cols, sh2),
+        data=jax.device_put(data_own, sh3),
+        cols=jax.device_put(cols_own, sh2),
         send=jax.device_put(send_idx, sh2),
+        gtile=jax.device_put(gtile, sh2),
+        gdata=jax.device_put(gdata, sh3),
+        gcol=jax.device_put(gcol, sh2),
         mesh=mesh,
         axes=tuple(axes),
         nrows=A.nrows,
@@ -265,6 +452,7 @@ def halo_tile_ell(A, mesh: Mesh, axes: tuple) -> HaloTileELL:
         tile_m=A.tile_m,
         smax=smax,
         nsh=nsh,
+        gmax=gmax,
     )
 
 

@@ -165,6 +165,7 @@ def _shard_smoother(sm, mesh: Mesh, rows: tuple):
             lam_max=_put(sm.lam_max, repl),
             lam_min=_put(sm.lam_min, repl),
             order=sm.order,
+            steps=getattr(sm, "steps", 1),
         )
     from ..smoothers.block import BlockGSSmoother
 
@@ -313,6 +314,20 @@ def shard_operator(
             from .halo import halo_tile_ell
 
             A_s = halo_tile_ell(lev.A, fmesh, rows)
+        elif (
+            isinstance(lev.A, BlockELL)
+            and lev.A.col_chunk == 1
+            and j == n
+            and j > 1
+            and isinstance(lev.smoother, (JacobiSmoother, ChebyshevSmoother))
+        ):
+            # BLOCK levels (elasticity) get the same hybrid-matrix
+            # structure — the reference's M+G split covers every block
+            # size (hybrid_matrix.hpp:28-144); GS levels keep the plain
+            # sharded BlockELL (the colored sweep slices matrix rows)
+            from .halo import halo_block_ell
+
+            A_s = halo_block_ell(lev.A, fmesh, rows)
         else:
             A_s = _shard_mat(lev.A, fmesh, rows)
         sm_s = _shard_smoother(lev.smoother, fmesh, rows)

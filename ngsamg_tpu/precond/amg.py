@@ -1311,28 +1311,53 @@ class AMGPreconditioner:
                 cycle_dt=str(jnp.dtype(self.dtype)),
             )
             # true-residual verification on device (recursive residuals
-            # drift; one extra f64 matvec, slabbed like the in-loop one)
+            # drift; one extra f64 matvec, slabbed like the in-loop one),
+            # with DEFECT-CORRECTION RESTARTS when the drift leaves the
+            # true residual marginally above tol (the recurrence estimate
+            # runs ~1-2x under the true residual at 1e-8; a restart costs
+            # 1-2 extra iterations and makes `converged` trustworthy)
             from ..sparse.formats import f64_matvec_slabs, matvec_slabbed
 
-            r_true = b64 - matvec_slabbed(
-                A64, res.x, f64_matvec_slabs(A64)
-            )
-            relres = float(
-                jnp.sqrt(jnp.vdot(r_true.reshape(-1), r_true.reshape(-1)))
-            ) / bnorm
+            x64 = res.x
+            total_iters = int(res.iterations)
+            outer = 1
+            relres = np.inf
+            history = []
+            for _restart in range(3):
+                r_true = b64 - matvec_slabbed(
+                    A64, x64, f64_matvec_slabs(A64)
+                )
+                relres = float(
+                    jnp.sqrt(
+                        jnp.vdot(r_true.reshape(-1), r_true.reshape(-1))
+                    )
+                ) / bnorm
+                history.append(relres)
+                if relres <= tol or total_iters >= maxiter:
+                    break
+                sub = pcg_mixed(
+                    self.op, A64, r_true,
+                    tol=min(0.5 * tol / relres, 0.5),
+                    maxiter=maxiter - total_iters,
+                    chunk=chunk,
+                    cycle_dt=str(jnp.dtype(self.dtype)),
+                )
+                x64 = x64 + sub.x
+                total_iters += int(sub.iterations)
+                outer += 1
             x = jax.device_get(
-                bell.flat_vec(res.x, self.A_dev.nrows)
+                bell.flat_vec(x64, self.A_dev.nrows)
             ).astype(np.float64)
         if self._iperm0 is not None:
             x = x[self._iperm0]
         if self._scale0 is not None:
             x = x * self._scale0
         return x, SolveInfo(
-            iterations=int(res.iterations),
+            iterations=total_iters,
             relres=relres,
-            outer_iterations=1,
+            outer_iterations=outer,
             converged=relres <= tol,
-            history=[relres],
+            history=history,
         )
 
     def _solve_mixed_outer(

@@ -70,13 +70,26 @@ def _cheby_order(opts: SmootherOptions, level: int, bs: int) -> int:
     """Resolve the per-energy Chebyshev order default.
 
     None = auto: order 3 on scalar levels (fewer matvecs/iter wins on
-    Poisson), order 5 on block levels — the measured configuration that
-    lands 1.25M-DoF 3D elasticity at 36 iterations, inside the
-    reference's <40 budget (docs/SCALING.md round-4 table)."""
+    Poisson), order 5 on block levels — with the 0.25 window below,
+    the configuration that lands 1.25M-DoF 3D elasticity at 38
+    iterations at PURE defaults, inside the reference's <40 budget
+    (docs/SCALING.md round-5 table)."""
     co = opts.cheby_order.get(level)
     if co is None:
         return 5 if bs > 1 else 3
     return int(co)
+
+
+def _cheby_lower(opts: SmootherOptions, level: int, bs: int) -> float:
+    """Resolve the per-energy Chebyshev window-start default.
+
+    None = auto: 0.30 on scalar levels, 0.25 on block levels (measured
+    best window that keeps the mixed-precision residual drift inside
+    the strict 1e-8 tolerance — see config.SmootherOptions)."""
+    cl = opts.cheby_lower.get(level)
+    if cl is None:
+        return 0.25 if bs > 1 else 0.30
+    return float(cl)
 
 
 def _lam_max_estimate(A: sp.spmatrix, bs: int, Dinv: np.ndarray, iters=12):
@@ -152,12 +165,13 @@ def build_smoother(
                         steps=max(steps, 1),
                     )
                 lam_max = stencil.power_lam()
-                lam_min = float(opts.cheby_lower.get(level)) * lam_max
+                lam_min = _cheby_lower(opts, level, bs) * lam_max
                 return ChebyshevSmoother(
                     Dinv=Dinv1,
                     lam_max=np.asarray(lam_max, dtype=np.dtype(dtype)),
                     lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
                     order=_cheby_order(opts, level, bs),
+                    steps=max(steps, 1),
                 )
         nv = stencil.n
         D = stencil.diagonal().reshape(-1, 1, 1)
@@ -197,12 +211,13 @@ def build_smoother(
             lam_max = stencil.power_lam()
         else:
             lam_max = _lam_max_estimate(A, bs, Dinv)
-        lam_min = float(opts.cheby_lower.get(level)) * lam_max
+        lam_min = _cheby_lower(opts, level, bs) * lam_max
         return ChebyshevSmoother(
             Dinv=pad_blocks(Dinv),
             lam_max=np.asarray(lam_max, dtype=np.dtype(dtype)),
             lam_min=np.asarray(lam_min, dtype=np.dtype(dtype)),
             order=_cheby_order(opts, level, bs),
+            steps=max(steps, 1),
         )
     if kind == SmootherType.DYNBGS:
         from .block import build_dyn_block_gs

@@ -100,16 +100,21 @@ class GSSmoother:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["Dinv", "lam_max", "lam_min"],
-    meta_fields=["order"],
+    meta_fields=["order", "steps"],
 )
 @dataclass(frozen=True)
 class ChebyshevSmoother:
-    """Chebyshev polynomial smoother on the D^-1 A spectrum window."""
+    """Chebyshev polynomial smoother on the D^-1 A spectrum window.
+
+    ``steps`` applies the degree-``order`` polynomial that many times
+    (the reference's `sm_steps`, amg_pc.hpp:67; historically this option
+    was silently ignored for Chebyshev)."""
 
     Dinv: jax.Array
     lam_max: jax.Array  # scalar
     lam_min: jax.Array  # scalar
     order: int = 3
+    steps: int = 1
 
 
 Smoother = JacobiSmoother | GSSmoother | ChebyshevSmoother
@@ -212,19 +217,21 @@ def _chebyshev(sm: ChebyshevSmoother, A, x, b):
     theta = 0.5 * (sm.lam_max + sm.lam_min)
     delta = 0.5 * (sm.lam_max - sm.lam_min)
     sigma = theta / delta
-    rho = 1.0 / sigma
-    if x is None:
-        r = b
-        x = jnp.zeros_like(b)
-    else:
-        r = b - matvec(A, x)
-    d = _block_mul(sm.Dinv, r) / theta
-    for _ in range(sm.order - 1):
+    for step in range(max(int(getattr(sm, "steps", 1)), 1)):
+        rho = 1.0 / sigma
+        if x is None:
+            r = b
+            x = jnp.zeros_like(b)
+        else:
+            r = b - matvec(A, x)
+        d = _block_mul(sm.Dinv, r) / theta
+        for _ in range(sm.order - 1):
+            x = x + d
+            r = r - matvec(A, d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * _block_mul(
+                sm.Dinv, r
+            )
+            rho = rho_new
         x = x + d
-        r = r - matvec(A, d)
-        rho_new = 1.0 / (2.0 * sigma - rho)
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * _block_mul(
-            sm.Dinv, r
-        )
-        rho = rho_new
-    return x + d
+    return x

@@ -792,7 +792,11 @@ def tile_ell_from_scipy(
 # bytes (917 MB vs 629 MB -> ~1.7 s more one-time device_put through
 # the tunnel), repaid within ~13 solve iterations; production serving
 # amortizes the setup across many solves.
-TILE_CHUNK = int(__import__("os").environ.get("NGSAMG_TILE_CHUNK", "4"))
+# Default chunk width 8 (round 5): the gather bill is LATENCY-bound
+# (~8 ns per gathered slot regardless of width up to ~8 scalars), so
+# wider chunks amortize it — measured on the 1.41M unstructured
+# V-cycle: 753 ms (C=2) -> 617 ms (C=4) -> 402 ms (C=8).
+TILE_CHUNK = int(__import__("os").environ.get("NGSAMG_TILE_CHUNK", "8"))
 _STACK_MIN_TILES = 512  # merge smaller bucket runs (bounds op count)
 
 

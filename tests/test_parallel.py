@@ -230,3 +230,52 @@ def test_intermediate_contraction_sub_meshes():
     y_s = np.asarray(jax.jit(amg_apply)(op_s, jnp.asarray(b)))
     err = np.linalg.norm(y_s - y_r) / np.linalg.norm(y_r)
     assert err < 1e-10, err
+
+
+def test_halo_block_ell_in_production_cycle():
+    """Sharded ELASTICITY levels get the hybrid-matrix structure too:
+    `shard_operator` places fully-row-sharded BlockELL levels as
+    HaloBlockELL (the reference's M+G split covers every block size,
+    hybrid_matrix.hpp:28-144) with apply parity vs the replicated
+    operator and O(interface) comm volume."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.config import SmootherOptions, SmootherType
+    from ngsamg_tpu.parallel.halo import HaloBlockELL
+    from ngsamg_tpu.parallel.shard import make_mesh, shard_operator
+    from ngsamg_tpu.solve.cycle import amg_apply
+    from ngsamg_tpu.utils import fem
+
+    p = fem.elasticity_3d(11)
+    opts = AMGOptions(shards=8, dtype="float64")
+    opts.smoother = SmootherOptions(type=SmootherType.CHEBYSHEV)
+    pc = AMGPreconditioner(
+        p.A, energy="elasticity", block_size=3, coords=p.coords,
+        options=opts,
+    ).setup()
+    mesh = make_mesh(8)
+    op_s, A_s = shard_operator(pc.op, pc.A_dev, mesh, replicate_below=200)
+    halo_levels = [
+        lev for lev in op_s.levels if isinstance(lev.A, HaloBlockELL)
+    ]
+    assert halo_levels, "no BLOCK level went through the halo path"
+    lev0 = halo_levels[0]
+    # O(interface): gathered SCALARS per apply well below the level's
+    # scalar rows
+    scal_rows = lev0.A.nrows * lev0.A.block_shape[0]
+    assert lev0.A.comm_per_apply < 0.7 * scal_rows, (
+        lev0.A.comm_per_apply, scal_rows,
+    )
+    # apply parity vs the replicated operator
+    rng = np.random.default_rng(0)
+    npad, bs = pc.A_dev.nrows_pad, pc.setup_levels_[0].row_bs
+    b = np.zeros((npad, bs))
+    nb = p.A.shape[0] // bs
+    b[:nb] = rng.standard_normal((nb, bs))
+    y_r = np.asarray(amg_apply(pc.op, jnp.asarray(b)))
+    y_s = np.asarray(jax.jit(amg_apply)(op_s, jnp.asarray(b)))
+    err = np.linalg.norm(y_s - y_r) / np.linalg.norm(y_r)
+    assert err < 1e-10, err
