@@ -323,7 +323,10 @@ def main():
                 ).setup()
                 te_setup = min(te_setup, time.perf_counter() - t0)
                 if _rep == 0:
-                    epc.solve(ep.b, tol=tol, maxiter=8)  # compile warm-up
+                    # warm up the MIXED path (the measured solve below):
+                    # warming the plain path would leave the mixed
+                    # compile inside the timed region
+                    epc.solve(ep.b, tol=tol, maxiter=8, mixed=True)
                 t0 = time.perf_counter()
                 # the mixed solver verifies the TRUE residual on device
                 # and defect-correction-restarts on a drift miss, so the

