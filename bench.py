@@ -60,11 +60,9 @@ _BUDGET_S = float(os.environ.get("NGSAMG_BENCH_BUDGET_S", "480"))
 # started leg should also finish inside the window
 _LEG_EST_S = {
     "unstructured": 300.0,
-    # round-5 native setup kernels cut the 1.25M elasticity setup from
-    # ~250 s to ~160 s quiet, and the pure-default config (oc 2.28)
-    # roughly halves the cycle cost (docs/SCALING.md); + TPU solve and
-    # compiles
-    "elasticity": 300.0,
+    # round-5 measured leg wall: setup 115-175 s + mixed warm-up
+    # (compiles + f64 twin put) + solve ~80 s warm (docs/SCALING.md)
+    "elasticity": 330.0,
     "stokes": 150.0,
     "gs": 400.0,
 }
@@ -275,6 +273,15 @@ def main():
             }
             em.emit()
             return False
+        # mark the leg as RUNNING in the emitted snapshot: if an external
+        # timeout kills the process mid-leg, the last stdout line shows
+        # "in_progress" (started but not finished) rather than "pending"
+        em.result["extra"][name] = {
+            "skipped": "in_progress", "started_at_s": round(
+                time.perf_counter() - _T_START, 1
+            ),
+        }
+        em.emit()
         return True
 
     # elasticity leg (robust EVP matching, rigid transports, BSR
@@ -325,8 +332,9 @@ def main():
                 if _rep == 0:
                     # warm up the MIXED path (the measured solve below):
                     # warming the plain path would leave the mixed
-                    # compile inside the timed region
-                    epc.solve(ep.b, tol=tol, maxiter=8, mixed=True)
+                    # compile inside the timed region; 2 iterations
+                    # trigger every compile (chunked step + twin pack)
+                    epc.solve(ep.b, tol=tol, maxiter=2, mixed=True)
                 t0 = time.perf_counter()
                 # the mixed solver verifies the TRUE residual on device
                 # and defect-correction-restarts on a drift miss, so the
